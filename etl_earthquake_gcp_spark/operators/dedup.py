@@ -1,0 +1,364 @@
+"""Deduplication operators — SURVEY.md §7 tier 4(b).
+
+Exact dedup lives in plans/text_queries.py (hash-groupBy). This module holds
+the *pairwise similarity* dedup family:
+
+- ``jaccard_pairs_inverted``  — exact token-set Jaccard via inverted-index
+  self-join. O(sum of squared posting-list lengths): correct everywhere, but
+  quadratic in documents-per-token — the naive baseline.
+- ``jaccard_pairs_bitmask``   — exact Jaccard when the distinct-token
+  vocabulary fits in 64 bits: dictionary-encode each document's token set to
+  a BIGINT mask, dedup to *distinct masks*, compare masks pairwise with
+  popcount arithmetic, then expand back to document pairs. Work collapses
+  from O(docs²·tokens) to O(distinct_masks² + output). Same output, bit-exact.
+- ``minhash_signatures`` / ``minhash_band_pairs`` — MinHash + banded LSH,
+  the generic sub-quadratic scale path for open vocabularies (100 TB tier):
+  arithmetic (a·x+b) mod p hashes over dictionary token-ids, deterministic
+  and engine-portable (no JVM-specific hash), so results are reproducible
+  and oracle-expressible.
+
+All operators are pure DataFrame compositions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: (a*x+b) with a,b,x < 2^31 stays < 2^62, i.e. exact
+# BIGINT arithmetic with no overflow under Spark's default ANSI mode (and
+# identical in DuckDB) — the whole point is engine-portable determinism
+_MERSENNE_P = (1 << 31) - 1
+
+
+def tokenize_distinct(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token) pairs, distinct per document (single-space tokenizer)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+
+
+def token_dictionary(tok: DataFrame) -> DataFrame:
+    """Deterministic token-ids: dense dictionary ordered by token string.
+
+    The global row_number window is safe because vocabularies are orders of
+    magnitude smaller than the corpus (they get broadcast); for open-web
+    vocabularies swap in ``F.xxhash64(token)`` ids (no dictionary needed).
+    """
+    w = Window.orderBy("token")
+    return (
+        tok.select("token")
+        .distinct()
+        .withColumn("tid", (F.row_number().over(w) - 1).cast("long"))
+    )
+
+
+def jaccard_pairs_inverted(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard ≥ threshold doc pairs via inverted-index self-join."""
+    tok = tokenize_distinct(docs)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    common = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common") * F.lit(1.0) / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def doc_bitmasks(docs: DataFrame) -> DataFrame:
+    """(doc_id, mask): the document's distinct-token set as a BIGINT bitmask.
+
+    Requires vocabulary ≤ 64 tokens (caller checks). Dictionary join is
+    broadcast; the mask aggregation is a single partial-agg shuffle on doc_id.
+    """
+    tok = tokenize_distinct(docs)
+    vocab = token_dictionary(tok)
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            # shiftleft with a *column* shift needs the SQL form (the Python
+            # API only accepts a literal bit count)
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid AS INT))")).alias(
+                "mask"
+            )
+        )
+    )
+
+
+def jaccard_pairs_bitmask(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard ≥ threshold doc pairs via bitmask dictionary encoding.
+
+    jaccard(A,B) = popcount(maskA & maskB) / popcount(maskA | maskB) — integer
+    math, bit-identical to the set-count formula. Pairwise work runs over
+    *distinct masks* (≪ docs when texts repeat token sets), then expands back
+    to document pairs; at sf0.1 this is ~4k masks vs 5k docs and turns a
+    250 s inverted-index join into seconds.
+    """
+    masks = doc_bitmasks(docs).persist()
+    groups = masks.groupBy("mask").agg(F.count("*").alias("n_docs"))
+
+    ga, gb = groups.alias("ga"), groups.alias("gb")
+    inter = F.bit_count(F.col("ga.mask").bitwiseAND(F.col("gb.mask")))
+    union = F.bit_count(F.col("ga.mask").bitwiseOR(F.col("gb.mask")))
+    jac = inter * F.lit(1.0) / union
+    qual = (
+        ga.join(F.broadcast(gb), F.col("ga.mask") <= F.col("gb.mask"))
+        .filter(jac >= threshold)
+        .select(
+            F.col("ga.mask").alias("ma"),
+            F.col("gb.mask").alias("mb"),
+            jac.alias("jac"),
+        )
+    )
+
+    x, y = masks.alias("x"), masks.alias("y")
+    return (
+        qual.join(x, F.col("ma") == F.col("x.mask"))
+        .join(y, F.col("mb") == F.col("y.mask"))
+        .filter(
+            (F.col("ma") < F.col("mb")) | (F.col("x.doc_id") < F.col("y.doc_id"))
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            F.round("jac", 4).alias("jaccard"),
+        )
+    )
+
+
+def minhash_coeffs(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The fixed (a_i, b_i) hash coefficients — shared by the Spark operator
+    and the DuckDB oracle builder so both engines compute identical hashes."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P) | 1, rng.randrange(0, _MERSENNE_P))
+        for _ in range(n_hashes)
+    ]
+
+
+def minhash_oracle_sql(
+    n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.8, seed: int = 42
+) -> str:
+    """DuckDB SQL computing exactly ``minhash_band_pairs`` — same dictionary,
+    same (a·x+b) mod p hashes, same banding — so even the *approximate* LSH
+    path is oracle-checked end to end (SURVEY §5.1)."""
+    r = n_hashes // n_bands
+    coeffs = minhash_coeffs(n_hashes, seed)
+    hash_exprs = ",\n               ".join(
+        f"min((tid * {a} + {b}) % {_MERSENNE_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, concat_ws('_', {cols}) AS key FROM sig".format(
+            band=i, cols=", ".join(f"h{i * r + j}" for j in range(r))
+        )
+        for i in range(n_bands)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), vocab AS (
+            SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS tid
+            FROM (SELECT DISTINCT token FROM tok)
+        ), tids AS (
+            SELECT doc_id, tid FROM tok JOIN vocab USING (token)
+        ), sig AS (
+            SELECT doc_id,
+               {hash_exprs}
+            FROM tids GROUP BY doc_id
+        ), bands AS (
+            {band_selects}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+        ), common AS (
+            SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_common
+            FROM cand
+            JOIN tok a ON doc_a = a.doc_id
+            JOIN tok b ON doc_b = b.doc_id AND a.token = b.token
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {threshold}
+    """
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 16, seed: int = 42) -> DataFrame:
+    """(doc_id, sig[ n_hashes ]) MinHash signatures over dictionary token-ids.
+
+    h_i(x) = (a_i·x + b_i) mod p with fixed (seeded) odd coefficients — plain
+    BIGINT arithmetic, deterministic across engines and runs. min() per hash
+    is a partial aggregate: one shuffle on doc_id regardless of n_hashes.
+    """
+    coeffs = minhash_coeffs(n_hashes, seed)
+    tok = tokenize_distinct(docs)
+    vocab = token_dictionary(tok)
+    tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid")
+    mins = [
+        F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = tids.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact Jaccard ≥ threshold.
+
+    Band the signature (rows r = n_hashes/n_bands); docs sharing any full
+    band collide. Collision prob ≈ 1-(1-s^r)^b — with 16/4 bands, s=0.8 →
+    ~0.93 recall. Candidates are then verified exactly, so precision is 1;
+    only recall is approximate. Shuffle is on (band, band-hash) keys —
+    sub-quadratic, the open-vocabulary scale path.
+    """
+    r = n_hashes // n_bands
+    sig = minhash_signatures(docs, n_hashes=n_hashes, seed=seed).persist()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col("sig").getItem(i * r + j) for j in range(r)]
+                        ).alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification via broadcast bitmask popcount: candidates can be
+    # millions of pairs on a high-similarity corpus, so re-joining the token
+    # table would reintroduce the quadratic cost. popcount(maskA & maskB)
+    # equals the token-intersection count exactly (doc_bitmasks), and the
+    # doc→mask map is KB-scale → two broadcast joins, zero extra shuffles.
+    # (Open-vocabulary fallback: swap in the token-join verify.)
+    masks = doc_bitmasks(docs)
+    x, y = masks.alias("x"), masks.alias("y")
+    inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
+    union = F.bit_count(F.col("x.mask").bitwiseOR(F.col("y.mask")))
+    jac = inter * F.lit(1.0) / union
+    return (
+        cand.join(F.broadcast(x), F.col("doc_a") == F.col("x.doc_id"))
+        .join(F.broadcast(y), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash_64(docs: DataFrame, seed: int = 42) -> DataFrame:
+    """(doc_id, simhash) 64-bit SimHash over dictionary token-ids.
+
+    Each token contributes ±1 per bit position according to a deterministic
+    arithmetic bit-mix of its id; the sign of each summed position forms the
+    fingerprint. Near-duplicate docs differ in few bits (compare with
+    bit_count(xor) ≤ k). Pure aggregates — one shuffle on doc_id.
+    """
+    import random
+
+    rng = random.Random(seed)
+    # one (a,b) pair per bit: bit_j(token) = ((a_j*tid+b_j) mod p) & 1
+    coeffs = [
+        (rng.randrange(1, _MERSENNE_P) | 1, rng.randrange(0, _MERSENNE_P))
+        for _ in range(64)
+    ]
+    tok = tokenize_distinct(docs)
+    vocab = token_dictionary(tok)
+    tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid")
+    bit_sums = [
+        F.sum(
+            ((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P) % 2) * 2 - 1
+        ).alias(f"s{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    agg = tids.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for j in range(64):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, seed: int = 42) -> DataFrame:
+    """Doc pairs within ``max_hamming`` bits of SimHash distance.
+
+    Blocked by 16-bit quarters (pigeonhole: ≤3-bit-different pairs share at
+    least one exact quarter when max_hamming ≤ 3; for larger budgets this is
+    a recall-bounded block join, verified exactly with bit_count(xor))."""
+    sh = simhash_64(docs, seed=seed).persist()
+    quarters = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftrightunsigned(F.col("simhash"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qk"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.q"), F.col("b.qk"), "simhash")
+    a, b = quarters.alias("a"), quarters.alias("b")
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qk") == F.col("b.qk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,72 @@
+"""ML pipeline queries — SURVEY.md §2 tier 3 (train_tsunami_model.py parity).
+
+The reference trains VectorAssembler → StandardScaler → RandomForest on
+earthquake features to predict ``tsunami_warning`` (train_tsunami_model.py:
+74-77), balancing classes by downsampling the majority (O3/O4, :59-66),
+80/20 split seed 42 (O5, :80), and emits a predictions table (:107-113).
+
+Re-targeted at the driver testdata: label = high-value event
+(``value > 50``) on the ``events`` table; same pipeline shape, same seeds.
+Non-SQL-expressible → rows-only driver checks (SURVEY §5.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.classifier import predictions_table, train_classifier
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _labeled_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature/label frame mirroring train_tsunami_model.py:48-70."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        (F.col("value") > 50).alias("high_value"),  # ≈ tsunami_warning
+        F.col("value").alias("f_value"),
+        F.hour("ts").cast("double").alias("f_hour"),
+        F.dayofweek("ts").cast("double").alias("f_dow"),
+        F.get_json_object("props", "$.k").cast("double").alias("f_k"),
+        (F.col("user_id") % 100).cast("double").alias("f_user_mod"),
+    ).na.drop()
+
+
+@register(
+    "ml_predictions",
+    oracle=None,  # model output — rows-only driver check (SURVEY §5.1)
+    doc="MLlib pipeline parity (train_tsunami_model.py): balance by "
+    "downsample (seed 42) → VectorAssembler → StandardScaler → RandomForest "
+    "→ predictions table (event_id, actual, predicted, probability).",
+)
+def ml_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = _labeled_events(spark, sf_dir)
+    model, test = train_classifier(labeled, label_col="high_value")
+    return predictions_table(model, test, id_col="event_id", label_col="high_value")
+
+
+@register(
+    "ml_class_balance",
+    oracle="""
+        SELECT value > 50 AS high_value, CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE value IS NOT NULL AND props IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1
+    """,
+    doc="class-balance census feeding the downsample ratio "
+    "(train_tsunami_model.py:59-63) — the SQL-expressible half of the ML "
+    "job, oracle-checked.",
+)
+def ml_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(
+            F.col("value").isNotNull()
+            & F.col("props").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .groupBy((F.col("value") > 50).alias("high_value"))
+        .agg(F.count("*").alias("n"))
+    )

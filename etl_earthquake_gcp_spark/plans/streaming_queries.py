@@ -1,0 +1,43 @@
+"""Streaming queries registered with the driver harness (SURVEY.md §2.9).
+
+``stream_tumbling_counts`` produces exactly the batch tumbling-window result,
+so it gets a full SQL oracle — the streaming engine is held to the same
+correctness bar as batch. The watermarked dedup's winning row depends on
+arrival order → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.jobs import stream_dedup_within_watermark, stream_tumbling_counts
+from .registry import register
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling 1-day counts (readStream → window agg "
+    "→ memory sink, complete mode). Oracle = batch equivalent: streaming "
+    "result must equal the batch answer once the stream drains (§2.9).",
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_tumbling_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_watermark",
+    oracle=None,  # arrival-order dependent winner → rows-only
+    doc="dropDuplicatesWithinWatermark over the replayed events stream "
+    "(§2.9 streaming dedup; state bounded by the 1h watermark). Rows-only: "
+    "row count == countDistinct(user_id), asserted in tests.",
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_dedup_within_watermark(spark, sf_dir)

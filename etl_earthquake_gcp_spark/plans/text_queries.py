@@ -1,0 +1,278 @@
+"""Text / LLM-data-pipeline queries over the ``documents`` table.
+
+SURVEY.md §7 tier 4(b): dedup (exact + n-gram Jaccard near-dup), text stats,
+token counting, language scoring, fingerprinting — each with a DuckDB oracle.
+The MinHash-LSH / SimHash scale paths live in ``operators/dedup.py`` (their
+band-hash functions aren't bit-identical across engines, so they get rows-only
+driver checks via ml/streaming-style registration where applicable).
+
+Tokenization convention (both engines): split on single space — the synthetic
+corpus is single-space-delimited lowercase words (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    jaccard_pairs_bitmask,
+    minhash_band_pairs,
+    minhash_oracle_sql,
+    simhash_near_pairs,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# P1-P3 analog — explode tokens + array access (b2s.py:46-73 capability class)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "explode_token_counts",
+    oracle="""
+        SELECT t.token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        GROUP BY t.token
+    """,
+    doc="explode over a split array + group-count (P1 generator class, "
+    "b2s.py:46). Corpus-wide token frequencies.",
+)
+def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "array_access_first_last",
+    oracle="""
+        SELECT doc_id,
+               string_split(text, ' ')[1] AS first_token,
+               string_split(text, ' ')[-1] AS last_token,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    doc="array element access by index (P3, b2s.py:71-73 coordinates[i]) "
+    "+ array length.",
+)
+def array_access_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        toks.getItem(0).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup — hash-groupBy (tier-4 'exact' dedup)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup_docs",
+    oracle="""
+        SELECT sha256(text) AS text_hash,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY sha256(text)
+    """,
+    doc="exact dedup via content-hash groupBy keeping min doc_id (tier-4 "
+    "exact dedup; scales as a single partial-agg shuffle on the 32-byte "
+    "hash, never on the full text).",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text quality stats — length / token / punctuation / stopword ratios
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, source, text,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        )
+        SELECT doc_id, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+               round(length(text) * 1.0 / len(toks), 2) AS avg_token_len,
+               CAST(len(list_filter(toks,
+                   x -> x IN {_STOPWORDS!r})) AS BIGINT) AS n_stopwords,
+               round(len(list_filter(toks, x -> x IN {_STOPWORDS!r})) * 1.0
+                     / len(toks), 4) AS stopword_ratio
+        FROM t
+    """,
+    doc="per-document quality stats: char/token/unique-token counts, avg "
+    "token length, stopword ratio (tier-4 quality scoring). All built-in "
+    "higher-order array fns — no Python in the hot path.",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.round(F.length("text") * F.lit(1.0) / F.size(toks), 2).alias("avg_token_len"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(n_stop * F.lit(1.0) / F.size(toks), 4).alias("stopword_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language scoring — deterministic n-gram/stopword heuristic (tier-4 lang-ID)
+# --------------------------------------------------------------------------
+
+_EN_MARKERS = ("the", "a", "value", "row", "table")
+
+
+@register(
+    "lang_score",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang,
+                          string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id, lang,
+               round(len(list_filter(toks, x -> x IN {_EN_MARKERS!r})) * 1.0
+                     / len(toks), 4) AS en_score,
+               len(list_filter(toks, x -> x IN {_EN_MARKERS!r})) * 1.0
+                   / len(toks) >= 0.10 AS looks_en
+        FROM t
+    """,
+    doc="language-ID heuristic: marker-token ratio + threshold flag (tier-4 "
+    "lang-ID; deterministic, oracle-checked formula).",
+)
+def lang_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    markers = F.array(*[F.lit(s) for s in _EN_MARKERS])
+    score = F.size(F.filter(toks, lambda x: F.array_contains(markers, x))) * F.lit(
+        1.0
+    ) / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(score, 4).alias("en_score"),
+        (score >= 0.10).alias("looks_en"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup — pairwise via token inverted index (tier-4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "jaccard_near_dup_pairs",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(c.n_common * 1.0 / (sa.n + sb.n - c.n_common), 4) AS jaccard
+        FROM common c
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE c.n_common * 1.0 / (sa.n + sb.n - c.n_common) >= 0.8
+    """,
+    doc="exact token-set Jaccard near-dup pairs ≥0.8 (tier-4). Implemented "
+    "via bitmask dictionary encoding (operators/dedup.py "
+    "jaccard_pairs_bitmask): the 31-token vocabulary fits a BIGINT, so "
+    "pairwise work runs over ~4k distinct masks instead of an "
+    "inverted-index join over 5k docs (250s → ~2s at sf0.1). Oracle states "
+    "the naive set-count formula — outputs are bit-identical.",
+    bench=True,
+)
+def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_bitmask(d, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting — rolling/content hash (tier-4 fingerprinting)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "minhash_lsh_near_dup",
+    oracle=minhash_oracle_sql(n_hashes=16, n_bands=4, threshold=0.8, seed=42),
+    doc="MinHash + banded LSH near-dup (tier-4 scale path): 16 arithmetic "
+    "(a·x+b) mod 2^31-1 hashes over dictionary token-ids, 4 bands → bucket "
+    "join → exact-Jaccard verify ≥0.8. Hashes are engine-portable BIGINT "
+    "arithmetic, so even this approximate path is fully oracle-checked "
+    "(minhash_oracle_sql builds the identical DuckDB pipeline). Shuffles "
+    "on band keys — sub-quadratic, the open-vocabulary 100 TB design.",
+    bench=True,
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_band_pairs(d, n_hashes=16, n_bands=4, threshold=0.8, seed=42)
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=None,  # 64-wide bit-mix pipeline — checked by unit tests instead
+    doc="SimHash-64 near-pair search (tier-4): deterministic arithmetic "
+    "bit-mix per token, ±1 vote per bit position, sign → fingerprint; "
+    "16-bit-quarter blocking + exact hamming verify ≤8. Rows-only driver "
+    "check; determinism + hamming≈jaccard correlation asserted in tests.",
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=8, seed=42)
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+        SELECT doc_id,
+               sha256(text) AS content_sha,
+               md5(text) AS content_md5,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    doc="content fingerprints: sha256 + md5 (tier-4 fingerprinting; both "
+    "engines emit identical lowercase hex).",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("content_sha"),
+        F.md5("text").alias("content_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

@@ -1,0 +1,208 @@
+"""Similarity-search queries over the ``embeddings`` table.
+
+SURVEY.md §7 tier 4(b): brute-force cosine top-k as the exact baseline
+(oracle-checked against DuckDB double-precision math), plus an LSH-bucketed
+approximate variant as the 100 TB scale path (rows-only check — hash families
+aren't bit-identical across engines).
+
+All vector math stays JVM-side: ``zip_with`` + ``aggregate`` higher-order
+functions, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_TOP_K = 3
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    """Cast embedding float[] → double[] and attach its L2 norm."""
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
+    return df.select("vec_id", arr.alias("vec"), norm.alias("norm"))
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+        WITH exploded AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
+        ), dots AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   sum(a.x * b.x) AS dot
+            FROM exploded a
+            JOIN exploded b ON a.i = b.i
+            WHERE a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               round(d.dot / (na.norm * nb.norm), 4) AS cosine
+        FROM dots d
+        JOIN norms na ON d.query_id = na.vec_id
+        JOIN norms nb ON d.neighbor_id = nb.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY round(d.dot / (na.norm * nb.norm), 6) DESC, neighbor_id
+        ) <= {_TOP_K}
+    """,
+    doc=f"brute-force cosine top-{_TOP_K} for {_N_QUERIES} query vectors "
+    "(tier-4 ANN exact baseline). zip_with+aggregate dot product (JVM "
+    "higher-order fns, no UDF); queries broadcast, so the big side never "
+    "shuffles — at 100 TB this is one scan + per-partition top-k.",
+    bench=True,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    # broadcast the tiny query set against the full corpus (scan-only big side)
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("norm") * F.col("qnorm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cos_raw")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+        WITH exploded AS (
+            SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+               round(avg(x), 4) AS avg_component,
+               round(min(x), 4) AS min_component,
+               round(max(x), 4) AS max_component
+        FROM exploded
+        GROUP BY label
+    """,
+    doc="per-label embedding component stats via array explode (vector "
+    "column plumbing sanity; F.explode over array<float> ≡ DuckDB lateral "
+    "range join).",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.explode(F.transform("embedding", lambda x: x.cast("double"))).alias("x"),
+        )
+        .groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vectors"),
+            F.round(F.avg("x"), 4).alias("avg_component"),
+            F.round(F.min("x"), 4).alias("min_component"),
+            F.round(F.max("x"), 4).alias("max_component"),
+        )
+    )
+
+
+_LSH_TABLES = 2  # OR-amplification: a pair collides if ANY table buckets it
+_LSH_PLANES = 4  # AND within a table: 4 sign bits per bucket id
+_LSH_SIM_THRESHOLD = 0.25  # corpus is near-random (max pairwise cos ≈ 0.51)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=None,  # hash-family dependent → rows-only driver check
+    doc="approximate near-pair search via random-hyperplane LSH: "
+    f"{_LSH_TABLES} tables × {_LSH_PLANES} signed projections (fixed seed, "
+    "plan-literal planes) → bucket equi-join per table → union → exact "
+    "cosine only on collided pairs. The sub-quadratic ANN scale path "
+    "(tier-4): candidate pairs ≪ n², shuffle keyed on 4-bit bucket ids. "
+    "Rows-only check (hash family engine-specific); recall vs brute force "
+    "asserted in tests/test_plans.py.",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import random
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    dim = 64
+    rng = random.Random(42)
+
+    def projection_bits(n_planes: int) -> F.Column:
+        planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        # sign bits of fixed projections (planes are literals baked into the
+        # plan — deterministic across runs, no runtime randomness)
+        return F.concat(
+            *[
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("vec"),
+                            F.array(*[F.lit(p) for p in plane]),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    >= 0
+                ).cast("int").cast("string")
+                for plane in planes
+            ]
+        )
+
+    sigd = emb.select(
+        "vec_id",
+        "vec",
+        "norm",
+        *[projection_bits(_LSH_PLANES).alias(f"b{t}") for t in range(_LSH_TABLES)],
+    )
+
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("a.norm") * F.col("b.norm"))
+
+    candidates = None
+    for t in range(_LSH_TABLES):
+        pairs_t = (
+            sigd.alias("a")
+            .join(
+                sigd.alias("b"),
+                (F.col(f"a.b{t}") == F.col(f"b.b{t}"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(sim, 4).alias("cosine"),
+            )
+        )
+        candidates = pairs_t if candidates is None else candidates.unionByName(pairs_t)
+
+    return (
+        candidates.filter(F.col("cosine") >= _LSH_SIM_THRESHOLD)
+        .dropDuplicates(["vec_a", "vec_b"])  # same pair may collide in both tables
+    )

@@ -1,0 +1,79 @@
+"""In-process pipeline runner — the Airflow DAG re-expressed
+(dags/earthquake_etl_dag.py:80-131).
+
+The reference chains 4 tasks (ingest → bronze_to_silver → silver_to_gold →
+train), each on a fresh Spark cluster, with state crossing ONLY through
+storage (SURVEY §3.1). Locally the same contract holds: every stage writes
+its layer and the next stage reads it back — stages stay independently
+re-runnable and idempotent-by-overwrite, and the runner is just the
+dependency order.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from ..ml.tsunami import train_tsunami_model
+from ..sources.geojson import read_geojson
+from ..sources.writers import read_table, write_table
+from .bronze_to_silver import bronze_to_silver
+from .silver_to_gold import silver_to_gold
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class PipelineResult:
+    silver_rows: int = 0
+    gold_tables: dict[str, int] = field(default_factory=dict)
+    ml_metrics: dict[str, float] = field(default_factory=dict)
+    predictions_rows: int = 0
+
+
+def run_pipeline(
+    spark: SparkSession,
+    bronze_path: str,
+    out_dir: str,
+    multiline: bool = True,
+    train_model: bool = True,
+) -> PipelineResult:
+    """bronze(GeoJSON) → silver → gold star schema [→ tsunami model]."""
+    result = PipelineResult()
+
+    # -- task 2 analog: bronze → silver -------------------------------------
+    bronze = read_geojson(spark, bronze_path, multiline=multiline)
+    silver = bronze_to_silver(bronze)
+    # empty-input guard (S4) without the RDD hop; checked on the flattened
+    # frame because a FeatureCollection with features=[] still reads as one
+    # bronze row
+    if silver.isEmpty():
+        logger.warning("bronze layer empty; nothing to process")
+        return result
+    silver_path = f"{out_dir}/silver/earthquakes_cleaned"
+    # partitioned by (year, month) for downstream partition pruning
+    # (b2s.py:146); overwrite keeps the stage idempotent
+    write_table(silver, silver_path, partition_by=("year", "month"))
+
+    # -- task 3 analog: silver → gold (reads the stored layer, not the
+    #    in-memory frame — the storage-mediated contract) -------------------
+    silver_stored = read_table(spark, silver_path)
+    result.silver_rows = silver_stored.count()
+    gold = silver_to_gold(silver_stored)
+    for name, df in gold.items():
+        path = f"{out_dir}/gold/{name}"
+        write_table(df, path)
+        result.gold_tables[name] = read_table(spark, path).count()
+
+    # -- task 4 analog: ML training on the stored silver layer --------------
+    if train_model:
+        model, metrics, predictions = train_tsunami_model(silver_stored)
+        model.write().overwrite().save(f"{out_dir}/ml_models/tsunami_rf")
+        pred_path = f"{out_dir}/gold/tsunami_predictions"
+        write_table(predictions, pred_path)
+        result.ml_metrics = metrics
+        result.predictions_rows = read_table(spark, pred_path).count()
+
+    return result

@@ -1,0 +1,105 @@
+"""Unit tests for the scalar enrichment expressions (SURVEY.md §5.2) —
+boundary values, regex comma cases, and the reference's date conventions."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_earthquake_gcp_spark.functions import scalar
+
+
+def _eval(spark, col, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return [r.out for r in df.select(col.alias("out")).collect()]
+
+
+def test_magnitude_category_boundaries(spark):
+    vals = [(2.999,), (3.0,), (3.999,), (4.0,), (5.0,), (6.0,), (7.0,), (7.999,), (8.0,), (9.5,)]
+    out = _eval(spark, scalar.magnitude_category(F.col("v")), vals, "v double")
+    assert out == [
+        "Micro", "Minor", "Minor", "Light", "Moderate",
+        "Strong", "Major", "Major", "Great", "Great",
+    ]
+
+
+def test_depth_category_inclusive_boundaries(spark):
+    out = _eval(
+        spark,
+        scalar.depth_category(F.col("v")),
+        [(0.0,), (70.0,), (70.001,), (300.0,), (300.001,), (700.0,)],
+        "v double",
+    )
+    assert out == ["Shallow", "Shallow", "Intermediate", "Intermediate", "Deep", "Deep"]
+
+
+def test_region_extraction_comma_cases(spark):
+    rows = [
+        ("no comma here",),
+        ("10km N of Town, Chile",),
+        ("A, B Region, Japan",),
+        ("City, Peru   ",),
+        ("",),
+    ]
+    detail = _eval(spark, scalar.region_detail(F.col("p")), rows, "p string")
+    assert detail == ["", "Chile", "B Region, Japan", "Peru", ""]
+    country = _eval(spark, scalar.country_guess(F.col("p")), rows, "p string")
+    assert country == ["no comma here", "Chile", "B Region, Japan", "Peru", ""]
+
+
+def test_epoch_millis_exact(spark):
+    out = _eval(
+        spark,
+        scalar.epoch_millis_to_ts(F.col("t")),
+        [(1700000000123,), (0,)],
+        "t long",
+    )
+    assert out[0] == datetime.datetime(2023, 11, 14, 22, 13, 20, 123000)
+    assert out[1] == datetime.datetime(1970, 1, 1, 0, 0, 0)
+
+
+def test_dayofweek_matches_reference_convention(spark):
+    """Reference dim_date uses python ``isoweekday() % 7 + 1`` (Sun=1..Sat=7,
+    s2g.py:72); Spark's ``dayofweek`` must agree for every weekday —
+    SURVEY §7 flags this convention as a parity risk."""
+    days = [(datetime.date(2024, 1, d),) for d in range(1, 8)]  # Mon..Sun
+    out = _eval(spark, F.dayofweek(F.col("d")), days, "d date")
+    expected = [d[0].isoweekday() % 7 + 1 for d in days]
+    assert out == expected
+
+
+def test_is_weekend_matches_reference_convention(spark):
+    """Reference: ``1 if weekday() >= 5`` → Sat/Sun (s2g.py:74)."""
+    days = [(datetime.date(2024, 1, d),) for d in range(1, 8)]
+    out = _eval(
+        spark, F.dayofweek(F.col("d")).isin(1, 7).cast("int"), days, "d date"
+    )
+    expected = [1 if d[0].weekday() >= 5 else 0 for d in days]
+    assert out == expected
+
+
+def test_month_day_names_locale(spark):
+    """date_format MMMM/EEEE must match python strftime %B/%A (s2g.py:70-73)
+    — both en-US here; pinned so a locale drift fails loudly."""
+    days = [(datetime.date(2024, m, 3),) for m in range(1, 13)]
+    out = _eval(spark, F.date_format(F.col("d"), "MMMM"), days, "d date")
+    assert out == [d[0].strftime("%B") for d in days]
+    wk = [(datetime.date(2024, 1, d),) for d in range(1, 8)]
+    out = _eval(spark, F.date_format(F.col("d"), "EEEE"), wk, "d date")
+    assert out == [d[0].strftime("%A") for d in wk]
+
+
+def test_bucketize_empty_edges(spark):
+    out = _eval(spark, scalar.bucketize(F.col("v"), [], [], "only"), [(1.0,)], "v double")
+    assert out == ["only"]
+
+
+def test_date_key(spark):
+    out = _eval(
+        spark,
+        scalar.date_key(F.col("t")),
+        [(datetime.datetime(2024, 3, 7, 14, 30),)],
+        "t timestamp",
+    )
+    assert out == [20240307]

@@ -5,6 +5,7 @@ from . import core_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import vector_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
+from . import multimodal_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "register", "query_map", "oracle_map"]

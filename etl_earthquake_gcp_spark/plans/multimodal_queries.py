@@ -1,0 +1,141 @@
+"""Multimodal-column queries: binary payloads + Arrow-batched Python decode.
+
+The decode math is deliberately engine-portable (integer floor-div, IEEE
+``sqrt``, byte sums over a pure-ASCII corpus where byte == code point), so
+even the ``mapInPandas`` stages are DuckDB-oracle-checked — the differential
+test covers the Arrow exchange itself, not just JVM expressions.
+
+Shared oracle scaffolding mirrors ``multimodal/media.py`` exactly:
+media_type cycles by doc_id % 3; n_bytes = octet_length(utf-8 payload).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal import attach_media, decode_media, frame_sample
+from ..sources.tables import load_table
+from .registry import register
+
+# media-table CTE: the SQL twin of multimodal.attach_media (metadata only —
+# the oracle never needs the binary payload itself, just its byte math)
+_MEDIA_CTE = """
+    media AS (
+        SELECT doc_id,
+               (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+                   AS media_type,
+               text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    )
+"""
+
+
+@register(
+    "multimodal_meta_stats",
+    oracle=f"""
+        WITH {_MEDIA_CTE}
+        SELECT media_type,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+               CAST(max(n_bytes) AS BIGINT) AS max_bytes
+        FROM media
+        GROUP BY media_type
+    """,
+    doc="metadata-only aggregate over the media table: the plan must read "
+    "meta.n_bytes without deserializing payload bytes (column pruning on a "
+    "struct beside a binary column — the IO shape that matters at 100 TB).",
+)
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return media.groupBy("media_type").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.min("meta.n_bytes").alias("min_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=f"""
+        WITH {_MEDIA_CTE},
+        chars AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+        ), sums AS (
+            SELECT doc_id, CAST(sum(ascii(c)) AS BIGINT) AS checksum
+            FROM chars GROUP BY doc_id
+        )
+        SELECT m.doc_id, m.media_type, m.n_bytes,
+               CASE WHEN m.media_type = 'image'
+                    THEN CAST(floor(sqrt(CAST(m.n_bytes AS DOUBLE))) AS BIGINT)
+                    ELSE 0 END AS width,
+               CASE WHEN m.media_type = 'image'
+                    THEN CAST(ceil(CAST(m.n_bytes AS DOUBLE)
+                         / floor(sqrt(CAST(m.n_bytes AS DOUBLE)))) AS BIGINT)
+                    ELSE 0 END AS height,
+               CASE WHEN m.media_type = 'audio' THEN 1 ELSE 3 END AS n_channels,
+               s.checksum,
+               (1000 * s.checksum) // m.n_bytes AS mean_byte_milli,
+               CASE WHEN m.media_type = 'image' THEN 0
+                    ELSE (1000 * m.n_bytes) // 16000 END AS duration_ms
+        FROM media m JOIN sums s USING (doc_id)
+    """,
+    doc="Arrow-batched fake decode via mapInPandas (1-to-1, no shuffle): "
+    "per-payload width/height/channels/checksum/duration from numpy byte "
+    "math. The oracle recomputes identical integers from the ASCII text, so "
+    "a pass certifies the full Python worker roundtrip. Real codec seam: "
+    "multimodal/media.py::_real_decode_image (NotImplementedError stub).",
+    bench=True,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    decoded = decode_media(media)
+    # compared frame must be NULL-free (nullable-int handling differs across
+    # pandas bridges) — sentinel 0 on both sides
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.coalesce("width", F.lit(0)).alias("width"),
+        F.coalesce("height", F.lit(0)).alias("height"),
+        "n_channels",
+        "checksum",
+        "mean_byte_milli",
+        F.coalesce("duration_ms", F.lit(0)).alias("duration_ms"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH {_MEDIA_CTE},
+        video AS (
+            SELECT doc_id, text, n_bytes FROM media WHERE media_type = 'video'
+        ), frames AS (
+            SELECT doc_id, s.i AS frame_idx,
+                   least(64, n_bytes - s.i * 64) AS frame_len,
+                   substr(text, CAST(s.i * 64 + 1 AS INT), 64) AS frame_text
+            FROM video
+            JOIN (SELECT unnest(range(0, 4096, 4)) AS i) s
+              ON s.i * 64 < n_bytes
+        ), chars AS (
+            SELECT doc_id, frame_idx, frame_len,
+                   unnest(string_split(frame_text, '')) AS c
+            FROM frames
+        )
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(frame_len AS BIGINT) AS frame_len,
+               CAST(sum(ascii(c)) AS BIGINT) AS frame_checksum
+        FROM chars GROUP BY 1, 2, 3
+    """,
+    doc="1-to-N frame sampling via mapInPandas (UDTF-class generator over "
+    "bytes): every 4th 64-byte chunk of each video payload. The JVM-side "
+    "media_type filter runs before the Arrow exchange — image/audio payloads "
+    "never cross into Python.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media, chunk_bytes=64, stride=4)

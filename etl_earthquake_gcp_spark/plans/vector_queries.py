@@ -126,6 +126,137 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEAR_DUP_THRESHOLD = 0.35  # corpus is near-random; 0.35 keeps ~0.2% of pairs
+
+
+@register(
+    "embedding_cosine_near_dup",
+    oracle=f"""
+        WITH exploded AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
+        ), dots AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+            FROM exploded a
+            JOIN exploded b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_a, vec_b,
+               round(d.dot / (na.norm * nb.norm), 4) AS cosine
+        FROM dots d
+        JOIN norms na ON d.vec_a = na.vec_id
+        JOIN norms nb ON d.vec_b = nb.vec_id
+        WHERE d.dot / (na.norm * nb.norm) >= {_NEAR_DUP_THRESHOLD}
+    """,
+    doc="embedding-cosine near-duplicate pairs (dedup family, exact "
+    f"baseline): all pairs with cosine >= {_NEAR_DUP_THRESHOLD}. O(n²) by "
+    "construction — the certified reference output; the sub-quadratic scale "
+    "path over the same semantics is ann_lsh_bucketed (LSH prefilter, exact "
+    "verify), mirroring the jaccard↔minhash pairing on text.",
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= _NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+@register(
+    "cosine_topk_pandas",
+    # identical semantics to cosine_topk_bruteforce → same oracle
+    oracle=f"""
+        WITH exploded AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
+        ), dots AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   sum(a.x * b.x) AS dot
+            FROM exploded a
+            JOIN exploded b ON a.i = b.i
+            WHERE a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               round(d.dot / (na.norm * nb.norm), 4) AS cosine
+        FROM dots d
+        JOIN norms na ON d.query_id = na.vec_id
+        JOIN norms nb ON d.neighbor_id = nb.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY round(d.dot / (na.norm * nb.norm), 6) DESC, neighbor_id
+        ) <= {_TOP_K}
+    """,
+    doc="cosine top-k via Arrow-vectorized numpy matmul (mapInPandas): the "
+    "query matrix (tiny) is closure-broadcast to every batch; the corpus "
+    "streams through Python once, one BLAS sgemm per Arrow batch, no "
+    "shuffle until the final per-query top-k. Same oracle as the JVM "
+    "zip_with variant — the differential check certifies the Arrow path; "
+    "bench.py races the two implementations.",
+    bench=True,
+)
+def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _N_QUERIES).collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.array([r.vec for r in qrows], dtype=np.float64)
+    qnorm = np.array([r.norm for r in qrows], dtype=np.float64)
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cmat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            # (batch × dim) @ (dim × queries) → every dot in one BLAS call
+            dots = cmat @ qmat.T
+            cos = dots / np.outer(pdf["norm"].to_numpy(), qnorm)
+            n, q = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), q),
+                    "cos_raw": cos.ravel(),
+                }
+            )
+
+    scored = emb.mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, cos_raw double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
 _LSH_TABLES = 2  # OR-amplification: a pair collides if ANY table buckets it
 _LSH_PLANES = 4  # AND within a table: 4 sign bits per bucket id
 _LSH_SIM_THRESHOLD = 0.25  # corpus is near-random (max pairwise cos ≈ 0.51)

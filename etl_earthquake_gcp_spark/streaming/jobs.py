@@ -67,6 +67,123 @@ def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
     return result.sparkSession.table(name)
 
 
+def _events_stream_multibatch(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Replay events as ``n_files`` time-ordered micro-batches.
+
+    The single testdata file is split into (ts, event_id)-sorted slices with
+    increasing mtimes; the file source (maxFilesPerTrigger=1) then delivers
+    them oldest-first, so every user's rows arrive in event-time order —
+    which makes stateful operators' emissions batch-reproducible and
+    therefore oracle-checkable.
+    """
+    import hashlib
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/events.parquet"
+    stage = (
+        "/tmp/spark_stream_slices_"
+        f"{hashlib.md5(f'{src}:{n_files}'.encode()).hexdigest()[:8]}"
+    )
+    done = f"{stage}/.done"
+    if not os.path.exists(done):
+        os.makedirs(stage, exist_ok=True)
+        tbl = pq.read_table(src).sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        step = -(-tbl.num_rows // n_files)
+        now = time.time()
+        for i in range(n_files):
+            part = f"{stage}/part-{i:03d}.parquet"
+            pq.write_table(tbl.slice(i * step, step), part)
+            os.utime(part, (now + i, now + i))  # mtime order == replay order
+        open(done, "w").close()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{stage}/part-000.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    return fix_nanos_ts(stream)
+
+
+def stream_sessionize_state(
+    spark: SparkSession, sf_dir: str, gap_ms: int | None = None
+) -> DataFrame:
+    """Custom stateful operator: incremental per-user sessionization via
+    ``applyInPandasWithState`` (§2.9 stretch — the arbitrary-state API).
+
+    State per user = the open session (start_ms, last_ms, n, value_sum),
+    O(users) bytes total. Each micro-batch folds its rows in; a session is
+    EMITTED the moment an event arrives ≥ gap after the previous one — the
+    continuous form of operators/sessions.py::sessionize. Open sessions stay
+    in state (a production job would flush them via event-time timeout).
+
+    Because the replay is event-time-ordered, the emitted set is exactly the
+    batch result minus each user's final (still-open) session — which the
+    DuckDB oracle reproduces, holding even the arbitrary-state path to the
+    differential bar.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sessions import SESSION_GAP_MS
+
+    gap = gap_ms if gap_ms is not None else SESSION_GAP_MS
+
+    def fold_sessions(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        start_ms, last_ms, n, vsum = (
+            state.get if state.exists else (None, None, 0, 0.0)
+        )
+        closed: list[tuple[int, int, int, int, float]] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            # unit-proof epoch-ms (Arrow may hand back ns or us resolution)
+            ts_ms = pdf["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
+            for ts, value in zip(ts_ms, pdf["value"]):
+                ms = int(ts)
+                if start_ms is None:
+                    start_ms, last_ms, n, vsum = ms, ms, 1, float(value)
+                elif ms - last_ms >= gap:
+                    closed.append((user_id, start_ms, last_ms, n, vsum))
+                    start_ms, last_ms, n, vsum = ms, ms, 1, float(value)
+                else:
+                    last_ms, n, vsum = ms, n + 1, vsum + float(value)
+        state.update((start_ms, last_ms, n, vsum))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start_ms", "session_end_ms", "n_events", "total_value"],
+        )
+
+    sessions = (
+        _events_stream_multibatch(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold_sessions,
+            outputStructType=(
+                "user_id long, session_start_ms long, session_end_ms long, "
+                "n_events long, total_value double"
+            ),
+            stateStructType="start_ms long, last_ms long, n long, vsum double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .withColumn("total_value", F.round("total_value", 2))
+    )
+    return _run_to_memory(sessions, "update")
+
+
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day windowed counts per event_type (§2.9: F.window over
     an unbounded stream; complete mode emits every window)."""

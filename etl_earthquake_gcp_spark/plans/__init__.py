@@ -6,6 +6,7 @@ from . import text_queries  # noqa: E402,F401
 from . import vector_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
+from . import olap_queries  # noqa: E402,F401
 from . import asof_queries  # noqa: E402,F401
 from . import session_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401

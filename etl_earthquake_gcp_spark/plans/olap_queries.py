@@ -1,0 +1,169 @@
+"""OLAP-surface extensions: cube, pivot, range join, exact/approx percentiles.
+
+SURVEY §2.4 notes the reference's date-hierarchy drill is "semantically a
+rollup"; this module rounds out the rest of the multidimensional family the
+BI layer implies — cube (all grouping sets), pivot (wide conditional agg),
+non-equi range join (bucket classification), and distribution quantiles
+(exact for the oracle bar, approximate t-digest for the 100 TB path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "cube_order_counts",
+    oracle="""
+        SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid,
+               coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+               coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="full cube over (status, priority): all four grouping sets in one "
+    "pass (Spark plans a single Expand + hash agg — one shuffle for every "
+    "set, vs four scans if issued separately). grouping_id disambiguates "
+    "rolled-up NULLs from data NULLs; string sentinels keep the compared "
+    "frame NULL-free.",
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            "gid",
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="pivot: long→wide conditional aggregation. The pivot values are "
+    "DECLARED (not discovered), so Spark skips the extra distinct-values "
+    "job and plans a single hash agg — the form that scales.",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+_BUCKETS = [
+    ("micro", 0.0, 10.0),
+    ("small", 10.0, 50.0),
+    ("medium", 50.0, 150.0),
+    ("large", 150.0, 1000.0),
+]
+
+
+@register(
+    "range_join_value_buckets",
+    oracle=f"""
+        WITH buckets(bucket, lo, hi) AS (
+            VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BUCKETS)}
+        )
+        SELECT b.bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(e.value), 2) AS sum_value
+        FROM events e
+        JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.bucket
+    """,
+    doc="non-equi range join: events classified into [lo, hi) value buckets. "
+    "The bucket dim is rows-scale → BroadcastNestedLoopJoin, i.e. a "
+    "map-side interval scan with zero shuffle on the fact side; at 100 TB "
+    "the same shape holds for any literal-table banding.",
+)
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    buckets = e.sparkSession.createDataFrame(
+        _BUCKETS, "bucket string, lo double, hi double"
+    )
+    return (
+        e.join(
+            F.broadcast(buckets),
+            (e.value >= buckets.lo) & (e.value < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "event_value_percentiles",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 4) AS p25,
+               round(quantile_cont(value, 0.50), 4) AS p50,
+               round(quantile_cont(value, 0.75), 4) AS p75,
+               round(quantile_cont(value, 0.90), 4) AS p90
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="exact interpolated percentiles per group (Spark `percentile` ≡ "
+    "DuckDB quantile_cont, both linear-interpolation). Exact quantiles "
+    "need the full sorted group — correct at any SF but memory-bound per "
+    "group; the unbounded-scale variant is approx_value_percentiles.",
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", p), 4).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.90)
+        ]
+    )
+
+
+@register(
+    "approx_value_percentiles",
+    oracle=None,  # sketch-based → engine-specific estimates, rows-only
+    doc="approx_percentile (GK/t-digest-class sketch): fixed-size state per "
+    "group regardless of cardinality — the 100 TB form of "
+    "event_value_percentiles (same shape as approx_count_distinct vs "
+    "countDistinct, A10). Accuracy vs the exact query asserted in tests.",
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_percentile(
+            "value", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.9)]), 10_000
+        ).alias("quantiles")
+    )

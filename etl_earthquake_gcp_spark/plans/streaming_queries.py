@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming.jobs import stream_dedup_within_watermark, stream_tumbling_counts
+from ..streaming.jobs import (
+    stream_dedup_within_watermark,
+    stream_sliding_counts,
+    stream_tumbling_counts,
+)
 from .registry import register
 
 
@@ -30,6 +34,26 @@ from .registry import register
 )
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_tumbling_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+        SELECT time_bucket(INTERVAL 1 DAY, ts) - o.off * INTERVAL 1 DAY
+                   AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+        GROUP BY 1, 2
+    """,
+    doc="Structured Streaming sliding windows (2-day window, 1-day slide): "
+    "each event contributes to 2 windows. Oracle replicates each row per "
+    "window offset — the drained stream must equal the batch answer.",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_sliding_counts(spark, sf_dir)
 
 
 @register(

@@ -42,13 +42,30 @@ def fix_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def _self_configure(spark: SparkSession) -> None:
+    """Runtime scale-hygiene for harness-supplied vanilla sessions.
+
+    The driver builds its own SparkSession (no tuning), so the engine sets
+    runtime-settable knobs itself: UTC timezone (oracle comparison), AQE
+    (post-shuffle coalescing — default-on in Spark 4 but pinned explicitly),
+    and shuffle parallelism sized to the actual cores instead of the static
+    200 default, which on a small local master schedules ~10× more tasks
+    than data. On a real cluster `defaultParallelism` reflects total
+    executor cores, so the same sizing rule (2×cores) holds.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(2 * cores, 8)))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one testdata table."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    # the driver harness supplies its own SparkSession — pin UTC so timestamp
-    # results match the naive-UTC oracle regardless of host configuration
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _self_configure(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return fix_nanos_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))

@@ -198,6 +198,21 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day windows advancing 1 day (§2.9 extension): every event
+    lands in exactly two overlapping windows — the overlap factor is the
+    state cost a watermark would bound on an unbounded stream."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup (§2.9: dropDuplicatesWithinWatermark on
     the event key — the streaming form of the batch argmax dedup A5).

@@ -127,6 +127,53 @@ def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "date_part_join_weekday",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+            FROM events
+        ), cal AS (
+            SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                       AS full_date
+            FROM bounds
+        )
+        SELECT dayname(c.full_date) AS day_name,
+               dayofweek(c.full_date) IN (0, 6) AS is_weekend,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(e.value), 2) AS sum_value
+        FROM events e
+        JOIN cal c ON CAST(e.ts AS DATE) = c.full_date
+        GROUP BY 1, 2
+    """,
+    doc="date-part join (J6, relationships.tmdl:1-19 datePartOnly): events "
+    "joined to a generated calendar on DATE(ts). The calendar is "
+    "rows-scale → broadcast; the fact side computes to_date(ts) map-side, "
+    "so the only shuffle is the final small aggregate.",
+)
+def date_part_join_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_for_cal")
+    cal = spark.sql(
+        """
+        SELECT explode(sequence(
+            (SELECT to_date(min(ts)) FROM events_for_cal),
+            (SELECT to_date(max(ts)) FROM events_for_cal))) AS full_date
+        """
+    )
+    return (
+        e.join(F.broadcast(cal), F.to_date(e.ts) == cal.full_date)
+        .groupBy(
+            F.date_format("full_date", "EEEE").alias("day_name"),
+            F.dayofweek("full_date").isin(1, 7).alias("is_weekend"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "event_value_percentiles",
     oracle="""
         SELECT event_type,

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.skew import salted_join
 from ..sources.tables import load_table
 from .registry import register
 
@@ -196,6 +197,37 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("value", p), 4).alias(f"p{int(p * 100)}")
             for p in (0.25, 0.50, 0.75, 0.90)
         ]
+    )
+
+
+@register(
+    "salted_join_user_nation",
+    oracle="""
+        SELECT c.c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(e.value), 2) AS sum_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_nationkey
+    """,
+    doc="hand-salted skew join (operators/skew.py): the skewed side is "
+    "salted into 8 sub-keys, the dimension replicated 8×, join on "
+    "(key, salt). The oracle is the PLAIN join — proving salting is a pure "
+    "physical rewrite with identical semantics. Complements AQE skew "
+    "splitting for hot keys known before the exchange.",
+)
+def salted_join_user_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    return (
+        salted_join(e, c, key="user_id", n_salts=8)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
     )
 
 

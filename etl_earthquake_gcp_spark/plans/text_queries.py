@@ -49,6 +49,33 @@ def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_token_counts",
+    oracle="""
+        SELECT t.piece, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_extract_all(text, '[a-z]{1,4}')) AS piece
+              FROM documents) t
+        GROUP BY t.piece
+    """,
+    doc="BPE-ish subword token counting: greedy fixed-width pieces via "
+    "regexp_extract_all (both engines use greedy leftmost matching, so "
+    "piece boundaries are identical). The whitespace-tokenizer twin is "
+    "explode_token_counts; a real BPE swaps the regex for a merges-table "
+    "broadcast join over these pieces.",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0)).alias(
+                "piece"
+            )
+        )
+        .groupBy("piece")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "array_access_first_last",
     oracle="""
         SELECT doc_id,

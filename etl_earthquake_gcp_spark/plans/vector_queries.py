@@ -257,6 +257,79 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # cluster assignment is trainer-specific → rows-only check
+    doc=f"IVF (inverted-file) ANN: MLlib KMeans (k={_IVF_CELLS}, seed 42) "
+    "coarse-quantizes unit vectors into cells; each query probes its "
+    f"{_IVF_NPROBE} nearest cells and reranks exactly inside them. At scale "
+    "the corpus is partitioned/bucketed BY cell id, so a query touches "
+    f"{_IVF_NPROBE}/{_IVF_CELLS} of the data — complementary to "
+    "ann_lsh_bucketed (hash buckets vs learned cells). Recall vs brute "
+    "force asserted in tests/test_ann_ivf.py.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    unit = emb.select(
+        "vec_id",
+        "vec",
+        "norm",
+        array_to_vector(
+            F.transform("vec", lambda x: x / F.col("norm"))
+        ).alias("features"),
+    )
+    km = KMeans(k=_IVF_CELLS, seed=42, maxIter=10).fit(unit.select("features"))
+    assigned = km.transform(unit).select(
+        "vec_id", "vec", "norm", F.col("prediction").alias("cell")
+    )
+
+    centroids = np.vstack(km.clusterCenters())
+    qrows = sorted(
+        assigned.filter(F.col("vec_id") < _N_QUERIES).collect(),
+        key=lambda r: r.vec_id,
+    )
+    # query→probe-cell fan-out computed driver-side (queries × cells is tiny)
+    probe_rows = []
+    for r in qrows:
+        q = np.array(r.vec) / r.norm
+        order = np.argsort(((centroids - q) ** 2).sum(axis=1))
+        probe_rows.extend(
+            (int(r.vec_id), list(r.vec), float(r.norm), int(c))
+            for c in order[:_IVF_NPROBE]
+        )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<double>, qnorm double, cell int"
+    )
+
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("norm") * F.col("qnorm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cos_raw")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
 _LSH_TABLES = 2  # OR-amplification: a pair collides if ANY table buckets it
 _LSH_PLANES = 4  # AND within a table: 4 sign bits per bucket id
 _LSH_SIM_THRESHOLD = 0.25  # corpus is near-random (max pairwise cos ≈ 0.51)

@@ -231,6 +231,94 @@ def salted_join_user_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUST_ORDER_ORACLE = """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "join_broadcast_hint",
+    oracle=_CUST_ORDER_ORACLE,
+    doc="orders ⋈ customer with an explicit broadcast hint: the dimension "
+    "ships to every task, the fact side never shuffles for the join "
+    "(SURVEY §2.3 physical note). Same oracle as join_sortmerge_hint — "
+    "bench.py races the two strategies on identical semantics.",
+    bench=True,
+)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "join_sortmerge_hint",
+    oracle=_CUST_ORDER_ORACLE,
+    doc="same join forced to sort-merge via the MERGE hint: both sides "
+    "hash-partition + sort on the key — the strategy that holds when "
+    "neither side fits in memory (fact ⋈ fact at 100 TB). The "
+    "broadcast/SMJ bench delta quantifies what dimension broadcasting "
+    "saves.",
+    bench=True,
+)
+def join_sortmerge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "range_frame_running_sum",
+    oracle="""
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ), 2) AS trailing_30d_spend
+        FROM orders
+    """,
+    doc="RANGE-frame window (vs the ROWS frame in moving_average): per "
+    "customer, total order value in the trailing 30 days by VALUE of the "
+    "order date — frame membership is data-dependent, ties share a frame. "
+    "Extends W1's frameless window to both frame kinds.",
+)
+def range_frame_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    day = 24 * 3600
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * day, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+    )
+
+
 @register(
     "approx_value_percentiles",
     oracle=None,  # sketch-based → engine-specific estimates, rows-only

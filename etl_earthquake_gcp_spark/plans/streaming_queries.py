@@ -15,6 +15,7 @@ from ..streaming.jobs import (
     stream_sliding_counts,
     stream_tumbling_counts,
 )
+from ..streaming.upsert import stream_upsert_latest_events
 from .registry import register
 
 
@@ -54,6 +55,27 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_sliding_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_upsert_merge",
+    oracle="""
+        SELECT event_id, user_id, event_type, ts, value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC
+        ) = 1
+    """,
+    doc="foreachBatch latest-wins MERGE into a copy-on-write versioned "
+    "parquet table (streaming/upsert.py): each micro-batch upserts on "
+    "(user_id, event_type). Drained state must equal the batch argmax "
+    "dedup — incremental merges converge to the full-recompute answer "
+    "(the reference's daily-overwrite reconciliation, §2.9, without "
+    "re-reading history).",
+)
+def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_upsert_latest_events(spark, sf_dir)
 
 
 @register(

@@ -1,0 +1,107 @@
+"""foreachBatch upsert sink: latest-wins MERGE into a versioned parquet table.
+
+The reference reconciles late USGS revisions by re-reading a 365-day window
+daily and keeping the latest row per event (process_bronze_to_silver.py:112-113,
+cloud_function/main.py:61-62). The streaming-native form (SURVEY §2.9) is
+``foreachBatch`` merging each micro-batch into the serving table. Without
+delta-spark in this container, the table is a minimal copy-on-write versioned
+layout with the same overwrite-safety property Delta's log provides:
+
+    <root>/v{N}/part-*.parquet     immutable snapshot N
+    <root>/_CURRENT               pointer file, atomically os.replace'd
+
+A merge never overwrites the directory it reads (read v{N} → write v{N+1} →
+swap pointer), so failures leave the previous snapshot intact — the property
+that matters for exactly-once sinks; on a real deployment the same operator
+targets ``.format("delta")`` MERGE.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class ParquetUpsertTable:
+    """Keyed latest-wins parquet table with atomic snapshot swaps."""
+
+    def __init__(self, root: str, keys: list[str], order_cols: list[str]):
+        self.root = root
+        self.keys = keys
+        self.order_cols = order_cols  # descending priority: first wins
+        os.makedirs(root, exist_ok=True)
+
+    def _current(self) -> str | None:
+        ptr = f"{self.root}/_CURRENT"
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return f"{self.root}/{fh.read().strip()}"
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        cur = self._current()
+        return spark.read.parquet(cur) if cur else None
+
+    def merge(self, batch: DataFrame) -> None:
+        """Union current snapshot + batch, keep the latest row per key,
+        write the next snapshot, atomically advance the pointer."""
+        spark = batch.sparkSession
+        cur = self._current()
+        ver = int(cur.rsplit("/v", 1)[1]) if cur else -1
+        merged = batch if cur is None else spark.read.parquet(cur).unionByName(batch)
+        w = Window.partitionBy(*self.keys).orderBy(
+            *[F.col(c).desc() for c in self.order_cols]
+        )
+        winner = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        nxt = f"{self.root}/v{ver + 1}"
+        winner.write.mode("overwrite").parquet(nxt)
+        tmp = f"{self.root}/_CURRENT.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"v{ver + 1}")
+        os.replace(tmp, f"{self.root}/_CURRENT")  # atomic pointer swap
+        if cur:
+            shutil.rmtree(cur, ignore_errors=True)  # GC previous snapshot
+
+
+def stream_upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events in micro-batches, foreachBatch-merging each into the
+    upsert table keyed on (user_id, event_type), latest (ts, event_id) wins.
+
+    After the stream drains, the table must equal the batch argmax dedup —
+    the differential proof that incremental merges converge to the same
+    state as a full recompute (the reference's daily-overwrite semantics,
+    now without re-reading history).
+    """
+    import hashlib
+
+    from .jobs import _events_stream_multibatch
+
+    root = (
+        "/tmp/spark_upsert_"
+        + hashlib.md5(f"{sf_dir}/events".encode()).hexdigest()[:8]
+    )
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run (idempotent)
+    table = ParquetUpsertTable(
+        root, keys=["user_id", "event_type"], order_cols=["ts", "event_id"]
+    )
+
+    stream = _events_stream_multibatch(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda batch, _id: table.merge(batch))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return table.read(spark)

@@ -1,0 +1,63 @@
+"""Physical-strategy pins: join hints plan as requested; upsert table swaps
+snapshots atomically and converges to latest-wins."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from etl_earthquake_gcp_spark.plans import QUERIES
+from etl_earthquake_gcp_spark.streaming.upsert import ParquetUpsertTable
+
+from .conftest import SF_DIR
+
+
+def _plan(spark, name):
+    return (
+        QUERIES[name]
+        .spark_fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_broadcast_hint_plans_bhj(spark):
+    plan = _plan(spark, "join_broadcast_hint")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_hint_plans_smj(spark):
+    plan = _plan(spark, "join_sortmerge_hint")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_upsert_latest_wins_and_gc(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    t = ParquetUpsertTable(root, keys=["k"], order_cols=["ts", "rid"])
+    ts = dt.datetime(2024, 1, 1)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, ts timestamp, rid long, v string")
+
+    t.merge(df([(1, ts, 1, "a"), (2, ts, 2, "b")]))
+    assert {r.k: r.v for r in t.read(spark).collect()} == {1: "a", 2: "b"}
+
+    # newer ts wins; equal ts resolved by rid; unknown keys insert
+    t.merge(
+        df(
+            [
+                (1, ts + dt.timedelta(hours=1), 3, "a2"),  # update: later ts
+                (2, ts, 1, "b-stale"),  # loses: same ts, lower rid
+                (3, ts, 4, "c"),  # insert
+            ]
+        )
+    )
+    assert {r.k: r.v for r in t.read(spark).collect()} == {1: "a2", 2: "b", 3: "c"}
+
+    # exactly one live snapshot (previous versions GC'd), pointer resolves
+    versions = [d for d in os.listdir(root) if d.startswith("v")]
+    assert len(versions) == 1
+    assert open(f"{root}/_CURRENT").read().strip() == versions[0]

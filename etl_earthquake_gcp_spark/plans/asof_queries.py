@@ -13,10 +13,7 @@ from ..operators.asof import asof_join
 from ..sources.tables import load_table
 from .registry import register
 
-
-@register(
-    "asof_purchase_prior_click",
-    oracle="""
+_ASOF_ORACLE = """
         WITH p AS (
             SELECT event_id, user_id, epoch_ms(ts) AS t, 1 AS is_left,
                    CAST(NULL AS BIGINT) AS click_id,
@@ -43,14 +40,10 @@ from .registry import register
                coalesce(asof_click_id, -1) AS asof_click_id,
                coalesce(asof_click_value, -1.0) AS asof_click_value
         FROM filled WHERE is_left = 1
-    """,
-    doc="as-of (point-in-time) join via operators/asof.py: every purchase "
-    "event gets the same user's latest click at-or-before it. Union-sort "
-    "plan — one shuffle+sort of |L|+|R| rows, no theta-join explosion; "
-    "sentinel -1 for purchases with no prior click.",
-    bench=True,
-)
-def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _purchases_and_clicks(spark: SparkSession, sf_dir: str):
     ev = load_table(spark, sf_dir, "events").withColumn("t_ms", F.unix_millis("ts"))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "t_ms"
@@ -61,6 +54,20 @@ def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"),
         F.col("value").alias("click_value"),
     )
+    return purchases, clicks
+
+
+@register(
+    "asof_purchase_prior_click",
+    oracle=_ASOF_ORACLE,
+    doc="as-of (point-in-time) join via operators/asof.py: every purchase "
+    "event gets the same user's latest click at-or-before it. Union-sort "
+    "plan — one shuffle+sort of |L|+|R| rows, no theta-join explosion; "
+    "sentinel -1 for purchases with no prior click.",
+    bench=True,
+)
+def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases, clicks = _purchases_and_clicks(spark, sf_dir)
     joined = asof_join(
         purchases,
         clicks,
@@ -75,4 +82,56 @@ def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_ms",
         F.coalesce("asof_click_id", F.lit(-1)).alias("asof_click_id"),
         F.coalesce("asof_click_value", F.lit(-1.0)).alias("asof_click_value"),
+    )
+
+
+@register(
+    "asof_cogroup_pandas",
+    oracle=_ASOF_ORACLE,  # identical semantics to the union-sort operator
+    doc="the same as-of join via cogrouped applyInPandas: both sides "
+    "co-partition on user_id, each group pair runs pandas.merge_asof "
+    "(backward, exact matches allowed). Two shuffles (one per side) vs the "
+    "union-sort's one, but the per-group merge is a linear two-pointer pass "
+    "— the right trade when per-key logic outgrows window expressions. "
+    "Shared oracle certifies both operators agree.",
+)
+def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    purchases, clicks = _purchases_and_clicks(spark, sf_dir)
+
+    out_schema = (
+        "event_id long, user_id long, t_ms long, "
+        "asof_click_id long, asof_click_value double"
+    )
+
+    def merge_asof_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=[
+                    "event_id", "user_id", "t_ms", "asof_click_id", "asof_click_value",
+                ]
+            )
+        left = left.sort_values("t_ms")
+        # equal-t clicks: merge_asof picks the LAST right row → sort by
+        # (t_ms, click_id) so max click_id wins, matching the oracle
+        right = right.sort_values(["t_ms", "click_id"])
+        merged = pd.merge_asof(
+            left, right[["t_ms", "click_id", "click_value"]], on="t_ms",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"],
+                "user_id": merged["user_id"],
+                "t_ms": merged["t_ms"],
+                "asof_click_id": merged["click_id"].fillna(-1).astype("int64"),
+                "asof_click_value": merged["click_value"].fillna(-1.0),
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge_asof_group, schema=out_schema)
     )

@@ -320,6 +320,97 @@ def range_frame_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semi_anti_join_customers",
+    oracle="""
+        SELECT
+            CAST((SELECT count(*) FROM customer c
+                  WHERE EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+                AS n_with_orders,
+            CAST((SELECT count(*) FROM customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+                AS n_without_orders
+    """,
+    doc="left-semi and left-anti joins (EXISTS / NOT EXISTS duals): "
+    "existence checks that never materialize the match — the build side "
+    "deduplicates to distinct keys, no row multiplication (vs inner join "
+    "+ distinct, which explodes first).",
+)
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = c.join(o, "c_custkey", "left_semi").count()
+    anti = c.join(o, "c_custkey", "left_anti").count()
+    return spark.createDataFrame(
+        [(semi, anti)], "n_with_orders long, n_without_orders long"
+    )
+
+
+@register(
+    "sql_entry_correlated_subquery",
+    oracle="""
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_above_avg_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY n.n_name
+    """,
+    doc="the SQL-text entry point (§3.3: ANTLR parse → analyze → optimize): "
+    "the SAME SQL string runs on both engines — a correlated scalar "
+    "subquery Catalyst decorrelates into an aggregate + join (visible as "
+    "one extra shuffle, not a per-row loop).",
+)
+def sql_entry_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_above_avg_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY n.n_name
+        """
+    )
+
+
+@register(
+    "unpivot_order_counts",
+    oracle="""
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+                   CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+                   CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, status, n
+        FROM wide
+        UNPIVOT (n FOR status IN (n_open, n_filled, n_pending))
+    """,
+    doc="unpivot (wide→long melt, the pivot inverse): plans as a zero-"
+    "shuffle Expand over the wide frame — pivot ∘ unpivot round-trips "
+    "the long form.",
+)
+def unpivot_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = pivot_status_by_priority(spark, sf_dir)
+    return wide.unpivot(
+        "o_orderpriority",
+        ["n_open", "n_filled", "n_pending"],
+        "status",
+        "n",
+    )
+
+
+@register(
     "approx_value_percentiles",
     oracle=None,  # sketch-based → engine-specific estimates, rows-only
     doc="approx_percentile (GK/t-digest-class sketch): fixed-size state per "

@@ -1,0 +1,140 @@
+"""Count-min sketch as pure DataFrame aggregation.
+
+Frequency estimation in fixed memory: a depth×width counter grid where each
+of ``depth`` seeded hash rows increments one of ``width`` buckets per
+occurrence; an item's estimate is the MIN of its counters (over-count only —
+collisions inflate, never deflate, so est ≥ true always).
+
+Why it matters at 100 TB: the grid size is constant (depth·width counters)
+regardless of key cardinality, and it builds as ONE partial-aggregated
+shuffle of (row, bucket) cells — heavy-hitter screening over a vocabulary
+that would blow an exact groupBy out of memory. Same capability family as
+``approx_count_distinct`` (A10) / ``approx_percentile``, but implemented
+here from scratch to show sketches need no engine support.
+
+Hashes are the same engine-portable (a·x+b) mod p family as
+operators/dedup.py (p = 2^31-1, products < 2^62: exact BIGINT math in both
+Spark's ANSI mode and DuckDB), so the WHOLE sketch — grid and estimates —
+is oracle-checkable bit-for-bit, unlike typical sketch implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _MERSENNE_P, minhash_coeffs
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+CM_SEED = 7
+
+
+def _bucket(col: F.Column, a: int, b: int, width: int) -> F.Column:
+    return ((col * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)) % F.lit(width)
+
+
+def countmin_grid(
+    tids: DataFrame,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    seed: int = CM_SEED,
+) -> DataFrame:
+    """(row j, bucket, n) counter grid from a (tid) occurrence stream.
+
+    One Expand (×depth) + one partial-aggregated shuffle of ≤ depth·width
+    groups — the map side pre-collapses to grid cells, so shuffle volume is
+    the GRID size, not the data size.
+    """
+    coeffs = minhash_coeffs(depth, seed)
+    cells = tids.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        _bucket(F.col("tid"), a, b, width).alias("bucket"),
+                    )
+                    for j, (a, b) in enumerate(coeffs)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy("cell.j", "cell.bucket").agg(F.count("*").alias("n"))
+
+
+def countmin_estimates(
+    grid: DataFrame,
+    probes: DataFrame,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    seed: int = CM_SEED,
+) -> DataFrame:
+    """min-over-rows estimate for each probe (token, tid).
+
+    The grid is KB-scale → broadcast; probing is a map-side join + min agg.
+    """
+    coeffs = minhash_coeffs(depth, seed)
+    probe_cells = probes.select(
+        "token",
+        "tid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        _bucket(F.col("tid"), a, b, width).alias("bucket"),
+                    )
+                    for j, (a, b) in enumerate(coeffs)
+                ]
+            )
+        ).alias("cell"),
+    ).select("token", "tid", "cell.j", "cell.bucket")
+    return (
+        probe_cells.join(F.broadcast(grid), ["j", "bucket"])
+        .groupBy("token")
+        .agg(F.min("n").alias("est_n"))
+    )
+
+
+def countmin_oracle_sql(
+    depth: int = CM_DEPTH, width: int = CM_WIDTH, seed: int = CM_SEED
+) -> str:
+    """DuckDB twin: identical dictionary, hashes, grid, and min-estimates,
+    joined with exact counts (est_n >= true_n by construction)."""
+    coeffs = minhash_coeffs(depth, seed)
+    hash_rows = "\n            UNION ALL ".join(
+        f"SELECT tid, {j} AS j, ((tid * {a} + {b}) % {_MERSENNE_P}) % {width} AS bucket FROM occurrences"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    probe_rows = "\n            UNION ALL ".join(
+        f"SELECT token, tid, {j} AS j, ((tid * {a} + {b}) % {_MERSENNE_P}) % {width} AS bucket FROM vocab"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), vocab AS (
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS tid
+            FROM (SELECT DISTINCT token FROM tok)
+        ), occurrences AS (
+            SELECT v.tid FROM tok t JOIN vocab v USING (token)
+        ), cells AS (
+            {hash_rows}
+        ), grid AS (
+            SELECT j, bucket, CAST(count(*) AS BIGINT) AS n
+            FROM cells GROUP BY j, bucket
+        ), probe_cells AS (
+            {probe_rows}
+        ), est AS (
+            SELECT p.token, min(g.n) AS est_n
+            FROM probe_cells p JOIN grid g USING (j, bucket)
+            GROUP BY p.token
+        ), exact AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS true_n
+            FROM tok GROUP BY token
+        )
+        SELECT e.token, x.true_n, e.est_n
+        FROM est e JOIN exact x USING (token)
+    """

@@ -20,7 +20,9 @@ from ..operators.dedup import (
     minhash_band_pairs,
     minhash_oracle_sql,
     simhash_near_pairs,
+    token_dictionary,
 )
+from ..operators.sketch import countmin_estimates, countmin_grid, countmin_oracle_sql
 from ..sources.tables import load_table
 from .registry import register
 
@@ -73,6 +75,26 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("piece")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "countmin_token_freq",
+    oracle=countmin_oracle_sql(),
+    doc="count-min sketch (operators/sketch.py): 4×64 seeded counter grid "
+    "built in one grid-sized shuffle, min-over-rows estimates vs exact "
+    "counts (est_n >= true_n always; equality when no bucket collision). "
+    "Portable arithmetic hashes make even the sketch internals "
+    "oracle-checkable bit-for-bit.",
+)
+def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    vocab = token_dictionary(tok)
+    occurrences = tok.join(F.broadcast(vocab), "token").select("tid")
+    grid = countmin_grid(occurrences)
+    est = countmin_estimates(grid, vocab)
+    exact = tok.groupBy("token").agg(F.count("*").alias("true_n"))
+    return est.join(exact, "token").select("token", "true_n", "est_n")
 
 
 @register(

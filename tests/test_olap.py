@@ -24,6 +24,16 @@ def test_range_join_partitions_all_events(spark):
     assert sum(r.n_events for r in rows) == total  # buckets cover [0, 1000)
 
 
+def test_countmin_never_undercounts(spark):
+    rows = QUERIES["countmin_token_freq"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.est_n >= r.true_n for r in rows)
+    # 31-token vocab in a 4×64 grid: at least one hash row should be
+    # collision-free for most tokens → the large majority estimate exactly
+    exact_frac = sum(r.est_n == r.true_n for r in rows) / len(rows)
+    assert exact_frac >= 0.8, exact_frac
+
+
 def test_approx_percentiles_close_to_exact(spark):
     exact = {
         r.event_type: (r.p25, r.p50, r.p75, r.p90)

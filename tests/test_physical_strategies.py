@@ -34,6 +34,20 @@ def test_merge_hint_plans_smj(spark):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_sessionize_single_shuffle(spark):
+    """sessions.py claims one hash-partition(user_id) exchange reused by both
+    windows and the final agg — pin it."""
+    plan = _plan(spark, "sessionize_events")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_flagship_fact_side_never_shuffles_for_joins(spark):
+    """All four dims broadcast: the only exchanges are for the final agg."""
+    plan = _plan(spark, "flagship_events_by_region")
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_upsert_latest_wins_and_gc(spark, tmp_path):
     root = str(tmp_path / "tbl")
     t = ParquetUpsertTable(root, keys=["k"], order_cols=["ts", "rid"])

@@ -271,6 +271,105 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_bitmask(d, threshold=0.8)
 
 
+# the ≥0.8 Jaccard pair graph as a reusable oracle CTE body (edges +
+# symmetric closure), shared by the component / clean-corpus oracles
+def _pairs_cte(doc_filter: str = "TRUE") -> str:
+    return f"""
+        cand AS (
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents WHERE {doc_filter}
+        ), tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM cand
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT c.doc_a, c.doc_b
+            FROM common c
+            JOIN sizes sa ON c.doc_a = sa.doc_id
+            JOIN sizes sb ON c.doc_b = sb.doc_id
+            WHERE c.n_common * 1.0 / (sa.n + sb.n - c.n_common) >= 0.8
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), reach(id, r) AS (
+            SELECT doc_id, doc_id FROM cand
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+        ), components AS (
+            SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+            FROM reach GROUP BY id
+        )
+    """
+
+
+@register(
+    "near_dup_components",
+    oracle=f"""
+        WITH RECURSIVE {_pairs_cte()}
+        SELECT doc_id, component FROM components
+    """,
+    doc="dedup resolution (iterative algorithm class): connected components "
+    "over the ≥0.8 Jaccard pair graph via min-label propagation "
+    "(operators/graph.py) — pairs become GROUPS, each labeled by its "
+    "minimum doc_id. Two shuffles per round, lineage truncated by "
+    "localCheckpoint, converges in diameter rounds. Oracle = recursive "
+    "reachability CTE: even the iterative loop meets the differential bar.",
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_bitmask(d, threshold=0.8)
+    return connected_components(
+        vertices=d.select(F.col("doc_id").alias("id")),
+        edges=pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    ).select(F.col("id").alias("doc_id"), "component")
+
+
+@register(
+    "clean_corpus_by_source",
+    oracle=f"""
+        WITH RECURSIVE {_pairs_cte("lang = 'en' AND n_chars >= 100")}
+        SELECT c.source,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(count(*) FILTER (WHERE k.component = k.doc_id) AS BIGINT)
+                   AS n_survivors
+        FROM components k JOIN cand c USING (doc_id)
+        GROUP BY c.source
+    """,
+    doc="capstone training-data pipeline: language filter (lang='en') + "
+    "quality floor (n_chars>=100) + transitive near-dup resolution, "
+    "keeping one representative per duplicate cluster — per-source "
+    "candidate and survivor counts. Composes filter → bitmask Jaccard → "
+    "iterative components in one lazy plan chain.",
+)
+def clean_corpus_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = d.filter((F.col("lang") == "en") & (F.col("n_chars") >= 100))
+    pairs = jaccard_pairs_bitmask(cand, threshold=0.8)
+    comp = connected_components(
+        vertices=cand.select(F.col("doc_id").alias("id")),
+        edges=pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    return (
+        comp.join(cand, comp.id == cand.doc_id)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.count_if(F.col("component") == F.col("doc_id")).alias("n_survivors"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Document fingerprinting — rolling/content hash (tier-4 fingerprinting)
 # --------------------------------------------------------------------------

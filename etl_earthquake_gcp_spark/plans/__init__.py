@@ -2,6 +2,7 @@ from .registry import QUERIES, Query, oracle_map, query_map, register
 
 # import for side effects: each module registers its queries
 from . import core_queries  # noqa: E402,F401
+from . import function_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import vector_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401

@@ -1,0 +1,142 @@
+"""Scalar & aggregate function breadth (F-class extensions).
+
+The reference exercises a narrow scalar surface (§2.7 F1-F12); these suites
+cover the adjacent families a production engine is expected to have, each
+pinned to DuckDB's implementation of the same ANSI semantics. Only
+engine-agreeing functions are included (e.g. stddev_samp/corr are standard;
+kurtosis is excluded — its sample correction differs across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "stats_agg_suite",
+    oracle="""
+        SELECT event_type,
+               round(stddev_samp(value), 4) AS sd_value,
+               round(var_samp(value), 4) AS var_value,
+               round(corr(value, epoch_ms(ts)), 4) AS corr_value_time,
+               round(covar_samp(value, user_id), 4) AS covar_value_user,
+               round(avg(value), 4) AS mean_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="statistical aggregates (A-class extension): sample stddev/variance, "
+    "Pearson correlation, sample covariance — all single-pass partial "
+    "aggregates (sum/sum-of-squares/cross-moments combine associatively, "
+    "so map-side combine holds at any scale).",
+)
+def stats_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.corr("value", F.unix_millis("ts")), 4).alias("corr_value_time"),
+        F.round(F.covar_samp("value", "user_id"), 4).alias("covar_value_user"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+
+
+@register(
+    "string_ops_suite",
+    oracle="""
+        SELECT n_name,
+               upper(n_name) AS upper_name,
+               CAST(length(n_name) AS BIGINT) AS name_len,
+               substr(n_name, 1, 3) AS prefix3,
+               lpad(n_name, 12, '.') AS padded,
+               replace(n_name, 'A', '@') AS replaced,
+               reverse(n_name) AS reversed,
+               CAST(levenshtein(n_name, 'CANADA') AS BIGINT) AS dist_to_canada,
+               concat_ws('-', n_name, CAST(n_nationkey AS VARCHAR)) AS keyed
+        FROM nation
+    """,
+    doc="string function family: case, length, substring, padding, "
+    "replace, reverse, Levenshtein edit distance, delimited concat — "
+    "per-row Catalyst expressions, fully codegen'd.",
+)
+def string_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.upper("n_name").alias("upper_name"),
+        F.length("n_name").cast("long").alias("name_len"),
+        F.substring("n_name", 1, 3).alias("prefix3"),
+        F.lpad("n_name", 12, ".").alias("padded"),
+        F.replace("n_name", F.lit("A"), F.lit("@")).alias("replaced"),
+        F.reverse("n_name").alias("reversed"),
+        F.levenshtein("n_name", F.lit("CANADA")).cast("long").alias("dist_to_canada"),
+        F.concat_ws("-", "n_name", F.col("n_nationkey").cast("string")).alias("keyed"),
+    )
+
+
+@register(
+    "array_ops_suite",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               list_contains(toks, 'the') AS has_the,
+               array_to_string(toks[1:3], '|') AS first3,
+               array_to_string(list_sort(list_distinct(toks)), '|') AS vocab_joined
+        FROM t
+    """,
+    doc="array function family over token arrays: distinct, sort, "
+    "membership, slicing, join-to-string — higher-order array ops stay "
+    "JVM-side (no explode needed when per-row semantics suffice). "
+    "Array-valued columns are flattened to strings in the compared frame "
+    "(array collection types differ across pandas bridges).",
+)
+def array_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    vocab = F.array_sort(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
+        F.array_join(vocab, "|").alias("vocab_joined"),
+    )
+
+
+@register(
+    "null_handling_suite",
+    oracle="""
+        SELECT o_orderkey,
+               coalesce(nullif(o_orderstatus, 'P'), '(pending)') AS status_or_tag,
+               CASE WHEN o_totalprice IS NULL THEN -1.0
+                    ELSE o_totalprice END AS price_nvl,
+               (o_totalprice IS NOT NULL AND o_totalprice > 100000)
+                   AS pricey_strict,
+               ifnull(NULL, CAST(o_custkey AS BIGINT)) AS custkey_filled
+        FROM orders
+    """,
+    doc="null-handling family: nullif/coalesce/ifnull and three-valued "
+    "logic made explicit — the compared frame is NULL-free by "
+    "construction, per the oracle conventions.",
+)
+def null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("(pending)")).alias(
+            "status_or_tag"
+        ),
+        F.when(F.col("o_totalprice").isNull(), F.lit(-1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_nvl"),
+        (F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 100000)).alias(
+            "pricey_strict"
+        ),
+        F.ifnull(F.lit(None), F.col("o_custkey").cast("long")).alias("custkey_filled"),
+    )

@@ -411,6 +411,83 @@ def unpivot_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gap_fill_user_daily",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+            FROM events
+        ), days AS (
+            SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+            FROM bounds
+        ), users AS (
+            SELECT DISTINCT user_id FROM events
+        ), grid AS (
+            SELECT u.user_id, d.d FROM users u CROSS JOIN days d
+        ), daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT g.user_id, CAST(g.d AS TIMESTAMP) AS day,
+               coalesce(dl.n, 0) AS n_events
+        FROM grid g LEFT JOIN daily dl ON g.user_id = dl.user_id AND g.d = dl.d
+    """,
+    doc="time-series gap filling: the dense (user × day) grid left-joins "
+    "sparse daily counts, absent cells become explicit zeros — the "
+    "resample-to-regular-grid operator every downstream window/forecast "
+    "step needs. Grid = broadcast(users) × broadcast(days): generated, "
+    "never shuffled at fact scale.",
+)
+def gap_fill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_for_grid")
+    days = spark.sql(
+        """
+        SELECT explode(sequence(
+            (SELECT to_date(min(ts)) FROM events_for_grid),
+            (SELECT to_date(max(ts)) FROM events_for_grid))) AS d
+        """
+    )
+    users = e.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    daily = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    return grid.join(daily, ["user_id", "d"], "left").select(
+        "user_id",
+        F.col("d").cast("timestamp").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+        SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+               CAST(floor(value / 50) * 50 AS DOUBLE) AS bucket_lo,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(value), 2) AS min_v,
+               round(max(value), 2) AS max_v
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="fixed-width histogram: bucket = floor(value/width) computed "
+    "map-side, then a bucket-count shuffle (≤ range/width groups — the "
+    "same constant-state shape as the count-min grid).",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50)
+    return e.groupBy(
+        bucket.cast("long").alias("bucket"),
+        (bucket * 50).cast("double").alias("bucket_lo"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+    )
+
+
+@register(
     "approx_value_percentiles",
     oracle=None,  # sketch-based → engine-specific estimates, rows-only
     doc="approx_percentile (GK/t-digest-class sketch): fixed-size state per "

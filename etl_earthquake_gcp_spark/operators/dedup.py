@@ -74,17 +74,20 @@ def jaccard_pairs_inverted(docs: DataFrame, threshold: float = 0.8) -> DataFrame
     )
 
 
-def doc_bitmasks(docs: DataFrame) -> DataFrame:
+def doc_bitmasks(docs: DataFrame, tids: DataFrame | None = None) -> DataFrame:
     """(doc_id, mask): the document's distinct-token set as a BIGINT bitmask.
 
     Requires vocabulary ≤ 64 tokens (caller checks). Dictionary join is
     broadcast; the mask aggregation is a single partial-agg shuffle on doc_id.
+    Pass precomputed ``tids`` (doc_id, tid) to share one tokenize+dictionary
+    pass with other operators over the same corpus.
     """
-    tok = tokenize_distinct(docs)
-    vocab = token_dictionary(tok)
+    if tids is None:
+        tok = tokenize_distinct(docs)
+        vocab = token_dictionary(tok)
+        tids = tok.join(F.broadcast(vocab), "token")
     return (
-        tok.join(F.broadcast(vocab), "token")
-        .groupBy("doc_id")
+        tids.groupBy("doc_id")
         .agg(
             # shiftleft with a *column* shift needs the SQL form (the Python
             # API only accepts a literal bit count)
@@ -203,7 +206,12 @@ def minhash_oracle_sql(
     """
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 16, seed: int = 42) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    seed: int = 42,
+    tids: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sig[ n_hashes ]) MinHash signatures over dictionary token-ids.
 
     h_i(x) = (a_i·x + b_i) mod p with fixed (seeded) odd coefficients — plain
@@ -211,9 +219,10 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, seed: int = 42) -> D
     is a partial aggregate: one shuffle on doc_id regardless of n_hashes.
     """
     coeffs = minhash_coeffs(n_hashes, seed)
-    tok = tokenize_distinct(docs)
-    vocab = token_dictionary(tok)
-    tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid")
+    if tids is None:
+        tok = tokenize_distinct(docs)
+        vocab = token_dictionary(tok)
+        tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid")
     mins = [
         F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -240,7 +249,12 @@ def minhash_band_pairs(
     sub-quadratic, the open-vocabulary scale path.
     """
     r = n_hashes // n_bands
-    sig = minhash_signatures(docs, n_hashes=n_hashes, seed=seed).persist()
+    # ONE tokenize + dictionary pass feeds both the signature path and the
+    # bitmask-verify path (each would otherwise re-scan and re-explode docs)
+    tok = tokenize_distinct(docs)
+    vocab = token_dictionary(tok)
+    tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid").persist()
+    sig = minhash_signatures(docs, n_hashes=n_hashes, seed=seed, tids=tids)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -274,7 +288,7 @@ def minhash_band_pairs(
     # equals the token-intersection count exactly (doc_bitmasks), and the
     # doc→mask map is KB-scale → two broadcast joins, zero extra shuffles.
     # (Open-vocabulary fallback: swap in the token-join verify.)
-    masks = doc_bitmasks(docs)
+    masks = doc_bitmasks(docs, tids=tids)
     x, y = masks.alias("x"), masks.alias("y")
     inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
     union = F.bit_count(F.col("x.mask").bitwiseOR(F.col("y.mask")))

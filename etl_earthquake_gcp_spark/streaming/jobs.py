@@ -184,6 +184,94 @@ def stream_sessionize_state(
     return _run_to_memory(sessions, "update")
 
 
+def stream_sessionize_tws(
+    spark: SparkSession, sf_dir: str, gap_ms: int | None = None
+) -> DataFrame:
+    """The same incremental sessionization on the state-v2 API
+    (``transformWithStateInPandas``, Spark 4): typed per-key ValueState via a
+    StatefulProcessor class instead of the tuple-state callback. Semantics
+    and oracle are identical to ``stream_sessionize_state`` — implementing
+    the operator on both state APIs pins that the engine's statefulness is
+    API-portable (state v1 is deprecated upstream; v2 adds timers/TTL we
+    don't need here).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.sessions import SESSION_GAP_MS
+
+    gap = gap_ms if gap_ms is not None else SESSION_GAP_MS
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType()),
+            StructField("last_ms", LongType()),
+            StructField("n", LongType()),
+            StructField("vsum", DoubleType()),
+        ]
+    )
+
+    class SessionFold(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState("open_session", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            start_ms, last_ms, n, vsum = (
+                self._open.get() if self._open.exists() else (None, None, 0, 0.0)
+            )
+            closed = []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                ts_ms = (
+                    pdf["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
+                )
+                for ms, value in zip(ts_ms, pdf["value"]):
+                    ms = int(ms)
+                    if start_ms is None:
+                        start_ms, last_ms, n, vsum = ms, ms, 1, float(value)
+                    elif ms - last_ms >= gap:
+                        closed.append((user_id, start_ms, last_ms, n, round(vsum, 2)))
+                        start_ms, last_ms, n, vsum = ms, ms, 1, float(value)
+                    else:
+                        last_ms, n, vsum = ms, n + 1, vsum + float(value)
+            self._open.update((start_ms, last_ms, n, vsum))
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_start_ms", "session_end_ms",
+                    "n_events", "total_value",
+                ],
+            )
+
+        def close(self) -> None:
+            pass
+
+    sessions = (
+        _events_stream_multibatch(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionFold(),
+            outputStructType=(
+                "user_id long, session_start_ms long, session_end_ms long, "
+                "n_events long, total_value double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return _run_to_memory(sessions, "update")
+
+
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day windowed counts per event_type (§2.9: F.window over
     an unbounded stream; complete mode emits every window)."""

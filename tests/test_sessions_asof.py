@@ -16,6 +16,35 @@ from etl_earthquake_gcp_spark.operators.sessions import (
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
 
+def _protobuf_ok() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_sessionize_tws_matches_state_v1(spark):
+    """State-v2 (transformWithStateInPandas) must equal state-v1 — runs only
+    where google.protobuf works (the v2 state-server protocol needs it)."""
+    import pytest
+
+    if not _protobuf_ok():
+        pytest.skip("google.protobuf broken in this container (state v2 needs it)")
+    from etl_earthquake_gcp_spark.streaming.jobs import (
+        stream_sessionize_state,
+        stream_sessionize_tws,
+    )
+
+    from .conftest import SF_DIR
+
+    cols = ["user_id", "session_start_ms", "session_end_ms", "n_events"]
+    v1 = {tuple(r[c] for c in cols) for r in stream_sessionize_state(spark, SF_DIR).collect()}
+    v2 = {tuple(r[c] for c in cols) for r in stream_sessionize_tws(spark, SF_DIR).collect()}
+    assert v1 == v2
+
+
 def _events(spark, rows):
     """rows: (event_id, user_id, offset_ms, value)"""
     return spark.createDataFrame(

@@ -17,6 +17,39 @@ from .registry import register
 
 
 @register(
+    "window_distribution_suite",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               CAST(nth_value(o_orderkey, 1) OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS first_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="distribution window functions (completes the W1 extension set): "
+    "ntile quartiles, percent_rank, cume_dist, nth_value — same per-key "
+    "sort as the rank suite, no extra exchange.",
+)
+def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 1).over(wf).cast("long").alias("first_order"),
+    )
+
+
+@register(
     "stats_agg_suite",
     oracle="""
         SELECT event_type,

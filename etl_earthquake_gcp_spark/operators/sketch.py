@@ -97,6 +97,78 @@ def countmin_estimates(
     )
 
 
+BLOOM_BITS = 512  # 8 long words
+BLOOM_HASHES = 3
+BLOOM_SEED = 11
+
+# single-bit masks as literals (a column-indexed shiftleft isn't exposed in
+# the Python API; element_at over this table is equivalent). Bit 63 is the
+# sign bit → its mask is the negative two's-complement value.
+_BIT_MASKS = [1 << i for i in range(63)] + [-(2**63)]
+
+
+def _mask_for(bit: F.Column) -> F.Column:
+    return F.element_at(
+        F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS]), bit + 1
+    )
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> list[int]:
+    """Build a Bloom filter over a key column as ONE bit_or aggregate.
+
+    Bit positions come from the same portable (a·x+b) mod p hash family as
+    the count-min grid; bits pack into BLOOM_BITS/64 BIGINT words via a
+    (word, mask) explode + bit_or — constant-size state like any sketch.
+    The finished filter is BLOOM_BITS/8 bytes, collected to the driver to be
+    re-broadcast as plan literals (the broadcast-variable pattern; the
+    collect is KB-scale by construction, not data-scale).
+    """
+    coeffs = minhash_coeffs(BLOOM_HASHES, BLOOM_SEED)
+    pos = [
+        ((F.col(key_col) * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P))
+        % F.lit(BLOOM_BITS)
+        for a, b in coeffs
+    ]
+    cells = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (p / 64).cast("int").alias("word"),
+                        _mask_for((p % 64).cast("int")).alias("mask"),
+                    )
+                    for p in pos
+                ]
+            )
+        ).alias("c")
+    )
+    got = {
+        r.word: r.bits
+        for r in cells.groupBy("c.word")
+        .agg(F.bit_or("c.mask").alias("bits"))
+        .collect()
+    }
+    return [got.get(w, 0) for w in range(BLOOM_BITS // 64)]
+
+
+def bloom_might_contain(words: list[int], key: F.Column) -> F.Column:
+    """Plan-literal membership test: true if ALL hash bits are set.
+
+    No false negatives (every inserted key's bits are set); false positives
+    are whatever downstream exact logic tolerates — as a join prefilter they
+    are removed by the join itself, so the rewrite is semantically free.
+    """
+    coeffs = minhash_coeffs(BLOOM_HASHES, BLOOM_SEED)
+    word_arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = None
+    for a, b in coeffs:
+        p = ((key * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)) % F.lit(BLOOM_BITS)
+        word = F.element_at(word_arr, (p / 64).cast("int") + 1)
+        term = word.bitwiseAND(_mask_for((p % 64).cast("int"))) != 0
+        cond = term if cond is None else cond & term
+    return cond
+
+
 def countmin_oracle_sql(
     depth: int = CM_DEPTH, width: int = CM_WIDTH, seed: int = CM_SEED
 ) -> str:

@@ -488,6 +488,59 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_prefilter_semi_join",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)
+        GROUP BY o.o_orderpriority
+    """,
+    doc="runtime-filter pattern made explicit: a hand-rolled Bloom filter "
+    "(operators/sketch.py: 512 bits, 3 portable hashes, built as one "
+    "bit_or aggregate) over events.user_id prunes orders map-side via "
+    "plan-literal bit tests — no false negatives, so nothing true is "
+    "lost — then the left-semi join removes false positives. The oracle "
+    "is the plain EXISTS, proving the bloom stage is a pure physical "
+    "prefilter; at 100 TB this is the manual form of the runtime filters "
+    "optimizers inject for selective joins (big side shrinks before the "
+    "exchange).",
+)
+def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import bloom_build, bloom_might_contain
+
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    words = bloom_build(e.select("user_id").distinct(), "user_id")
+    pruned = o.filter(bloom_might_contain(words, F.col("o_custkey")))
+    users = e.select(F.col("user_id").alias("o_custkey")).distinct()
+    return (
+        pruned.join(users, "o_custkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_counts",
+    oracle=None,  # sampling is engine-specific → rows-only + property tests
+    doc="stratified sampling (sampleBy): per-event_type Bernoulli fractions "
+    "{click: 0.5, purchase: 0.25, else 0}, seed 42 — the class-balancing "
+    "primitive (O4 generalized; the reference downsamples the majority "
+    "class the same way, train_tsunami_model.py:59-66). Per-stratum rates "
+    "asserted within tolerance in tests.",
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    sampled = e.sampleBy("event_type", {"click": 0.5, "purchase": 0.25}, seed=42)
+    return sampled.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+
+
+@register(
     "approx_value_percentiles",
     oracle=None,  # sketch-based → engine-specific estimates, rows-only
     doc="approx_percentile (GK/t-digest-class sketch): fixed-size state per "

@@ -34,6 +34,52 @@ def test_countmin_never_undercounts(spark):
     assert exact_frac >= 0.8, exact_frac
 
 
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from pyspark.sql import functions as F
+
+    from etl_earthquake_gcp_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from etl_earthquake_gcp_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    o = load_table(spark, SF_DIR, "orders")
+    words = bloom_build(e.select("user_id").distinct(), "user_id")
+    # no false negatives: every true member passes the bit test
+    misses = (
+        e.select("user_id")
+        .distinct()
+        .filter(~bloom_might_contain(words, F.col("user_id")))
+        .count()
+    )
+    assert misses == 0
+    # and the prefilter actually prunes most non-member orders
+    kept = o.filter(bloom_might_contain(words, F.col("o_custkey"))).count()
+    assert kept < o.count() * 0.5, (kept, o.count())
+
+
+def test_stratified_sample_fractions(spark):
+    got = {
+        r.event_type: r.n_sampled
+        for r in QUERIES["stratified_sample_counts"].spark_fn(spark, SF_DIR).collect()
+    }
+    from etl_earthquake_gcp_spark.sources.tables import load_table
+
+    totals = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(got) <= {"click", "purchase"}  # strata not listed sample at 0
+    for etype, frac in (("click", 0.5), ("purchase", 0.25)):
+        rate = got.get(etype, 0) / totals[etype]
+        assert abs(rate - frac) < 0.15, (etype, rate)
+
+
 def test_approx_percentiles_close_to_exact(spark):
     exact = {
         r.event_type: (r.p25, r.p50, r.p75, r.p90)

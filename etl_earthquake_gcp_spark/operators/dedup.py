@@ -301,6 +301,121 @@ def minhash_band_pairs(
     )
 
 
+def minhash_band_pairs_grouped(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """``minhash_band_pairs`` computed over DISTINCT token-set masks.
+
+    A MinHash signature depends only on the token SET, so all quadratic
+    stages (banding self-join, candidate dedup, verification) can run in
+    mask space — here ~20% fewer rows, but the structural win is bigger:
+    mask pairs are unique by construction, so the multi-million-row
+    ``distinct`` on candidate doc pairs disappears entirely. Doc pairs are
+    recovered at the end by two broadcast expansions (inter-mask pairs) plus
+    the intra-mask pairs (identical sets → jaccard 1.0 ≥ any threshold).
+
+    Signatures come straight from mask BITS via array expressions
+    (set-bit positions ARE the dictionary tids) — no re-join to the token
+    table. Output is row-identical to ``minhash_band_pairs`` (same oracle).
+    Closed-vocabulary (≤64 tokens) fast path; the generic path remains
+    ``minhash_band_pairs``.
+    """
+    r = n_hashes // n_bands
+    coeffs = minhash_coeffs(n_hashes, seed)
+
+    masks = doc_bitmasks(docs).persist()
+    dmask = masks.select("mask").distinct()
+
+    # set-bit positions of the mask == the document's tid set (≤64 longs).
+    # Column-indexed shifts aren't exposed in the Python API → test bits
+    # against a literal single-bit mask table instead (bit 63 = sign bit).
+    bit_masks = F.array(
+        *[F.lit(m).cast("long") for m in [1 << i for i in range(63)] + [-(2**63)]]
+    )
+    tid_arr = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.when(
+                F.col("mask").bitwiseAND(F.element_at(bit_masks, i + 1)) != 0,
+                i.cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
+        ),
+        lambda x: x >= 0,
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("tids"), lambda t: (t * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)
+            )
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = dmask.withColumn("tids", tid_arr).select("mask", *sig_cols)
+    bands = sig.select(
+        "mask",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col(f"h{i * r + j}") for j in range(r)]
+                        ).alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("mask", "bk.band", "bk.key")
+
+    # band-collide mask pairs (distinct over mask-pair space — the shrunken
+    # shuffle), verified by popcount jaccard, then expanded back to doc
+    # pairs via two broadcast joins (map-side, no further shuffle)
+    x, y = masks.alias("x"), masks.alias("y")
+    inter_docs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.mask") < F.col("b.mask")),
+        )
+        .select(F.col("a.mask").alias("ma"), F.col("b.mask").alias("mb"))
+        .distinct()
+        .withColumn(
+            "jac",
+            F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+            * F.lit(1.0)
+            / F.bit_count(F.col("ma").bitwiseOR(F.col("mb"))),
+        )
+        .filter(F.col("jac") >= threshold)
+        .join(F.broadcast(x), F.col("ma") == F.col("x.mask"))
+        .join(F.broadcast(y), F.col("mb") == F.col("y.mask"))
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            F.round("jac", 4).alias("jaccard"),
+        )
+    )
+    intra_docs = (
+        x.join(
+            y,
+            (F.col("x.mask") == F.col("y.mask"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return inter_docs.unionByName(intra_docs)
+
+
 def simhash_64(docs: DataFrame, seed: int = 42) -> DataFrame:
     """(doc_id, simhash) 64-bit SimHash over dictionary token-ids.
 

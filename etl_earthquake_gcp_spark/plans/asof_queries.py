@@ -9,9 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join, asof_nearest_join
 from ..sources.tables import load_table
 from .registry import register
+
+_NEAREST_TOL_MS = 30 * 60 * 1000  # 30 minutes
 
 _ASOF_ORACLE = """
         WITH p AS (
@@ -134,4 +136,93 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases.groupBy("user_id")
         .cogroup(clicks.groupBy("user_id"))
         .applyInPandas(merge_asof_group, schema=out_schema)
+    )
+
+
+@register(
+    "asof_nearest_click",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id, user_id, epoch_ms(ts) AS t, 1 AS is_left,
+                   CAST(NULL AS BIGINT) AS tie, CAST(NULL AS BIGINT) AS rt,
+                   CAST(NULL AS BIGINT) AS v_id, CAST(NULL AS DOUBLE) AS v_val
+            FROM events WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT CAST(NULL AS BIGINT), user_id, epoch_ms(ts), 0,
+                   event_id, epoch_ms(ts), event_id, value
+            FROM events WHERE event_type = 'click'
+        ), u AS (
+            SELECT * FROM p UNION ALL SELECT * FROM c
+        ), filled AS (
+            SELECT event_id, user_id, t, is_left,
+                   last_value(rt IGNORE NULLS) OVER wb AS prev_t,
+                   first_value(rt IGNORE NULLS) OVER wf AS next_t,
+                   last_value(v_id IGNORE NULLS) OVER wb AS prev_id,
+                   first_value(v_id IGNORE NULLS) OVER wf AS next_id,
+                   last_value(v_val IGNORE NULLS) OVER wb AS prev_val,
+                   first_value(v_val IGNORE NULLS) OVER wf AS next_val
+            FROM u
+            WINDOW wb AS (
+                PARTITION BY user_id ORDER BY t, is_left, tie NULLS LAST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (
+                PARTITION BY user_id ORDER BY t, is_left, tie NULLS LAST
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ), chosen AS (
+            SELECT *,
+                   prev_t IS NOT NULL AND t - prev_t <= {_NEAREST_TOL_MS}
+                       AS prev_ok,
+                   next_t IS NOT NULL AND next_t - t <= {_NEAREST_TOL_MS}
+                       AS next_ok
+            FROM filled WHERE is_left = 1
+        )
+        SELECT event_id, user_id, t AS t_ms,
+               CAST(CASE
+                   WHEN prev_ok AND (NOT next_ok OR t - prev_t <= next_t - t)
+                       THEN prev_id
+                   WHEN next_ok THEN next_id ELSE -1 END AS BIGINT)
+                   AS nearest_click_id,
+               CASE
+                   WHEN prev_ok AND (NOT next_ok OR t - prev_t <= next_t - t)
+                       THEN prev_val
+                   WHEN next_ok THEN next_val ELSE -1.0 END
+                   AS nearest_click_value,
+               CAST(CASE
+                   WHEN prev_ok AND (NOT next_ok OR t - prev_t <= next_t - t)
+                       THEN t - prev_t
+                   WHEN next_ok THEN next_t - t ELSE -1 END AS BIGINT)
+                   AS nearest_dist_ms,
+               CASE
+                   WHEN prev_ok AND (NOT next_ok OR t - prev_t <= next_t - t)
+                       THEN 'prev'
+                   WHEN next_ok THEN 'next' ELSE 'none' END AS nearest_dir
+        FROM chosen
+    """,
+    doc="nearest-in-time as-of variant (operators/asof.py asof_nearest_join): "
+    "each purchase matches the temporally CLOSEST click of the same user "
+    "within ±30 min — backward or forward, exact ties prefer backward. One "
+    "union-sort pass serves both directions (the running-last and "
+    "running-first windows share one Exchange+Sort) — still a linear merge "
+    "at 100 TB, never a theta-join. Oracle mirrors the same window "
+    "construction; sentinels -1/'none' keep compared frames NULL-free.",
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases, clicks = _purchases_and_clicks(spark, sf_dir)
+    joined = asof_nearest_join(
+        purchases,
+        clicks,
+        key="user_id",
+        time_col="t_ms",
+        right_value_cols=["click_id", "click_value"],
+        tie_col="click_id",
+        tolerance_ms=_NEAREST_TOL_MS,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "t_ms",
+        F.coalesce("nearest_click_id", F.lit(-1)).alias("nearest_click_id"),
+        F.coalesce("nearest_click_value", F.lit(-1.0)).alias("nearest_click_value"),
+        F.coalesce("nearest_dist_ms", F.lit(-1)).alias("nearest_dist_ms"),
+        "nearest_dir",
     )

@@ -555,3 +555,34 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.9)]), 10_000
         ).alias("quantiles")
     )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS (
+        (o_orderstatus, o_orderpriority),
+        (o_orderstatus),
+        (o_orderpriority),
+        ()
+    )
+"""
+
+
+@register(
+    "grouping_sets_order_stats",
+    oracle=_GROUPING_SETS_SQL,
+    doc="explicit GROUPING SETS (the generalization cube/rollup compile "
+    "to): four aggregation grains in one statement — the same SQL text "
+    "runs on both engines. Spark plans a single Expand + hash aggregate: "
+    "each input row fans out once per grouping set, partial aggregation "
+    "still combines map-side, so the shuffle carries only group cells.",
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

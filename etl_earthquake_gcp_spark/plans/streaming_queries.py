@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..streaming.jobs import (
     stream_dedup_within_watermark,
     stream_sliding_counts,
+    stream_stream_purchase_click_join,
     stream_tumbling_counts,
 )
 from ..streaming.upsert import stream_upsert_latest_events
@@ -55,6 +56,33 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_sliding_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               p.user_id AS user_id,
+               c.event_id AS click_id,
+               CAST(epoch_ms(p.ts) - epoch_ms(c.ts) AS BIGINT) AS gap_ms,
+               c.value AS click_value
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts
+    """,
+    doc="stream-stream interval join (streaming/jobs.py): purchases ⋈ "
+    "clicks on user_id, click within the hour before the purchase. "
+    "Watermarks on BOTH event-time columns + the range condition bound "
+    "the join state (clicks evict 1h+watermark past their event time). "
+    "Full SQL oracle: the drained stream must equal the batch interval "
+    "join.",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_stream_purchase_click_join(spark, sf_dir)
 
 
 @register(

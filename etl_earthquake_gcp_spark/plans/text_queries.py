@@ -409,6 +409,98 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tf_idf_scores",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok GROUP BY 1
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+               round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df), 4) AS tf_idf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    """,
+    doc="TF-IDF term weighting (tier-4 text analysis): per-(doc, token) "
+    "term frequency × ln(N/df). One explode + two partial-agg shuffles; "
+    "the document-frequency table and the corpus count are broadcast back "
+    "onto the tf rows (df is vocabulary-sized — tiny at any corpus scale), "
+    "so the big tf side never reshuffles.",
+)
+def tf_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 4
+            ).alias("tf_idf"),
+        )
+    )
+
+
+@register(
+    "fuzzy_pairs_levenshtein",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, source, substring(text, 1, 20) AS prefix
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+               CAST(levenshtein(a.prefix, b2.prefix) AS BIGINT) AS edit_dist
+        FROM b a
+        JOIN b b2 ON a.source = b2.source AND a.doc_id < b2.doc_id
+        WHERE levenshtein(a.prefix, b2.prefix) <= 8
+    """,
+    doc="fuzzy (edit-distance) pair detection with blocking: candidate "
+    "pairs share a source block — the classic entity-resolution blocking "
+    "pattern that keeps the quadratic comparison inside small groups — "
+    "then Levenshtein over a 20-char prefix ≤8 verifies. Both engines "
+    "implement identical unit-cost edit distance, so the approximate-"
+    "matching path is fully oracle-checked. At 100 TB the block key is "
+    "the shuffle key; skewed blocks would get salting + a cheaper "
+    "length-difference prefilter.",
+)
+def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        "source",
+        F.substring("text", 1, 20).alias("prefix"),
+    )
+    a, b2 = b.alias("a"), b.alias("b2")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b2.prefix"))
+    return (
+        a.join(
+            b2,
+            (F.col("a.source") == F.col("b2.source"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .filter(dist <= 8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b2.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    )
+
+
+@register(
     "doc_fingerprints",
     oracle="""
         SELECT doc_id,

@@ -410,3 +410,42 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.filter(F.col("cosine") >= _LSH_SIM_THRESHOLD)
         .dropDuplicates(["vec_a", "vec_b"])  # same pair may collide in both tables
     )
+
+
+@register(
+    "embedding_centroids_by_label",
+    oracle="""
+        WITH exploded AS (
+            SELECT CAST(label AS BIGINT) AS label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )
+        SELECT label, CAST(pos AS BIGINT) AS pos,
+               round(avg(x), 4) AS centroid,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM exploded GROUP BY 1, 2
+    """,
+    doc="per-label centroid vectors — the reduce step of k-means / the "
+    "class-prototype computation for embedding pipelines: posexplode the "
+    "vector, partial-agg avg per (label, dimension). One dimension-"
+    "factored shuffle of |labels|x|dims| cells regardless of row count — "
+    "the map-side combine does the 100 TB heavy lifting. Emitted in "
+    "(label, pos, value) long form, 1-based pos to match SQL "
+    "generate_subscripts.",
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("pos0", "x"),
+        )
+        .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            F.round(F.avg("x"), 4).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+    )

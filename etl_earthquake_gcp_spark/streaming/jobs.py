@@ -313,3 +313,52 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "event_type", "value", "ts")
     )
     return _run_to_memory(dedup, "append")
+
+
+def stream_stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (§2.9 stretch): purchases stream ⋈
+    clicks stream on user_id with an event-time range (click within the
+    hour before the purchase).
+
+    Both sides carry watermarks so the join state is bounded: a buffered
+    click can be evicted once the purchase-side watermark passes
+    click_ts + 1 hour. Inner interval joins emit matches as both sides
+    arrive, so the drained stream equals the batch interval join — the
+    registry holds this to a full SQL oracle.
+    """
+    p = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", "1 day")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user = c_user"
+            " AND c_ts >= p_ts - INTERVAL 1 HOUR"
+            " AND c_ts <= p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).cast("long").alias("gap_ms"),
+        "click_value",
+    )
+    return _run_to_memory(joined, "append")

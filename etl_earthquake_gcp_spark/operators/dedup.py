@@ -491,3 +491,160 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, seed: int = 42) ->
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def shingle_distinct(docs: DataFrame, k: int = 4) -> DataFrame:
+    """(doc_id, token) pairs where tokens are distinct character k-grams.
+
+    The shingling tokenizer for MinHash when word boundaries are unreliable
+    (code, CJK, OCR). Pure array expressions — sequence + transform +
+    array_distinct — no Python. Texts shorter than k yield the whole text
+    as a single shingle.
+    """
+    gen = (
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
+        f" i -> substr(text, i, {k}))"
+    )
+    return docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(F.expr(gen))).alias("token"),
+    )
+
+
+def minhash_band_pairs_open(
+    tok: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs for OPEN vocabularies (no ≤64-token mask
+    shortcut): signatures → banding → candidate pairs → exact-Jaccard
+    verification by joining candidates back to the (doc_id, token-id)
+    posting table.
+
+    ``tok`` is any (doc_id, token) relation distinct per document — word
+    tokens (tokenize_distinct) or character shingles (shingle_distinct).
+    This is the 100 TB generic path: every stage shuffles on band keys or
+    doc ids, never materializes doc×doc, and the verify join is
+    sort-merge-able on the candidate doc ids.
+    """
+    r = n_hashes // n_bands
+    vocab = token_dictionary(tok)
+    tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid").persist()
+    coeffs = minhash_coeffs(n_hashes, seed)
+    mins = [
+        F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = tids.groupBy("doc_id").agg(*mins)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col(f"h{i * r + j}") for j in range(r)]
+                        ).alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = tids.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        cand.join(tids.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            tids.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.tid") == F.col("tb.tid")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") * F.lit(1.0) / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_shingle_oracle_sql(
+    k: int = 4,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> str:
+    """DuckDB SQL computing exactly ``minhash_band_pairs_open`` over
+    character k-shingles — same dictionary, hashes, banding, verify."""
+    r = n_hashes // n_bands
+    coeffs = minhash_coeffs(n_hashes, seed)
+    hash_exprs = ",\n               ".join(
+        f"min((tid * {a} + {b}) % {_MERSENNE_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, concat_ws('_', {cols}) AS key FROM sig".format(
+            band=i, cols=", ".join(f"h{i * r + j}" for j in range(r))
+        )
+        for i in range(n_bands)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(length(text) - {k - 1}, 1)),
+                       i -> substr(text, i, {k})))) AS token
+            FROM documents
+        ), vocab AS (
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS tid
+            FROM (SELECT DISTINCT token FROM tok)
+        ), tids AS (
+            SELECT doc_id, tid FROM tok JOIN vocab USING (token)
+        ), sig AS (
+            SELECT doc_id,
+               {hash_exprs}
+            FROM tids GROUP BY doc_id
+        ), bands AS (
+            {band_selects}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tids GROUP BY doc_id
+        ), common AS (
+            SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_common
+            FROM cand
+            JOIN tids a ON doc_a = a.doc_id
+            JOIN tids b ON doc_b = b.doc_id AND a.tid = b.tid
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {threshold}
+    """

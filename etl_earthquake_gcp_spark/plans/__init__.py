@@ -11,5 +11,6 @@ from . import olap_queries  # noqa: E402,F401
 from . import asof_queries  # noqa: E402,F401
 from . import session_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
+from . import analytics_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "register", "query_map", "oracle_map"]

@@ -1,0 +1,587 @@
+"""Product/behavioral analytics queries over ``events`` + ``documents``.
+
+Classic warehouse workloads a user of the reference's gold layer would run
+downstream (funnel, cohort retention, outlier flags, profiling), plus a
+fixed-iteration PageRank over the near-dup graph — the unrolled-iteration
+pattern that certifies iterative algorithms against a plain SQL oracle
+(near_dup_components covers the data-dependent-iteration variant with a
+recursive CTE).
+
+Conventions per plans/registry.py: identical aliases both sides, BIGINT
+casts on computed ints, round() on float aggregates, sentinel fills so
+compared frames are NULL-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import jaccard_pairs_bitmask
+from ..sources.tables import load_table
+from .registry import register
+from .text_queries import _pairs_cte
+
+_EPOCH = "1970-01-01 00:00:00"
+
+
+# --------------------------------------------------------------------------
+# Conversion funnel — first click → first purchase at-or-after it
+# --------------------------------------------------------------------------
+
+
+@register(
+    "conversion_funnel",
+    oracle=f"""
+        WITH f AS (
+            SELECT user_id, min(ts) FILTER (WHERE event_type = 'click')
+                       AS first_click
+            FROM events GROUP BY user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS first_purchase
+            FROM events e JOIN f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= f.first_click
+            GROUP BY e.user_id
+        )
+        SELECT f.user_id, f.first_click,
+               coalesce(p.first_purchase, TIMESTAMP '{_EPOCH}')
+                   AS first_purchase,
+               p.first_purchase IS NOT NULL AS converted,
+               CAST(coalesce(epoch_ms(p.first_purchase)
+                             - epoch_ms(f.first_click), -1) AS BIGINT)
+                   AS ms_to_convert
+        FROM f LEFT JOIN p ON f.user_id = p.user_id
+        WHERE f.first_click IS NOT NULL
+    """,
+    doc="two-step conversion funnel: per user, first click and first "
+    "purchase at-or-after it, with time-to-convert. Two partial-agg "
+    "shuffles on user_id + one co-partitioned join — AQE turns the "
+    "user-level join into a local join since both sides share the "
+    "user_id partitioning. Epoch sentinel keeps the compared frame "
+    "NULL-free.",
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+                "first_click"
+            )
+        )
+        .filter(F.col("first_click").isNotNull())
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        first_click.join(first_purchase, "user_id", "left")
+        .select(
+            "user_id",
+            "first_click",
+            F.coalesce(
+                "first_purchase", F.lit(_EPOCH).cast("timestamp")
+            ).alias("first_purchase"),
+            F.col("first_purchase").isNotNull().alias("converted"),
+            F.coalesce(
+                F.unix_millis("first_purchase") - F.unix_millis("first_click"),
+                F.lit(-1),
+            )
+            .cast("long")
+            .alias("ms_to_convert"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention — weekly cohorts × activity-week offsets
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+        WITH fu AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort
+            FROM events GROUP BY user_id
+        ), act AS (
+            SELECT DISTINCT e.user_id, fu.cohort,
+                   date_diff('day', fu.cohort,
+                             date_trunc('week', e.ts)) // 7 AS week_offset
+            FROM events e JOIN fu ON e.user_id = fu.user_id
+        )
+        SELECT cohort, CAST(week_offset AS BIGINT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM act GROUP BY cohort, week_offset
+    """,
+    doc="cohort retention triangle: users grouped by first-activity week, "
+    "distinct-user counts per (cohort, week-offset). first-touch agg + "
+    "co-partitioned join on user_id + distinct + small final agg — the "
+    "distinct is the only wide row set and it's (user, cohort, offset)-"
+    "sized, bounded by |users| x active-weeks. Week truncation is "
+    "Monday-based in both engines; offsets are exact multiples of 7 "
+    "days, so the floor-division is engine-portable.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fu = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = (
+        ev.join(fu, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort"))
+                / 7
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort", F.col("week_offset").cast("long").alias("week_offset")).agg(
+        F.count("*").alias("n_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# Outlier detection — per-group z-score flags
+# --------------------------------------------------------------------------
+
+
+@register(
+    "value_outliers_zscore",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, round(avg(value), 6) AS mu,
+                   round(stddev_samp(value), 6) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round(e.value, 2) AS value,
+               round((e.value - s.mu) / s.sigma, 3) + 0.0 AS z,
+               abs(e.value - s.mu) > 2 * s.sigma AS is_outlier
+        FROM events e JOIN s ON e.event_type = s.event_type
+    """,
+    doc="per-group z-score outlier flags: tiny per-event_type moment table "
+    "(one partial-agg shuffle), broadcast back onto the fact rows — the "
+    "fact side never shuffles, unlike the window-function formulation "
+    "which would sort every partition. The 100 TB anomaly-scan shape. "
+    "The moments are rounded to 6 decimals BEFORE the z computation: "
+    "partial-agg combine order varies run to run, so raw mu/sigma drift "
+    "in the last ulp and would flip round-3 z boundaries; pinning the "
+    "moments makes every downstream scalar op bit-identical.",
+)
+def value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        # + 0.0 normalizes IEEE -0.0 → +0.0: Spark's round() drops the sign
+        # of tiny negatives, DuckDB's keeps it — the sum makes both agree
+        (
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 3) + F.lit(0.0)
+        ).alias("z"),
+        (F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inverted index — token → ordered posting list
+# --------------------------------------------------------------------------
+
+
+@register(
+    "inverted_index_postings",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+        FROM tok GROUP BY token
+    """,
+    doc="inverted-index build: token → document frequency + ordered "
+    "posting list (the search-index / near-dup-blocking primitive). "
+    "Postings serialize as a canonical comma-joined string so the "
+    "variable-length list is hashable cross-engine. One distinct + one "
+    "agg shuffle on token; at 100 TB hot tokens would be range-split "
+    "into posting segments (doc_id buckets) to bound cell size.",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    return tok.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Column profiling — one scan, long-form per-column metrics
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "props"]
+
+
+@register(
+    "profile_events_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM events
+        """
+        for c in _PROFILE_COLS
+    ),
+    doc="data-profiling summary in long form: per-column row/null/distinct "
+    "counts over events — the ingest-quality report the reference's "
+    "validation filter (b2s.py:103) implies. Implemented as one "
+    "multi-count-distinct aggregate over a single scan (Catalyst expands "
+    "distinct aggregates into one grouped pass) + a stack() unpivot; the "
+    "oracle states it as per-column UNION ALL scans.",
+)
+def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    wide = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col, n_rows, n_nulls, n_distinct)"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank (3 unrolled iterations) over the ≥0.8 Jaccard near-dup graph
+# --------------------------------------------------------------------------
+
+_DAMPING = 0.85
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One PageRank update as SQL: out = teleport + damping * in-sum."""
+    return f"""
+        {out} AS (
+            SELECT v.doc_id AS id,
+                   0.15 / (SELECT count(*) FROM documents)
+                   + {_DAMPING} * coalesce(sum(p.rank / dg.outdeg), 0.0)
+                       AS rank
+            FROM cand v
+            LEFT JOIN edges e ON e.b = v.doc_id
+            LEFT JOIN {prev} p ON p.id = e.a
+            LEFT JOIN deg dg ON dg.id = e.a
+            GROUP BY v.doc_id
+        )
+    """
+
+
+@register(
+    "pagerank_3iter",
+    oracle=f"""
+        WITH RECURSIVE {_pairs_cte()},
+        deg AS (
+            SELECT a AS id, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY a
+        ),
+        r0 AS (
+            SELECT doc_id AS id,
+                   1.0 / (SELECT count(*) FROM documents) AS rank
+            FROM cand
+        ),
+        {_pagerank_iter_sql("r0", "r1")},
+        {_pagerank_iter_sql("r1", "r2")},
+        {_pagerank_iter_sql("r2", "r3")}
+        SELECT id AS doc_id, round(rank, 6) AS pagerank FROM r3
+    """,
+    doc="PageRank, 3 fixed iterations, over the symmetric ≥0.8 Jaccard "
+    "near-dup graph (damping 0.85; isolated docs hold teleport mass). "
+    "Each iteration is one co-partitioned edge⋈rank join + one "
+    "partial-agg shuffle on dst; the rank vector is node-sized, so at "
+    "100 TB it broadcasts and only edges stream. Oracle = the same three "
+    "updates unrolled as CTEs — the iterative-algorithm class held to a "
+    "full differential check (near_dup_components covers the "
+    "data-dependent-iteration variant).",
+)
+def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar constant for the teleport term
+    pairs = jaccard_pairs_bitmask(d, threshold=0.8)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_deg = edges.join(F.broadcast(deg), "src").persist()
+
+    vertices = d.select(F.col("doc_id").alias("id"))
+    ranks = vertices.withColumn("rank", F.lit(1.0 / n_docs))
+    for _ in range(3):
+        contrib = (
+            edges_deg.join(
+                F.broadcast(ranks), edges_deg.src == ranks.id
+            )
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("outdeg")).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = vertices.join(
+            contrib, vertices.id == contrib.dst, "left"
+        ).select(
+            "id",
+            (
+                F.lit(0.15 / n_docs)
+                + F.lit(_DAMPING) * F.coalesce("in_sum", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD Type 2 — event stream → validity-interval dimension rows
+# --------------------------------------------------------------------------
+
+_SCD2_END = "2200-01-01 00:00:00"  # far-future yet within pandas ns range
+
+
+@register(
+    "scd2_user_value_intervals",
+    oracle=f"""
+        SELECT user_id, event_id, ts AS valid_from,
+               coalesce(lead(ts) OVER w, TIMESTAMP '{_SCD2_END}') AS valid_to,
+               round(value, 2) AS value,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD Type-2 construction: each user's event stream becomes "
+    "validity-interval rows [valid_from, valid_to) with an is_current "
+    "flag — the slowly-changing-dimension build every warehouse load "
+    "needs. One hash-partition(user_id) + sort, a single lead() pass; "
+    "at 100 TB this is the same plan as the dedup window, partitioned "
+    "by the dimension key. Far-future sentinel keeps the frame NULL-free.",
+)
+def scd2_user_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(nxt, F.lit(_SCD2_END).cast("timestamp")).alias("valid_to"),
+        F.round("value", 2).alias("value"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequential patterns — event-type transition (bigram) counts
+# --------------------------------------------------------------------------
+
+
+@register(
+    "event_type_bigrams",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+    doc="sequential-pattern mining (first order): per-user event-type "
+    "transition counts via lead() — the Markov-transition / user-path "
+    "matrix. One user-partitioned sort + a tiny |types|^2 aggregate; "
+    "the window and the following partial agg pipeline without a second "
+    "wide shuffle.",
+)
+def event_type_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram — ntile bucketing + per-bucket bounds
+# --------------------------------------------------------------------------
+
+
+@register(
+    "equidepth_histogram",
+    oracle="""
+        WITH b AS (
+            SELECT value,
+                   ntile(8) OVER (ORDER BY value, event_id) AS bucket
+            FROM events
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               round(min(value), 2) AS lo,
+               round(max(value), 2) AS hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY bucket
+    """,
+    doc="equi-depth (equal-count) histogram: global ntile(8) over "
+    "(value, unique tie-break) + per-bucket bounds — the complement of "
+    "the fixed-width value_histogram. The exact global ntile needs a "
+    "total order (one single-partition sort — fine for the oracle-"
+    "checked exact form); the 100 TB path swaps in approx_percentile "
+    "boundaries + a broadcast range join, which approx_value_percentiles "
+    "already covers.",
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(8).over(w).alias("bucket"))
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot reconciliation — FULL OUTER diff of two per-user aggregates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_reconciliation",
+    oracle="""
+        WITH old AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+        ), new AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+        )
+        SELECT coalesce(o.user_id, n.user_id) AS user_id,
+               coalesce(o.n, 0) AS n_old,
+               coalesce(n.n, 0) AS n_new,
+               CASE WHEN o.user_id IS NULL THEN 'added'
+                    WHEN n.user_id IS NULL THEN 'removed'
+                    WHEN o.n = n.n THEN 'same'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+    """,
+    doc="snapshot diff / reconciliation: FULL OUTER join of two per-user "
+    "aggregates with added/removed/changed/same status — the data-"
+    "validation pattern for comparing pipeline runs. Both aggregates "
+    "partial-agg down to |users| rows before the join, and AQE plans the "
+    "co-partitioned full-outer without an extra exchange.",
+)
+def snapshot_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    old = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_o"))
+    )
+    new = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_n"))
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return o.join(n, F.col("o.user_id") == F.col("n.user_id"), "full_outer").select(
+        F.coalesce(F.col("o.user_id"), F.col("n.user_id")).alias("user_id"),
+        F.coalesce(F.col("n_o"), F.lit(0)).alias("n_old"),
+        F.coalesce(F.col("n_n"), F.lit(0)).alias("n_new"),
+        F.when(F.col("o.user_id").isNull(), F.lit("added"))
+        .when(F.col("n.user_id").isNull(), F.lit("removed"))
+        .when(F.col("n_o") == F.col("n_n"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling — portable arithmetic hash, repeatable splits
+# --------------------------------------------------------------------------
+
+_HASH_A = 2654435761  # Knuth multiplicative constant
+_MOD_P = 2147483647  # 2^31 - 1
+
+
+@register(
+    "deterministic_hash_sample",
+    oracle=f"""
+        SELECT event_id, user_id, event_type, round(value, 2) AS value
+        FROM events
+        WHERE (event_id * {_HASH_A}) % {_MOD_P} % 10 = 0
+    """,
+    doc="deterministic ~10% sample via a portable arithmetic hash on the "
+    "key — the repeatable-split primitive for training-data pipelines "
+    "(same rows selected on every engine and every run, unlike "
+    "sample()/TABLESAMPLE whose RNG is engine-specific). Pure scan-side "
+    "filter: no shuffle, prunes at the parquet reader. Product stays "
+    "under 2^62 for any realistic key (ANSI-safe).",
+)
+def deterministic_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keep = ((F.col("event_id") * _HASH_A) % _MOD_P) % 10 == 0
+    return ev.filter(keep).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )

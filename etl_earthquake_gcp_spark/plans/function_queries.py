@@ -55,8 +55,8 @@ def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                round(stddev_samp(value), 4) AS sd_value,
                round(var_samp(value), 4) AS var_value,
-               round(corr(value, epoch_ms(ts)), 4) AS corr_value_time,
-               round(covar_samp(value, user_id), 4) AS covar_value_user,
+               round(corr(value, epoch_ms(ts)), 4) + 0.0 AS corr_value_time,
+               round(covar_samp(value, user_id), 4) + 0.0 AS covar_value_user,
                round(avg(value), 4) AS mean_value
         FROM events
         GROUP BY event_type
@@ -71,8 +71,14 @@ def stats_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.round(F.stddev_samp("value"), 4).alias("sd_value"),
         F.round(F.var_samp("value"), 4).alias("var_value"),
-        F.round(F.corr("value", F.unix_millis("ts")), 4).alias("corr_value_time"),
-        F.round(F.covar_samp("value", "user_id"), 4).alias("covar_value_user"),
+        # + 0.0 normalizes IEEE -0.0 — the signed moments can round to zero
+        # from below and the engines disagree on round's sign preservation
+        (F.round(F.corr("value", F.unix_millis("ts")), 4) + F.lit(0.0)).alias(
+            "corr_value_time"
+        ),
+        (F.round(F.covar_samp("value", "user_id"), 4) + F.lit(0.0)).alias(
+            "covar_value_user"
+        ),
         F.round(F.avg("value"), 4).alias("mean_value"),
     )
 

@@ -15,7 +15,13 @@ Conventions that make the order-insensitive value-hash comparison stable
   int32, DuckDB's is int64);
 - no ``current_timestamp`` / ``monotonically_increasing_id`` in compared
   output; surrogate keys use ``row_number() over (order by natural key)``;
-- top-k always carries a unique tie-break key in its ORDER BY.
+- top-k always carries a unique tie-break key in its ORDER BY;
+- any rounded expression that can be NEGATIVE gets ``+ 0.0`` on both sides:
+  engines disagree on whether round(-1e-5, 3) is -0.0 or +0.0, and the
+  driver's value-hash is repr-exact (IEEE x + 0.0 maps -0.0 → +0.0);
+- nondeterministic-combine-order float aggregates feeding further arithmetic
+  (e.g. z-scores from mu/sigma) are rounded FIRST, so downstream scalar ops
+  are bit-identical across engines and runs.
 """
 
 from __future__ import annotations

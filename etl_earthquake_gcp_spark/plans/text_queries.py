@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     jaccard_pairs_bitmask,
     minhash_band_pairs_grouped,
+    minhash_band_pairs_open,
     minhash_oracle_sql,
+    minhash_shingle_oracle_sql,
+    shingle_distinct,
     simhash_near_pairs,
     token_dictionary,
 )
@@ -396,6 +399,27 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_shingle_near_dup",
+    oracle=minhash_shingle_oracle_sql(
+        k=4, n_hashes=16, n_bands=4, threshold=0.8, seed=42
+    ),
+    doc="MinHash-LSH over character 4-gram SHINGLES — the open-vocabulary "
+    "variant (operators/dedup.py minhash_band_pairs_open): shingle → "
+    "dictionary → seeded arithmetic minhash → 4-band bucket join → "
+    "exact-Jaccard verify by joining candidates back to the posting "
+    "table (no ≤64-token bitmask shortcut — the honest 100 TB generic "
+    "path; every stage shuffles on band keys or doc ids). Shingling "
+    "handles corpora where word boundaries lie (code, CJK, OCR). Fully "
+    "oracle-checked like the word-token path.",
+)
+def minhash_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_band_pairs_open(
+        shingle_distinct(d, k=4), n_hashes=16, n_bands=4, threshold=0.8, seed=42
+    )
+
+
+@register(
     "simhash_near_pairs",
     oracle=None,  # 64-wide bit-mix pipeline — checked by unit tests instead
     doc="SimHash-64 near-pair search (tier-4): deterministic arithmetic "
@@ -496,6 +520,85 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b2.doc_id").alias("doc_b"),
             dist.cast("long").alias("edit_dist"),
+        )
+    )
+
+
+@register(
+    "token_pmi",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), n AS (
+            SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok
+        ), dfreq AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1
+        ), co AS (
+            SELECT a.token AS tok_a, b.token AS tok_b,
+                   CAST(count(*) AS BIGINT) AS n_co
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY 1, 2
+        )
+        SELECT co.tok_a, co.tok_b, co.n_co,
+               round(ln(co.n_co * 1.0 * n.n_docs / (da.df * 1.0 * db.df)), 4)
+                   + 0.0 AS pmi
+        FROM co
+        CROSS JOIN n
+        JOIN dfreq da ON co.tok_a = da.token
+        JOIN dfreq db ON co.tok_b = db.token
+    """,
+    doc="token co-occurrence PMI (pointwise mutual information) — the "
+    "word-association statistic under embedding/collocation pipelines: "
+    "document-level co-occurrence counts vs marginal document "
+    "frequencies. The co-occurrence self-join runs on doc_id (each doc "
+    "contributes its token-pair cross product map-side); marginals and "
+    "the corpus count broadcast back onto the vocabulary² result.",
+)
+def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    n = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    a, b = tok.alias("a"), tok.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("tok_a"), F.col("b.token").alias("tok_b")
+        )
+        .agg(F.count("*").alias("n_co"))
+    )
+    da = dfreq.select(F.col("token").alias("tok_a"), F.col("df").alias("df_a"))
+    db = dfreq.select(F.col("token").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        co.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_co",
+            # + 0.0 normalizes IEEE -0.0 (engines disagree on round's sign
+            # preservation for tiny negatives)
+            (
+                F.round(
+                    F.log(
+                        F.col("n_co")
+                        * F.lit(1.0)
+                        * F.col("n_docs")
+                        / (F.col("df_a") * F.lit(1.0) * F.col("df_b"))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
         )
     )
 

@@ -500,7 +500,17 @@ def shingle_distinct(docs: DataFrame, k: int = 4) -> DataFrame:
     (code, CJK, OCR). Pure array expressions — sequence + transform +
     array_distinct — no Python. Texts shorter than k yield the whole text
     as a single shingle.
+
+    Shingling does O(len(text)) substring work per row — by far the most
+    CPU per input byte in the pipeline — so if the scan arrives with fewer
+    partitions than cores (tiny files, coalesced input), widen it first:
+    one cheap shuffle of raw text buys a fully parallel tokenize. Inputs
+    that already have enough partitions (any real at-scale scan) skip this.
     """
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
     gen = (
         f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
         f" i -> substr(text, i, {k}))"
@@ -530,6 +540,10 @@ def minhash_band_pairs_open(
     sort-merge-able on the candidate doc ids.
     """
     r = n_hashes // n_bands
+    # tokenization (shingling especially — len(text) substrings per doc) is
+    # the single most expensive scan; cache it so the dictionary pass and
+    # the posting build don't each re-tokenize the corpus
+    tok = tok.persist()
     vocab = token_dictionary(tok)
     tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid").persist()
     coeffs = minhash_coeffs(n_hashes, seed)
@@ -565,25 +579,32 @@ def minhash_band_pairs_open(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = tids.groupBy("doc_id").agg(F.count("*").alias("n"))
-    common = (
-        cand.join(tids.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(
-            tids.alias("tb"),
-            (F.col("doc_b") == F.col("tb.doc_id"))
-            & (F.col("ta.tid") == F.col("tb.tid")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    # exact verify WITHOUT row explosion: attach each side's sorted tid
+    # array (one partial-agg pass) and intersect per pair with a JVM
+    # higher-order function. The naive alternative — joining candidates
+    # back to the posting table and group-counting matches — shuffles
+    # |cand| × tokens-per-doc rows (tens of millions here); this streams
+    # |cand| rows with two equi-joins AQE resolves as broadcast when the
+    # doc→array map is small and sort-merge on doc ids otherwise.
+    arrs = tids.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tid")).alias("tids"),
+        F.count("*").alias("n"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    jac = F.col("n_common") * F.lit(1.0) / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ta = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tids").alias("tids_a"),
+        F.col("n").alias("n_a"),
     )
+    tb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tids").alias("tids_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("tids_a"), F.col("tids_b")))
+    jac = inter * F.lit(1.0) / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )

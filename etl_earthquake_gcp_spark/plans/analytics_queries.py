@@ -335,6 +335,7 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
     "updates unrolled as CTEs — the iterative-algorithm class held to a "
     "full differential check (near_dup_components covers the "
     "data-dependent-iteration variant).",
+    bench=True,
 )
 def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -205,6 +205,7 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running-first windows share one Exchange+Sort) — still a linear merge "
     "at 100 TB, never a theta-join. Oracle mirrors the same window "
     "construction; sentinels -1/'none' keep compared frames NULL-free.",
+    bench=True,
 )
 def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases, clicks = _purchases_and_clicks(spark, sf_dir)

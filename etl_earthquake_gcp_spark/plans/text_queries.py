@@ -411,6 +411,7 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path; every stage shuffles on band keys or doc ids). Shingling "
     "handles corpora where word boundaries lie (code, CJK, OCR). Fully "
     "oracle-checked like the word-token path.",
+    bench=True,
 )
 def minhash_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -555,6 +556,7 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frequencies. The co-occurrence self-join runs on doc_id (each doc "
     "contributes its token-pair cross product map-side); marginals and "
     "the corpus count broadcast back onto the vocabulary² result.",
+    bench=True,
 )
 def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

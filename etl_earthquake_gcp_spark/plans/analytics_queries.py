@@ -586,3 +586,94 @@ def deterministic_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(keep).select(
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct users — the expand trick for windowed COUNT DISTINCT
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+        ), expanded AS (
+            SELECT day + o.off * INTERVAL 1 DAY AS obs_day, user_id
+            FROM days CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS off) o
+        )
+        SELECT obs_day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+        FROM expanded GROUP BY obs_day
+    """,
+    doc="rolling 7-day distinct active users: window frames can't host "
+    "COUNT(DISTINCT), so each (day, user) activity row is EXPANDED to the "
+    "7 observation days it contributes to, then a plain distinct-count "
+    "groups per day — the standard scale-out rewrite. Input first "
+    "collapses to distinct (day, user), so the 7x fan-out applies to the "
+    "small deduped set, not raw events.",
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    expanded = days.select(
+        "day", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    ).select(
+        F.timestamp_add("DAY", F.col("off"), F.col("day")).alias("obs_day"),
+        "user_id",
+    )
+    return expanded.groupBy("obs_day").agg(
+        F.count_distinct("user_id").alias("active_7d")
+    )
+
+
+# --------------------------------------------------------------------------
+# Percent-of-total — contribution analysis over the star schema
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sales_share_by_region",
+    oracle="""
+        WITH r AS (
+            SELECT rg.r_name, round(sum(o.o_totalprice), 2) AS sales
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region rg ON n.n_regionkey = rg.r_regionkey
+            GROUP BY rg.r_name
+        )
+        SELECT r_name, sales,
+               round(sales * 100.0 / sum(sales) OVER (), 4) AS pct_of_total
+        FROM r
+    """,
+    doc="percent-of-total contribution: regional sales shares via a global "
+    "window sum over the already-aggregated (5-row) regional table — the "
+    "single-partition window is free because it runs on group cells, "
+    "never on facts. Dims broadcast onto the fact scan; shares are "
+    "computed from the ROUNDED sales so the division is bit-identical "
+    "across engines.",
+)
+def sales_share_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rg = load_table(spark, sf_dir, "region")
+    sales = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(rg), n.n_regionkey == rg.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("sales"))
+    )
+    total = Window.partitionBy()
+    return sales.select(
+        "r_name",
+        "sales",
+        F.round(F.col("sales") * 100.0 / F.sum("sales").over(total), 4).alias(
+            "pct_of_total"
+        ),
+    )

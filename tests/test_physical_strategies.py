@@ -75,3 +75,30 @@ def test_upsert_latest_wins_and_gc(spark, tmp_path):
     versions = [d for d in os.listdir(root) if d.startswith("v")]
     assert len(versions) == 1
     assert open(f"{root}/_CURRENT").read().strip() == versions[0]
+
+
+def test_asof_nearest_single_exchange(spark):
+    """asof.py claims ONE Exchange+Sort serves both window directions of the
+    nearest join — pin that the plan has exactly one hash partitioning."""
+    plan = _plan(spark, "asof_nearest_click")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_zscore_fact_side_broadcast(spark):
+    """the moment table broadcasts back onto facts — the fact side must not
+    sort-merge."""
+    plan = _plan(spark, "value_outliers_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tf_idf_big_side_never_sortmerges(spark):
+    """df table and corpus count broadcast onto the tf rows."""
+    plan = _plan(spark, "tf_idf_scores")
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_deterministic_sample_is_scan_side_filter(spark):
+    """the hash-sample filter must reach the scan: no exchange at all."""
+    plan = _plan(spark, "deterministic_hash_sample")
+    assert "Exchange" not in plan, plan

@@ -522,30 +522,36 @@ def shingle_distinct(docs: DataFrame, k: int = 4) -> DataFrame:
 
 
 def minhash_band_pairs_open(
-    tok: DataFrame,
+    tok: DataFrame | None = None,
     n_hashes: int = 16,
     n_bands: int = 4,
     threshold: float = 0.8,
     seed: int = 42,
+    tids: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs for OPEN vocabularies (no ≤64-token mask
     shortcut): signatures → banding → candidate pairs → exact-Jaccard
     verification by joining candidates back to the (doc_id, token-id)
     posting table.
 
-    ``tok`` is any (doc_id, token) relation distinct per document — word
-    tokens (tokenize_distinct) or character shingles (shingle_distinct).
-    This is the 100 TB generic path: every stage shuffles on band keys or
-    doc ids, never materializes doc×doc, and the verify join is
-    sort-merge-able on the candidate doc ids.
+    Input is EITHER ``tok`` — any (doc_id, token) relation distinct per
+    document (word tokens, shingle strings), dictionary-encoded here — or
+    ``tids`` — a pre-encoded (doc_id, tid BIGINT) posting relation (e.g.
+    :func:`shingle_tids`, whose base-256 ids need no dictionary at all;
+    prefer it when available, a corpus-wide dictionary is the 100 TB
+    anti-pattern). Every stage shuffles on band keys or doc ids, never
+    materializes doc×doc, and the verify join is sort-merge-able on the
+    candidate doc ids.
     """
     r = n_hashes // n_bands
-    # tokenization (shingling especially — len(text) substrings per doc) is
-    # the single most expensive scan; cache it so the dictionary pass and
-    # the posting build don't each re-tokenize the corpus
-    tok = tok.persist()
-    vocab = token_dictionary(tok)
-    tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid").persist()
+    if tids is None:
+        # tokenization (shingling especially — len(text) substrings per
+        # doc) is the single most expensive scan; cache it so the
+        # dictionary pass and the posting build don't each re-tokenize
+        tok = tok.persist()
+        vocab = token_dictionary(tok)
+        tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid")
+    tids = tids.persist()
     coeffs = minhash_coeffs(n_hashes, seed)
     mins = [
         F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
@@ -618,7 +624,8 @@ def minhash_shingle_oracle_sql(
     seed: int = 42,
 ) -> str:
     """DuckDB SQL computing exactly ``minhash_band_pairs_open`` over
-    character k-shingles — same dictionary, hashes, banding, verify."""
+    dictionary-free base-256 shingle ids (:func:`shingle_tids`) — same
+    encoding, hashes, banding, verify."""
     r = n_hashes // n_bands
     coeffs = minhash_coeffs(n_hashes, seed)
     hash_exprs = ",\n               ".join(
@@ -632,17 +639,8 @@ def minhash_shingle_oracle_sql(
         for i in range(n_bands)
     )
     return f"""
-        WITH tok AS (
-            SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
-                       generate_series(1, greatest(length(text) - {k - 1}, 1)),
-                       i -> substr(text, i, {k})))) AS token
-            FROM documents
-        ), vocab AS (
-            SELECT token,
-                   CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS tid
-            FROM (SELECT DISTINCT token FROM tok)
-        ), tids AS (
-            SELECT doc_id, tid FROM tok JOIN vocab USING (token)
+        WITH tids AS (
+            {shingle_tids_sql(k)}
         ), sig AS (
             SELECT doc_id,
                {hash_exprs}
@@ -668,4 +666,51 @@ def minhash_shingle_oracle_sql(
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {threshold}
+    """
+
+
+def shingle_tids(docs: DataFrame, k: int = 4) -> DataFrame:
+    """(doc_id, tid) pairs where tid IS the k-gram's bytes as a base-256
+    integer — the dictionary-FREE shingle encoding.
+
+    For ASCII corpora and k ≤ 7 the encoding is injective, so these ids are
+    exact shingle identities with zero collisions, and the whole dictionary
+    apparatus (global row_number window + broadcast join) disappears — the
+    right construction at 100 TB, where a corpus-wide dictionary is the
+    anti-pattern. Also skips materializing shingle STRINGS entirely: the
+    ids are integer expressions over character codes (both engines agree
+    ascii('') = 0, so trailing out-of-bounds positions pad with zeros).
+
+    Max id < 2^(8k); for k=4 that is < 2^32, so (a·x+b) mod p minhash
+    stays under 2^63 (ANSI-safe: (2^31-1)·(2^32-1) + 2^31-1 < 2^63-1).
+    """
+    if k > 7:
+        raise ValueError("base-256 shingle ids overflow BIGINT beyond k=7")
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
+    code = " + ".join(
+        f"ascii(substr(text, i + {j}, 1)) * {256 ** (k - 1 - j)}" for j in range(k)
+    )
+    gen = (
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
+        f" i -> CAST({code} AS BIGINT))"
+    )
+    return docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(F.expr(gen))).alias("tid"),
+    )
+
+
+def shingle_tids_sql(k: int = 4) -> str:
+    """The DuckDB twin of :func:`shingle_tids` as a ``tids`` CTE body."""
+    code = " + ".join(
+        f"ascii(substr(text, i + {j}, 1)) * {256 ** (k - 1 - j)}" for j in range(k)
+    )
+    return f"""
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(length(text) - {k - 1}, 1)),
+                       i -> CAST({code} AS BIGINT)))) AS tid
+            FROM documents
     """

@@ -404,19 +404,23 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4, n_hashes=16, n_bands=4, threshold=0.8, seed=42
     ),
     doc="MinHash-LSH over character 4-gram SHINGLES — the open-vocabulary "
-    "variant (operators/dedup.py minhash_band_pairs_open): shingle → "
-    "dictionary → seeded arithmetic minhash → 4-band bucket join → "
-    "exact-Jaccard verify by joining candidates back to the posting "
-    "table (no ≤64-token bitmask shortcut — the honest 100 TB generic "
-    "path; every stage shuffles on band keys or doc ids). Shingling "
-    "handles corpora where word boundaries lie (code, CJK, OCR). Fully "
-    "oracle-checked like the word-token path.",
+    "variant (operators/dedup.py minhash_band_pairs_open): dictionary-"
+    "FREE base-256 shingle ids (shingle_tids: the 4 bytes ARE the id — "
+    "injective, zero collisions, no corpus-wide dictionary, no shingle "
+    "strings materialized) → seeded arithmetic minhash → 4-band bucket "
+    "join → exact-Jaccard verify via per-pair array_intersect (no "
+    "≤64-token bitmask shortcut — the honest 100 TB generic path; every "
+    "stage shuffles on band keys or doc ids). Shingling handles corpora "
+    "where word boundaries lie (code, CJK, OCR). Fully oracle-checked "
+    "like the word-token path.",
     bench=True,
 )
 def minhash_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_tids
+
     d = load_table(spark, sf_dir, "documents")
     return minhash_band_pairs_open(
-        shingle_distinct(d, k=4), n_hashes=16, n_bands=4, threshold=0.8, seed=42
+        tids=shingle_tids(d, k=4), n_hashes=16, n_bands=4, threshold=0.8, seed=42
     )
 
 

@@ -677,3 +677,41 @@ def sales_share_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_total"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA — exponentially weighted moving average per user (Arrow path)
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.2
+
+
+@register(
+    "ewma_user_values",
+    oracle=None,  # inherently sequential recurrence — verified by unit test
+    doc="per-user EWMA (alpha=0.2, adjust-free recurrence y_t = a*x_t + "
+    "(1-a)*y_{t-1}) over the event stream via grouped applyInPandas: one "
+    "hash-partition(user_id) exchange, then a linear Arrow-batched fold "
+    "per group — the canonical shape for sequential recurrences that "
+    "window expressions can't express without fp-order hazards. "
+    "Rows-only driver check; the recurrence itself is pinned against a "
+    "hand-rolled reference in tests/test_ewma.py.",
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = "user_id long, event_id long, ts timestamp, value double, ewma double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["ewma"] = (
+            pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean().round(4)
+        )
+        return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, schema)
+    )

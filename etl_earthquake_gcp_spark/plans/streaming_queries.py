@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..streaming.jobs import (
     stream_dedup_within_watermark,
     stream_sliding_counts,
+    stream_static_enrich,
     stream_stream_purchase_click_join,
     stream_tumbling_counts,
 )
@@ -83,6 +84,29 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_purchase_click_join(spark, sf_dir)
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+        SELECT dayofweek(ts) IN (0, 6) AS is_weekend,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="stream-static join (streaming/jobs.py): the events stream is "
+    "enriched against a broadcast static calendar dimension (generated "
+    "batch-side over the events' date range), then aggregated in "
+    "complete mode. The static side broadcasts into every micro-batch — "
+    "no join state, no watermark — the standard dimension-snapshot "
+    "enrichment shape. Drained result equals the batch group-by "
+    "(weekday codes differ across engines: Spark Sun=1/Sat=7, DuckDB "
+    "Sun=0/Sat=6 — both sides express the same weekend set).",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_static_enrich(spark, sf_dir)
 
 
 @register(

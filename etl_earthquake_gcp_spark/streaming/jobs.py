@@ -362,3 +362,39 @@ def stream_stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataF
         "click_value",
     )
     return _run_to_memory(joined, "append")
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (§2.9 pattern family): the events STREAM is
+    enriched against a STATIC broadcast dimension — here a generated
+    calendar covering the events' date range — then aggregated.
+
+    The static side is planned once and broadcast into every micro-batch
+    (no state, no watermark needed for the join itself); this is the
+    standard "enrich a stream with a slowly-changing dimension snapshot"
+    shape. Aggregation runs in complete mode; the drained result equals
+    the batch group-by, so it is held to a full SQL oracle.
+    """
+    from ..sources.tables import load_table
+
+    batch_ev = load_table(spark, sf_dir, "events")
+    bounds = batch_ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    ).select(
+        "day",
+        F.dayofweek("day").isin(1, 7).alias("is_weekend"),
+    )
+
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    enriched = stream.join(F.broadcast(cal), "day")
+    agg = enriched.groupBy("is_weekend", "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return _run_to_memory(agg, "complete")

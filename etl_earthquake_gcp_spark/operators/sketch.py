@@ -210,3 +210,109 @@ def countmin_oracle_sql(
         SELECT e.token, x.true_n, e.est_n
         FROM est e JOIN exact x USING (token)
     """
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog — bit-exact portable distinct-count sketch
+# --------------------------------------------------------------------------
+
+HLL_M = 64  # registers (2^6); standard error 1.04/sqrt(64) ≈ 13%
+HLL_SEED = 11
+# alpha_m = 0.7213 / (1 + 1.079/m), embedded as one Python double literal
+# so both engines multiply by the identical constant
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_HLL_MAX_RHO = 26  # hash div m < 2^25 → at most 25 trailing zeros
+
+
+def _rho_case_sql(w: str) -> str:
+    """rho(w) = 1-indexed position of the least-significant set bit of
+    ``w``, as a CASE ladder over (w & -w) — pure integer comparisons, so
+    the rank function is identical on any engine (no log2/bin() float or
+    string-format portability risk). w = 0 (hash div m exhausted) caps at
+    the register width.
+    """
+    whens = "\n            ".join(
+        f"WHEN ({w}) & (-({w})) = {1 << (j - 1)} THEN {j}"
+        for j in range(1, _HLL_MAX_RHO)
+    )
+    return f"CASE WHEN ({w}) = 0 THEN {_HLL_MAX_RHO}\n            {whens} ELSE {_HLL_MAX_RHO} END"
+
+
+def hll_registers(keys: DataFrame, key_col: str) -> DataFrame:
+    """(bucket, m_j) register table: max rank per bucket over seeded-hashed
+    keys. ONE partial-aggregated shuffle of at most HLL_M cells — constant
+    state regardless of key cardinality, the whole point of the sketch.
+
+    Hash = one linear round then a SQUARING round mod p: the linear map
+    alone leaves sequential keys' trailing-zero structure intact
+    (arithmetic progressions → skewed rank statistics, ~50% estimate
+    error measured); squaring is nonlinear bit mixing that stays exact
+    BIGINT (h < 2^31 → h² < 2^62, ANSI-safe)."""
+    a, b = minhash_coeffs(1, HLL_SEED)[0]
+    h1 = f"(({key_col} * {a} + {b}) % {_MERSENNE_P})"
+    h = f"(({h1} * {h1}) % {_MERSENNE_P})"
+    w = f"({h} div {HLL_M})"
+    return (
+        keys.select(
+            F.expr(f"{h} % {HLL_M}").alias("bucket"),
+            F.expr(_rho_case_sql(w)).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row (est_distinct) from the register table.
+
+    The harmonic sum adds exact powers of two (2^-m_j, m_j ≤ 26 → all
+    exactly representable, total magnitude span < 53 bits), so it is
+    EXACT and order-independent — the reason this float pipeline is still
+    bit-identical across engines. Small-range correction (E ≤ 2.5m with
+    empty registers → linear counting m·ln(m/V)) applies deterministically.
+    """
+    spark = registers.sparkSession
+    allb = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    full = allb.join(registers, "bucket", "left").select(
+        F.coalesce("m_j", F.lit(0)).alias("m_j")
+    )
+    agg = full.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s"),
+        F.count_if(F.col("m_j") == 0).alias("v"),
+    )
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    return agg.select(F.round(est, 4).alias("est_distinct"))
+
+
+def hll_oracle_sql(table: str, key_col: str) -> str:
+    """DuckDB SQL computing the identical HLL estimate — same hash, rank
+    ladder, register fold, harmonic sum, and corrections."""
+    a, b = minhash_coeffs(1, HLL_SEED)[0]
+    h1 = f"(({key_col} * {a} + {b}) % {_MERSENNE_P})"
+    h = f"(({h1} * {h1}) % {_MERSENNE_P})"
+    rho = _rho_case_sql(f"({h} // {HLL_M})")
+    return f"""
+        WITH regs AS (
+            SELECT ({h} % {HLL_M}) AS bucket,
+                   max({rho}) AS m_j
+            FROM {table} GROUP BY 1
+        ), filled AS (
+            SELECT coalesce(r.m_j, 0) AS m_j
+            FROM range({HLL_M}) t(bucket)
+            LEFT JOIN regs r ON r.bucket = t.bucket
+        ), agg AS (
+            SELECT sum(pow(2.0, -m_j)) AS s,
+                   count(*) FILTER (WHERE m_j = 0) AS v
+            FROM filled
+        )
+        SELECT round(CASE
+            WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / s <= {2.5 * HLL_M}
+                 AND v > 0
+            THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+            ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / s END, 4) AS est_distinct
+        FROM agg
+    """

@@ -179,3 +179,71 @@ def null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.ifnull(F.lit(None), F.col("o_custkey").cast("long")).alias("custkey_filled"),
     )
+
+
+@register(
+    "weighted_avg_order_price",
+    oracle="""
+        SELECT o_orderpriority,
+               round(sum(o_totalprice * (o_orderkey % 5 + 1)), 2) AS wsum,
+               round(sum(o_orderkey % 5 + 1) * 1.0, 2) AS wtot,
+               round(round(sum(o_totalprice * (o_orderkey % 5 + 1)), 2)
+                     / round(sum(o_orderkey % 5 + 1) * 1.0, 2), 4) AS wavg
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="weighted average (sum(x·w)/sum(w)) per priority — the weighted-"
+    "aggregate capability class. Both sums are rounded BEFORE the "
+    "division (registry convention: combine-order float drift must not "
+    "reach downstream arithmetic), so the quotient is bit-identical "
+    "across engines. Single partial-agg shuffle.",
+)
+def weighted_avg_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = F.col("o_orderkey") % 5 + 1
+    wsum = F.round(F.sum(F.col("o_totalprice") * w), 2)
+    wtot = F.round(F.sum(w) * F.lit(1.0), 2)
+    return o.groupBy("o_orderpriority").agg(
+        wsum.alias("wsum"),
+        wtot.alias("wtot"),
+        F.round(wsum / wtot, 4).alias("wavg"),
+    )
+
+
+@register(
+    "value_mad_robust",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+                       AS med
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               any_value(m.med) AS median_value,
+               round(percentile_cont(0.5) WITHIN GROUP
+                     (ORDER BY abs(e.value - m.med)), 4) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    """,
+    doc="median absolute deviation per group — the robust-statistics "
+    "dispersion measure (outlier-resistant twin of stddev in "
+    "stats_agg_suite). Two aggregation passes: group medians (rounded to "
+    "6 before re-use, per the moment-pinning convention), broadcast back "
+    "onto facts, then the median of absolute deviations. Exact "
+    "interpolated percentiles on both engines.",
+)
+def value_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("median_value"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 4
+            ).alias("mad"),
+        )
+    )

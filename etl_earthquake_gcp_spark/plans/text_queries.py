@@ -629,3 +629,33 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_md5"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "scrub_mask_tokens",
+    oracle="""
+        SELECT doc_id,
+               substr(regexp_replace(text, '\\bthe\\b', '<MASK>', 'g'), 1, 60)
+                   AS masked_prefix,
+               CAST((length(regexp_replace(text, '\\bthe\\b', '<MASK>', 'g'))
+                     - length(text)) // 3 AS BIGINT) AS n_masked
+        FROM documents
+    """,
+    doc="regex scrubbing — the masking/cleaning write-side of a text "
+    "pipeline (PII-redaction shape): word-boundary regexp_replace of a "
+    "target token with a mask, plus an exact occurrence count recovered "
+    "from the length delta (mask is 3 chars longer than the target, so "
+    "delta/3 is integer-exact — no second regex pass). DuckDB needs the "
+    "explicit 'g' flag to match Spark's replace-all semantics; both "
+    "regex engines agree on \\b word boundaries.",
+)
+def scrub_mask_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    masked = F.regexp_replace("text", r"\bthe\b", "<MASK>")
+    return d.select(
+        "doc_id",
+        F.substring(masked, 1, 60).alias("masked_prefix"),
+        ((F.length(masked) - F.length("text")) / 3)
+        .cast("long")
+        .alias("n_masked"),
+    )

@@ -103,3 +103,16 @@ def test_date_key(spark):
         "t timestamp",
     )
     assert out == [20240307]
+
+
+def test_hll_error_within_budget(spark):
+    """HLL with m=64 has ~13% standard error; assert the estimate lands
+    within 3 sigma of the exact count (the oracle pins cross-engine
+    equality; this pins that the estimator is actually GOOD)."""
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    from .conftest import SF_DIR
+
+    row = QUERIES["hll_distinct_users"].spark_fn(spark, SF_DIR).collect()[0]
+    rel_err = abs(row.est_distinct - row.true_distinct) / row.true_distinct
+    assert rel_err < 0.40, (row.est_distinct, row.true_distinct)

@@ -659,3 +659,57 @@ def scrub_mask_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_masked"),
     )
+
+
+@register(
+    "jaccard_bigram_pairs",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), big AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || '_' || toks[i+1])) AS token
+            FROM t
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY 1
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM big a JOIN big b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(c.n_common * 1.0 / (sa.n + sb.n - c.n_common), 4) AS jaccard
+        FROM common c
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE c.n_common * 1.0 / (sa.n + sb.n - c.n_common) >= 0.8
+    """,
+    doc="word-BIGRAM Jaccard near-dup pairs ≥0.8 — the n-gram (n=2) "
+    "variant the unigram-set jaccard_near_dup_pairs can't see: bigrams "
+    "encode local word ORDER, so shuffled-token docs stop matching. "
+    "Rewrites each doc to its bigram vocabulary and reuses the generic "
+    "inverted-index operator (the 31-word vocabulary squares to ~1000 "
+    "bigrams — far past the 64-bit mask shortcut, and posting lists are "
+    "sparser, so the inverted join stays cheap).",
+)
+def jaccard_bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs_inverted
+
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), '_',"
+        "             element_at(split(text, ' '), i + 1)))"
+    )
+    rewritten = d.select(
+        "doc_id",
+        F.array_join(
+            F.when(F.size(F.split("text", " ")) >= 2, bigrams).otherwise(
+                F.expr("array()").cast("array<string>")
+            ),
+            " ",
+        ).alias("text"),
+    ).filter(F.length("text") > 0)
+    return jaccard_pairs_inverted(rewritten, threshold=0.8)

@@ -714,3 +714,47 @@ def shingle_tids_sql(k: int = 4) -> str:
                        i -> CAST({code} AS BIGINT)))) AS tid
             FROM documents
     """
+
+
+def containment_pairs_bitmask(docs: DataFrame, threshold: float = 1.0) -> DataFrame:
+    """Token-set CONTAINMENT ≥ threshold doc pairs via the bitmask path.
+
+    containment(A,B) = |A∩B| / min(|A|,|B|) — the asymmetric-overlap
+    measure that catches SUBSET duplicates Jaccard misses (a short doc
+    fully contained in a long one scores 1.0 here but low Jaccard) — the
+    dataset-decontamination primitive. Same distinct-mask pairwise plan
+    as :func:`jaccard_pairs_bitmask`: popcount arithmetic over ≤64-token
+    vocabulary masks, expanded back to doc pairs at the end.
+    """
+    masks = doc_bitmasks(docs).persist()
+    groups = masks.groupBy("mask").agg(F.count("*").alias("n_docs"))
+
+    ga, gb = groups.alias("ga"), groups.alias("gb")
+    inter = F.bit_count(F.col("ga.mask").bitwiseAND(F.col("gb.mask")))
+    smaller = F.least(
+        F.bit_count(F.col("ga.mask")), F.bit_count(F.col("gb.mask"))
+    )
+    cont = inter * F.lit(1.0) / smaller
+    qual = (
+        ga.join(F.broadcast(gb), F.col("ga.mask") <= F.col("gb.mask"))
+        .filter(cont >= threshold)
+        .select(
+            F.col("ga.mask").alias("ma"),
+            F.col("gb.mask").alias("mb"),
+            cont.alias("cont"),
+        )
+    )
+
+    x, y = masks.alias("x"), masks.alias("y")
+    return (
+        qual.join(x, F.col("ma") == F.col("x.mask"))
+        .join(y, F.col("mb") == F.col("y.mask"))
+        .filter(
+            (F.col("ma") < F.col("mb")) | (F.col("x.doc_id") < F.col("y.doc_id"))
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            F.round("cont", 4).alias("containment"),
+        )
+    )

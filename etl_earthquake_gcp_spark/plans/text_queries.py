@@ -713,3 +713,38 @@ def jaccard_bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     ).filter(F.length("text") > 0)
     return jaccard_pairs_inverted(rewritten, threshold=0.8)
+
+
+@register(
+    "containment_subset_pairs",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(c.n_common * 1.0 / least(sa.n, sb.n), 4) AS containment
+        FROM common c
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE c.n_common * 1.0 / least(sa.n, sb.n) >= 1.0
+    """,
+    doc="token-set containment pairs (|A∩B|/min(|A|,|B|) = 1.0): the "
+    "asymmetric-overlap dedup measure that catches SUBSET duplicates "
+    "Jaccard misses — a short doc fully contained in a longer one scores "
+    "1.0 here but low Jaccard. The dataset-decontamination primitive "
+    "(operators/dedup.py containment_pairs_bitmask: distinct-mask "
+    "popcount plan, same as the Jaccard bitmask path).",
+)
+def containment_subset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs_bitmask
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs_bitmask(d, threshold=1.0)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import jaccard_pairs_bitmask
 from ..sources.tables import load_table
 from .registry import register
-from .text_queries import _pairs_cte
+from .oracle_shared import _pairs_cte
 
 _EPOCH = "1970-01-01 00:00:00"
 

@@ -28,104 +28,6 @@ def _with_norm(df: DataFrame) -> DataFrame:
     return df.select("vec_id", arr.alias("vec"), norm.alias("norm"))
 
 
-@register(
-    "cosine_topk_bruteforce",
-    oracle=f"""
-        WITH exploded AS (
-            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                   generate_subscripts(embedding, 1) AS i
-            FROM embeddings
-        ), norms AS (
-            SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
-        ), dots AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                   sum(a.x * b.x) AS dot
-            FROM exploded a
-            JOIN exploded b ON a.i = b.i
-            WHERE a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
-            GROUP BY 1, 2
-        )
-        SELECT query_id, neighbor_id,
-               round(d.dot / (na.norm * nb.norm), 4) AS cosine
-        FROM dots d
-        JOIN norms na ON d.query_id = na.vec_id
-        JOIN norms nb ON d.neighbor_id = nb.vec_id
-        QUALIFY row_number() OVER (
-            PARTITION BY query_id
-            ORDER BY round(d.dot / (na.norm * nb.norm), 6) DESC, neighbor_id
-        ) <= {_TOP_K}
-    """,
-    doc=f"brute-force cosine top-{_TOP_K} for {_N_QUERIES} query vectors "
-    "(tier-4 ANN exact baseline). zip_with+aggregate dot product (JVM "
-    "higher-order fns, no UDF); queries broadcast, so the big side never "
-    "shuffles — at 100 TB this is one scan + per-partition top-k.",
-    bench=True,
-)
-def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qnorm"),
-    )
-    # broadcast the tiny query set against the full corpus (scan-only big side)
-    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    dot = F.aggregate(
-        F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sim = dot / (F.col("norm") * F.col("qnorm"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
-    )
-    return (
-        pairs.select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cos_raw")
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"))
-    )
-
-
-@register(
-    "embedding_norm_stats",
-    oracle="""
-        WITH exploded AS (
-            SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
-            FROM embeddings
-        )
-        SELECT label,
-               CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
-               round(avg(x), 4) AS avg_component,
-               round(min(x), 4) AS min_component,
-               round(max(x), 4) AS max_component
-        FROM exploded
-        GROUP BY label
-    """,
-    doc="per-label embedding component stats via array explode (vector "
-    "column plumbing sanity; F.explode over array<float> ≡ DuckDB lateral "
-    "range join).",
-)
-def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return (
-        e.select(
-            "vec_id",
-            "label",
-            F.explode(F.transform("embedding", lambda x: x.cast("double"))).alias("x"),
-        )
-        .groupBy("label")
-        .agg(
-            F.countDistinct("vec_id").alias("n_vectors"),
-            F.round(F.avg("x"), 4).alias("avg_component"),
-            F.round(F.min("x"), 4).alias("min_component"),
-            F.round(F.max("x"), 4).alias("max_component"),
-        )
-    )
-
-
 _NEAR_DUP_THRESHOLD = 0.35  # corpus is near-random; 0.35 keeps ~0.2% of pairs
 
 
@@ -447,5 +349,106 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.avg("x"), 4).alias("centroid"),
             F.count("*").alias("n_vectors"),
+        )
+    )
+
+
+# --- round-1 driver-verified queries register LAST: the driver checks
+# registration order and these two already have green CORRECTNESS_r01 rows,
+# so the five queries above take the earlier driver slots (plans/__init__.py) ---
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+        WITH exploded AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
+        ), dots AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   sum(a.x * b.x) AS dot
+            FROM exploded a
+            JOIN exploded b ON a.i = b.i
+            WHERE a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               round(d.dot / (na.norm * nb.norm), 4) AS cosine
+        FROM dots d
+        JOIN norms na ON d.query_id = na.vec_id
+        JOIN norms nb ON d.neighbor_id = nb.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY round(d.dot / (na.norm * nb.norm), 6) DESC, neighbor_id
+        ) <= {_TOP_K}
+    """,
+    doc=f"brute-force cosine top-{_TOP_K} for {_N_QUERIES} query vectors "
+    "(tier-4 ANN exact baseline). zip_with+aggregate dot product (JVM "
+    "higher-order fns, no UDF); queries broadcast, so the big side never "
+    "shuffles — at 100 TB this is one scan + per-partition top-k.",
+    bench=True,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    # broadcast the tiny query set against the full corpus (scan-only big side)
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("norm") * F.col("qnorm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cos_raw")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+        WITH exploded AS (
+            SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+               round(avg(x), 4) AS avg_component,
+               round(min(x), 4) AS min_component,
+               round(max(x), 4) AS max_component
+        FROM exploded
+        GROUP BY label
+    """,
+    doc="per-label embedding component stats via array explode (vector "
+    "column plumbing sanity; F.explode over array<float> ≡ DuckDB lateral "
+    "range join).",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.explode(F.transform("embedding", lambda x: x.cast("double"))).alias("x"),
+        )
+        .groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vectors"),
+            F.round(F.avg("x"), 4).alias("avg_component"),
+            F.round(F.min("x"), 4).alias("min_component"),
+            F.round(F.max("x"), 4).alias("max_component"),
         )
     )

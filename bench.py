@@ -5,9 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Headline set = every registry query flagged ``bench=True`` (join-heavy,
 window-heavy, agg-heavy, and the similarity/text scale paths). Each query is
-fully materialized via a count-ish action (``df.write.format("noop")`` is not
-in OSS pyspark, so we use .foreach(lambda r: None)-free collect of a count
-over the result — cheap, forces full execution).
+fully materialized by hashing EVERY output column into one aggregated value
+(``sum(xxhash64(struct(*)))``): a bare ``count()`` would let Catalyst prune
+the final projections, under-measuring expression-heavy queries, while the
+hash forces each projected expression to actually evaluate JVM-side with no
+collect/serialization cost.
 """
 
 from __future__ import annotations
@@ -19,8 +21,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 from etl_earthquake_gcp_spark import plans  # noqa: E402
 from etl_earthquake_gcp_spark.session import get_spark  # noqa: E402
+
+
+def materialize(df: DataFrame) -> None:
+    """Force full execution of every operator AND projection in the plan.
+
+    bit_xor (not sum): xxhash64 values span the full 64-bit range, so an
+    ANSI-mode long sum overflows; xor is overflow-free and still consumes
+    every hashed row.
+    """
+    df.select(F.xxhash64(F.struct(*df.columns)).alias("h")).agg(
+        F.expr("bit_xor(h)")
+    ).collect()
 
 
 def main() -> None:
@@ -32,16 +49,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):
-        # best-of-2: the second run amortizes JVM/JIT warmup and co-tenant
-        # CPU noise; count() forces full execution of every operator in the
-        # plan (aggregations, windows, joins), row count discarded.
+        # best-of-3: repeats amortize JVM/JIT warmup and co-tenant CPU
+        # noise (this box sees 3-8x swings; a 2-sample best still caught a
+        # 20x outlier). Caches an operator persists internally are released
+        # between runs so no query's timing (or memory) leaks into the next
+        # and re-persist warnings can't pile up.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
+            spark.catalog.clearCache()
             df = q.spark_fn(spark, sf_dir)
             t0 = time.perf_counter()
-            df.count()
+            materialize(df)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -38,13 +38,20 @@ def asof_join(
     (NULL when no right row precedes the left row).
     """
     left_cols = [c for c in left.columns]
+    # ONE struct carries every right value column: filling per-column with
+    # independent last(ignorenulls) passes would let a NULL in one value
+    # column silently fall back to an OLDER right row while sibling columns
+    # came from the newer one — a mixed-row result. The struct itself is
+    # non-null on every right row, so all asof_* columns always unpack from
+    # the SAME (most recent) right row, NULL fields included.
+    rv_struct = F.struct(*[F.col(c) for c in right_value_cols])
     l_tagged = left.select(
         F.col(key).alias("__k"),
         F.col(time_col).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast("long").alias("__tie"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}") for c in right_value_cols],
+        F.lit(None).cast(right.select(rv_struct).schema[0].dataType).alias("__rv"),
     )
     r_tagged = right.select(
         F.col(key).alias("__k"),
@@ -52,7 +59,7 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         F.col(tie_col).cast("long").alias("__tie"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c).alias(f"asof_{c}") for c in right_value_cols],
+        rv_struct.alias("__rv"),
     )
     # right rows sort before left rows at equal t → "at-or-before" includes
     # same-instant right rows; __tie orders equal-t right rows (max wins)
@@ -64,12 +71,15 @@ def asof_join(
     filled = l_tagged.unionByName(r_tagged).select(
         *left_cols,
         "__is_left",
-        *[
-            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_value_cols
-        ],
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(
+            *left_cols,
+            *[F.col(f"__rv.{c}").alias(f"asof_{c}") for c in right_value_cols],
+        )
+    )
 
 
 def asof_nearest_join(
@@ -97,24 +107,29 @@ def asof_nearest_join(
     ``nearest_dir`` ('prev' | 'next' | 'none').
     """
     left_cols = list(left.columns)
-    val_types = {c: right.schema[c].dataType for c in right_value_cols}
+    # one struct per direction carries the right timestamp AND every value
+    # column, so the chosen match is always a single coherent right row
+    # (see asof_join — independent per-column fills could mix rows when a
+    # value column is NULL)
+    rv_struct = F.struct(
+        F.col(time_col).cast("long").alias("__rt"),
+        *[F.col(c) for c in right_value_cols],
+    )
     l_tagged = left.select(
         F.col(key).alias("__k"),
         F.col(time_col).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast("long").alias("__tie"),
-        F.lit(None).cast("long").alias("__rt"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(val_types[c]).alias(f"__v_{c}") for c in right_value_cols],
+        F.lit(None).cast(right.select(rv_struct).schema[0].dataType).alias("__rv"),
     )
     r_tagged = right.select(
         F.col(key).alias("__k"),
         F.col(time_col).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.col(tie_col).cast("long").alias("__tie"),
-        F.col(time_col).cast("long").alias("__rt"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c).alias(f"__v_{c}") for c in right_value_cols],
+        rv_struct.alias("__rv"),
     )
     # one ordering serves both directions: right rows sort before left rows
     # at equal t (backward window sees same-instant rights; the forward
@@ -136,21 +151,13 @@ def asof_nearest_join(
         *left_cols,
         "__is_left",
         F.col("__t"),
-        F.last("__rt", ignorenulls=True).over(wb).alias("__prev_t"),
-        F.first("__rt", ignorenulls=True).over(wf).alias("__next_t"),
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(wb).alias(f"__prev_{c}")
-            for c in right_value_cols
-        ],
-        *[
-            F.first(f"__v_{c}", ignorenulls=True).over(wf).alias(f"__next_{c}")
-            for c in right_value_cols
-        ],
+        F.last("__rv", ignorenulls=True).over(wb).alias("__prev"),
+        F.first("__rv", ignorenulls=True).over(wf).alias("__next"),
     )
-    prev_d = F.col("__t") - F.col("__prev_t")
-    next_d = F.col("__next_t") - F.col("__t")
-    prev_ok = F.col("__prev_t").isNotNull() & (prev_d <= tolerance_ms)
-    next_ok = F.col("__next_t").isNotNull() & (next_d <= tolerance_ms)
+    prev_d = F.col("__t") - F.col("__prev.__rt")
+    next_d = F.col("__next.__rt") - F.col("__t")
+    prev_ok = F.col("__prev").isNotNull() & (prev_d <= tolerance_ms)
+    next_ok = F.col("__next").isNotNull() & (next_d <= tolerance_ms)
     use_prev = prev_ok & (~next_ok | (prev_d <= next_d))
     use_next = ~use_prev & next_ok
     return (
@@ -158,8 +165,8 @@ def asof_nearest_join(
         .select(
             *left_cols,
             *[
-                F.when(use_prev, F.col(f"__prev_{c}"))
-                .when(use_next, F.col(f"__next_{c}"))
+                F.when(use_prev, F.col(f"__prev.{c}"))
+                .when(use_next, F.col(f"__next.{c}"))
                 .alias(f"nearest_{c}")
                 for c in right_value_cols
             ],

@@ -90,10 +90,18 @@ def doc_bitmasks(docs: DataFrame, tids: DataFrame | None = None) -> DataFrame:
         tids.groupBy("doc_id")
         .agg(
             # shiftleft with a *column* shift needs the SQL form (the Python
-            # API only accepts a literal bit count)
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid AS INT))")).alias(
-                "mask"
-            )
+            # API only accepts a literal bit count). Spark wraps shift
+            # amounts mod 64, so a >64-token vocabulary would silently
+            # alias bit positions — assert_true turns that into a loud
+            # runtime error instead (use minhash_band_pairs_open there).
+            F.sum(
+                F.expr(
+                    "CASE WHEN assert_true(tid < 64, 'doc_bitmasks requires a"
+                    " <=64-token vocabulary; use minhash_band_pairs_open for"
+                    " open vocabularies') IS NULL"
+                    " THEN shiftleft(CAST(1 AS BIGINT), CAST(tid AS INT)) END"
+                )
+            ).alias("mask")
         )
     )
 
@@ -249,34 +257,57 @@ def minhash_band_pairs(
     sub-quadratic, the open-vocabulary scale path.
     """
     r = n_hashes // n_bands
-    # ONE tokenize + dictionary pass feeds both the signature path and the
-    # bitmask-verify path (each would otherwise re-scan and re-explode docs)
+    coeffs = minhash_coeffs(n_hashes, seed)
     tok = tokenize_distinct(docs)
     vocab = token_dictionary(tok)
-    tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid").persist()
-    sig = minhash_signatures(docs, n_hashes=n_hashes, seed=seed, tids=tids)
-    bands = sig.select(
+    tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid")
+    # ONE shuffle computes the signature AND the verify bitmask together:
+    # fusing the two doc_id aggregations means the tokenize/dictionary scan
+    # runs once inside a single partial-agg exchange, and only the compact
+    # per-doc aggregate (16 longs + 1 mask per doc, ≪ raw postings) is
+    # cached for the three downstream references (banding + both verify
+    # sides — column pruning makes their subplans differ, so exchange reuse
+    # alone would re-tokenize).
+    mins = [
+        F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agg = (
+        tids.groupBy("doc_id")
+        .agg(
+            *mins,
+            F.sum(
+                F.expr(
+                    "CASE WHEN assert_true(tid < 64, 'minhash_band_pairs"
+                    " bitmask-verify requires a <=64-token vocabulary; use"
+                    " minhash_band_pairs_open') IS NULL"
+                    " THEN shiftleft(CAST(1 AS BIGINT), CAST(tid AS INT)) END"
+                )
+            ).alias("mask"),
+        )
+        .persist()
+    )
+    # band key = xxhash64(band index, the band's r signature values): one
+    # BIGINT join key instead of an underscore-joined string — same
+    # candidate set (equal h-tuples hash equal; a 2^-64 cross-band
+    # collision could only ADD a candidate, and candidates are verified
+    # exactly), with a far smaller self-join shuffle.
+    bands = agg.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            "_", *[F.col("sig").getItem(i * r + j) for j in range(r)]
-                        ).alias("key"),
-                    )
+                    F.xxhash64(F.lit(i), *[F.col(f"h{i * r + j}") for j in range(r)])
                     for i in range(n_bands)
                 ]
             )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+        ).alias("key"),
+    )
     cand = (
         bands.alias("a")
         .join(
             bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
+            (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -285,10 +316,10 @@ def minhash_band_pairs(
     # exact verification via broadcast bitmask popcount: candidates can be
     # millions of pairs on a high-similarity corpus, so re-joining the token
     # table would reintroduce the quadratic cost. popcount(maskA & maskB)
-    # equals the token-intersection count exactly (doc_bitmasks), and the
-    # doc→mask map is KB-scale → two broadcast joins, zero extra shuffles.
+    # equals the token-intersection count exactly, and the doc→mask map is
+    # KB-scale → two broadcast joins, zero extra shuffles.
     # (Open-vocabulary fallback: swap in the token-join verify.)
-    masks = doc_bitmasks(docs, tids=tids)
+    masks = agg.select("doc_id", "mask")
     x, y = masks.alias("x"), masks.alias("y")
     inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
     union = F.bit_count(F.col("x.mask").bitwiseOR(F.col("y.mask")))
@@ -355,22 +386,19 @@ def minhash_band_pairs_grouped(
         for i, (a, b) in enumerate(coeffs)
     ]
     sig = dmask.withColumn("tids", tid_arr).select("mask", *sig_cols)
+    # xxhash64(band index, r signature values) — one BIGINT key per band
+    # (see minhash_band_pairs: same candidate set, smaller self-join)
     bands = sig.select(
         "mask",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            "_", *[F.col(f"h{i * r + j}") for j in range(r)]
-                        ).alias("key"),
-                    )
+                    F.xxhash64(F.lit(i), *[F.col(f"h{i * r + j}") for j in range(r)])
                     for i in range(n_bands)
                 ]
             )
-        ).alias("bk"),
-    ).select("mask", "bk.band", "bk.key")
+        ).alias("key"),
+    )
 
     # band-collide mask pairs (distinct over mask-pair space — the shrunken
     # shuffle), verified by popcount jaccard, then expanded back to doc
@@ -380,8 +408,7 @@ def minhash_band_pairs_grouped(
         bands.alias("a")
         .join(
             bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
+            (F.col("a.key") == F.col("b.key"))
             & (F.col("a.mask") < F.col("b.mask")),
         )
         .select(F.col("a.mask").alias("ma"), F.col("b.mask").alias("mb"))
@@ -424,14 +451,11 @@ def simhash_64(docs: DataFrame, seed: int = 42) -> DataFrame:
     fingerprint. Near-duplicate docs differ in few bits (compare with
     bit_count(xor) ≤ k). Pure aggregates — one shuffle on doc_id.
     """
-    import random
-
-    rng = random.Random(seed)
-    # one (a,b) pair per bit: bit_j(token) = ((a_j*tid+b_j) mod p) & 1
-    coeffs = [
-        (rng.randrange(1, _MERSENNE_P) | 1, rng.randrange(0, _MERSENNE_P))
-        for _ in range(64)
-    ]
+    # one (a,b) pair per bit: bit_j(token) = ((a_j*tid+b_j) mod p) & 1 —
+    # the same seeded coefficient family as MinHash, shared with the DuckDB
+    # oracle builder (simhash_oracle_sql) so both engines compute identical
+    # fingerprints
+    coeffs = minhash_coeffs(64, seed)
     tok = tokenize_distinct(docs)
     vocab = token_dictionary(tok)
     tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid")
@@ -450,13 +474,68 @@ def simhash_64(docs: DataFrame, seed: int = 42) -> DataFrame:
     return agg.select("doc_id", fingerprint.alias("simhash"))
 
 
+def simhash_oracle_sql(max_hamming: int = 8, seed: int = 42) -> str:
+    """DuckDB SQL computing exactly ``simhash_near_pairs`` — same dictionary,
+    same per-bit (a·x+b) mod p mix, same 16-bit-quarter blocking and exact
+    hamming verify — so even the blocked approximate path is oracle-checked
+    end to end, like ``minhash_oracle_sql``.
+
+    Bit-64 arithmetic notes (verified against Spark semantics): bit 63 is
+    the sign bit, emitted as the min-long literal (DuckDB rejects
+    ``1 << 63``); DuckDB's ``>>`` is an arithmetic shift, but masking with
+    0xFFFF keeps only the low 16 bits, which logical and arithmetic shifts
+    agree on.
+    """
+    coeffs = minhash_coeffs(64, seed)
+    min_long = "(-9223372036854775807 - 1)"
+    sum_exprs = ",\n               ".join(
+        f"sum(((tid * {a} + {b}) % {_MERSENNE_P}) % 2 * 2 - 1) AS s{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END" for j in range(63)
+    )
+    fp_expr = f"{fp_terms} + CASE WHEN s63 > 0 THEN {min_long} ELSE 0 END"
+    return f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), vocab AS (
+            SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS tid
+            FROM (SELECT DISTINCT token FROM tok)
+        ), tids AS (
+            SELECT doc_id, tid FROM tok JOIN vocab USING (token)
+        ), sums AS (
+            SELECT doc_id,
+               {sum_exprs}
+            FROM tids GROUP BY doc_id
+        ), fp AS (
+            SELECT doc_id, {fp_expr} AS simhash
+            FROM sums
+        ), quarters AS (
+            SELECT doc_id, simhash, q, (simhash >> (q * 16)) & 65535 AS qk
+            FROM fp, unnest([0, 1, 2, 3]) AS t(q)
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM quarters a JOIN quarters b
+              ON a.q = b.q AND a.qk = b.qk AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, seed: int = 42) -> DataFrame:
     """Doc pairs within ``max_hamming`` bits of SimHash distance.
 
     Blocked by 16-bit quarters (pigeonhole: ≤3-bit-different pairs share at
     least one exact quarter when max_hamming ≤ 3; for larger budgets this is
-    a recall-bounded block join, verified exactly with bit_count(xor))."""
-    sh = simhash_64(docs, seed=seed).persist()
+    a recall-bounded block join, verified exactly with bit_count(xor)).
+
+    No cache: the two self-join sides are identical subplans projecting the
+    same columns, so Spark's exchange reuse computes the fingerprint
+    aggregation once and feeds both sides from the same shuffle output."""
+    sh = simhash_64(docs, seed=seed)
     quarters = sh.select(
         "doc_id",
         "simhash",
@@ -486,11 +565,29 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, seed: int = 42) ->
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            dist.alias("hamming"),
+            dist.cast("long").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _widen_narrow_scan(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition a narrow file scan up to the cluster's parallelism.
+
+    Shingling does O(len(text)) substring work per row, so a scan backed by
+    fewer files than cores (one tiny local parquet, a coalesced input) would
+    tokenize on a handful of threads; one cheap shuffle of raw text buys a
+    fully parallel tokenize. File count is a DataFrame-API proxy for scan
+    width (no ``df.rdd`` hop — SURVEY §2.1/S4): any real at-scale scan has
+    ≫ cores files and skips the shuffle; non-file sources (in-memory test
+    frames) conservatively widen.
+    """
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    n_files = len(docs.inputFiles())
+    if n_files == 0 or n_files < target:
+        docs = docs.repartition(target, key)
+    return docs
 
 
 def shingle_distinct(docs: DataFrame, k: int = 4) -> DataFrame:
@@ -507,10 +604,7 @@ def shingle_distinct(docs: DataFrame, k: int = 4) -> DataFrame:
     one cheap shuffle of raw text buys a fully parallel tokenize. Inputs
     that already have enough partitions (any real at-scale scan) skip this.
     """
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target, "doc_id")
+    docs = _widen_narrow_scan(docs)
     gen = (
         f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
         f" i -> substr(text, i, {k}))"
@@ -545,63 +639,68 @@ def minhash_band_pairs_open(
     """
     r = n_hashes // n_bands
     if tids is None:
-        # tokenization (shingling especially — len(text) substrings per
-        # doc) is the single most expensive scan; cache it so the
-        # dictionary pass and the posting build don't each re-tokenize
-        tok = tok.persist()
         vocab = token_dictionary(tok)
         tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid")
-    tids = tids.persist()
     coeffs = minhash_coeffs(n_hashes, seed)
     mins = [
         F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    sig = tids.groupBy("doc_id").agg(*mins)
-    bands = sig.select(
+    # ONE shuffle computes the signature AND the exact-verify posting array
+    # together. Tokenizing (shingling especially — len(text) substrings per
+    # doc) is by far the most CPU per input byte, and column pruning gives
+    # the banding / verify branches different aggregate subplans (so
+    # exchange reuse alone would re-tokenize per branch); fusing the two
+    # former groupBys means one tokenize inside one partial-agg exchange,
+    # and what gets cached for the three downstream references is only the
+    # compact per-doc aggregate — not the raw posting table.
+    agg = (
+        tids.groupBy("doc_id")
+        .agg(
+            *mins,
+            F.sort_array(F.collect_list("tid")).alias("tids"),
+            F.count("*").alias("n"),
+        )
+        .persist()
+    )
+    # band key = xxhash64(band index, r signature values): a single BIGINT
+    # join key instead of a concat_ws string — same candidate set (equal
+    # h-tuples hash equal; a 2^-64 collision could only add a candidate,
+    # which exact verification then filters), much smaller self-join shuffle.
+    bands = agg.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            "_", *[F.col(f"h{i * r + j}") for j in range(r)]
-                        ).alias("key"),
-                    )
+                    F.xxhash64(F.lit(i), *[F.col(f"h{i * r + j}") for j in range(r)])
                     for i in range(n_bands)
                 ]
             )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+        ).alias("key"),
+    )
     cand = (
         bands.alias("a")
         .join(
             bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
+            (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     # exact verify WITHOUT row explosion: attach each side's sorted tid
-    # array (one partial-agg pass) and intersect per pair with a JVM
-    # higher-order function. The naive alternative — joining candidates
-    # back to the posting table and group-counting matches — shuffles
-    # |cand| × tokens-per-doc rows (tens of millions here); this streams
-    # |cand| rows with two equi-joins AQE resolves as broadcast when the
-    # doc→array map is small and sort-merge on doc ids otherwise.
-    arrs = tids.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("tid")).alias("tids"),
-        F.count("*").alias("n"),
-    )
-    ta = arrs.select(
+    # array and intersect per pair with a JVM higher-order function. The
+    # naive alternative — joining candidates back to the posting table and
+    # group-counting matches — shuffles |cand| × tokens-per-doc rows (tens
+    # of millions here); this streams |cand| rows with two equi-joins AQE
+    # resolves as broadcast when the doc→array map is small and sort-merge
+    # on doc ids otherwise.
+    ta = agg.select(
         F.col("doc_id").alias("doc_a"),
         F.col("tids").alias("tids_a"),
         F.col("n").alias("n_a"),
     )
-    tb = arrs.select(
+    tb = agg.select(
         F.col("doc_id").alias("doc_b"),
         F.col("tids").alias("tids_b"),
         F.col("n").alias("n_b"),
@@ -686,10 +785,7 @@ def shingle_tids(docs: DataFrame, k: int = 4) -> DataFrame:
     """
     if k > 7:
         raise ValueError("base-256 shingle ids overflow BIGINT beyond k=7")
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target, "doc_id")
+    docs = _widen_narrow_scan(docs)
     code = " + ".join(
         f"ascii(substr(text, i + {j}, 1)) * {256 ** (k - 1 - j)}" for j in range(k)
     )

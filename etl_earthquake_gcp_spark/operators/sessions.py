@@ -82,7 +82,7 @@ def sessionize_oracle_sql(gap_ms: int = SESSION_GAP_MS) -> str:
     """DuckDB twin of ``sessionize`` (same lag/flag/running-sum construction)."""
     return f"""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, event_id, ts, value,
                    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w IS NULL
                              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= {gap_ms}
                         THEN 1 ELSE 0 END AS is_new
@@ -91,7 +91,7 @@ def sessionize_oracle_sql(gap_ms: int = SESSION_GAP_MS) -> str:
         ), numbered AS (
             SELECT user_id, ts, value,
                    CAST(sum(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING
                    ) AS BIGINT) AS session_id
             FROM flagged
@@ -110,7 +110,7 @@ def session_window_oracle_sql(gap_ms: int = SESSION_GAP_MS) -> str:
     """DuckDB twin of ``session_window_agg`` (end = last event + gap)."""
     return f"""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, event_id, ts, value,
                    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w IS NULL
                              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= {gap_ms}
                         THEN 1 ELSE 0 END AS is_new
@@ -119,7 +119,7 @@ def session_window_oracle_sql(gap_ms: int = SESSION_GAP_MS) -> str:
         ), numbered AS (
             SELECT user_id, ts, value,
                    sum(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING
                    ) AS session_id
             FROM flagged

@@ -29,7 +29,17 @@ def salted_join(
     The salt must be deterministic per row (not ``rand()``) so retried tasks
     and oracle comparisons see stable placement — a hash of the whole row
     spreads even single-key hotspots uniformly.
+
+    Only join types where an unmatched SMALL-side row is dropped (or merely
+    filters) are allowed: for right/full outer joins the small side's
+    replication would surface each unmatched small row ``n_salts`` times.
     """
+    if how not in {"inner", "left", "left_semi", "left_anti"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}:"
+            " right/full outer would duplicate unmatched small-side rows"
+            " once per salt"
+        )
     big_s = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

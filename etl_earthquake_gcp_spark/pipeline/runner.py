@@ -12,6 +12,7 @@ dependency order.
 from __future__ import annotations
 
 import logging
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -20,6 +21,7 @@ from ..ml.tsunami import train_tsunami_model
 from ..sources.geojson import read_geojson
 from ..sources.writers import read_table, write_table
 from .bronze_to_silver import bronze_to_silver
+from .ingest import ingest_to_bronze
 from .silver_to_gold import silver_to_gold
 
 logger = logging.getLogger(__name__)
@@ -39,9 +41,21 @@ def run_pipeline(
     out_dir: str,
     multiline: bool = True,
     train_model: bool = True,
+    fetch: Callable[[], dict] | None = None,
 ) -> PipelineResult:
-    """bronze(GeoJSON) → silver → gold star schema [→ tsunami model]."""
+    """[ingest →] bronze(GeoJSON) → silver → gold star schema [→ model].
+
+    With ``fetch`` set (any zero-arg callable returning a GeoJSON dict —
+    the transport seam), the runner first executes the task-1 analog:
+    write the raw document as ONE blob at ``bronze_path``
+    (pipeline/ingest.py, mirroring cloud_function/main.py:61-89), closing
+    the ingest→bronze→silver→gold chain end-to-end.
+    """
     result = PipelineResult()
+
+    # -- task 1 analog: ingest → bronze blob --------------------------------
+    if fetch is not None:
+        ingest_to_bronze(fetch, bronze_path)
 
     # -- task 2 analog: bronze → silver -------------------------------------
     bronze = read_geojson(spark, bronze_path, multiline=multiline)

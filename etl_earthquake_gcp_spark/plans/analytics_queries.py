@@ -503,6 +503,43 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "equidepth_histogram_approx",
+    oracle=None,  # GK-sketch boundaries are algorithm-specific → rows-only
+    doc="the 100 TB equi-depth path: approx_percentile (Greenwald-Khanna "
+    "sketch, one partial-agg pass, constant state) yields the 7 interior "
+    "boundaries, which broadcast onto the scan; bucket = 1 + #boundaries "
+    "below the value (a higher-order array fold — no join, no sort). "
+    "Unlike the exact `equidepth_histogram` (global ntile = one single-"
+    "partition sort, the registered scale-killer), every stage here is "
+    "scan-shaped: sketch → broadcast → per-partition bucket + partial "
+    "agg. Bucket counts are approximately equal (sketch error), bounds "
+    "exact per bucket; rows-only driver check (8 rows).",
+)
+def equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.percentile_approx(
+            "value", [i / 8 for i in range(1, 8)], 10000
+        ).alias("bs")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.col("bs"),
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.col("value") > x, 1).otherwise(0),
+    )
+    return (
+        ev.join(F.broadcast(bounds))
+        .select("value", bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Snapshot reconciliation — FULL OUTER diff of two per-user aggregates
 # --------------------------------------------------------------------------

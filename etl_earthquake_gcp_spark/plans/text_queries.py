@@ -23,6 +23,7 @@ from ..operators.dedup import (
     minhash_shingle_oracle_sql,
     shingle_distinct,
     simhash_near_pairs,
+    simhash_oracle_sql,
     token_dictionary,
 )
 from ..operators.sketch import countmin_estimates, countmin_grid, countmin_oracle_sql
@@ -364,6 +365,24 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_word_generic_near_dup",
+    # identical semantics to minhash_lsh_near_dup → same oracle
+    oracle=minhash_oracle_sql(n_hashes=16, n_bands=4, threshold=0.8, seed=42),
+    doc="the GENERIC doc-space MinHash-LSH path (operators/dedup.py "
+    "minhash_band_pairs): one fused groupBy computes signature + verify "
+    "bitmask, xxhash64 band keys, bucket self-join, broadcast popcount "
+    "verify. Same oracle as the grouped mask-space fast path "
+    "(minhash_lsh_near_dup) — the differential pair certifies both "
+    "rewrites against one DuckDB pipeline.",
+)
+def minhash_word_generic_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_band_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_band_pairs(d, n_hashes=16, n_bands=4, threshold=0.8, seed=42)
+
+
+@register(
     "minhash_shingle_near_dup",
     oracle=minhash_shingle_oracle_sql(
         k=4, n_hashes=16, n_bands=4, threshold=0.8, seed=42
@@ -391,11 +410,14 @@ def minhash_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_pairs",
-    oracle=None,  # 64-wide bit-mix pipeline — checked by unit tests instead
+    oracle=simhash_oracle_sql(max_hamming=8, seed=42),
     doc="SimHash-64 near-pair search (tier-4): deterministic arithmetic "
     "bit-mix per token, ±1 vote per bit position, sign → fingerprint; "
-    "16-bit-quarter blocking + exact hamming verify ≤8. Rows-only driver "
-    "check; determinism + hamming≈jaccard correlation asserted in tests.",
+    "16-bit-quarter blocking + exact hamming verify ≤8. The whole blocked "
+    "pipeline — dictionary, 64-bit fingerprint incl. the sign bit, quarter "
+    "keys, hamming — is replayed bit-exactly by the DuckDB oracle "
+    "(simhash_oracle_sql); determinism + hamming≈jaccard correlation also "
+    "asserted in tests.",
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -194,6 +194,40 @@ class TestEndToEndRunner:
         assert result.predictions_rows > 0
         assert 0.0 <= result.ml_metrics["auc_roc"] <= 1.0
 
+    def test_full_pipeline_from_ingest(self, spark, tmp_path):
+        """Ingest→bronze→silver→gold from a transport-stubbed fetch: the
+        runner's task-1 analog writes the raw dict as ONE blob (the S2
+        write side, cloud_function/main.py:83-89) and the rest of the
+        chain consumes it from storage."""
+        import json
+
+        from .fixture_data import feature_collection
+
+        bronze = tmp_path / "lake" / "bronze" / "raw_earthquakes.json"
+        result = run_pipeline(
+            spark,
+            str(bronze),
+            str(tmp_path / "lake"),
+            train_model=False,
+            fetch=feature_collection,  # the transport seam, stubbed
+        )
+        # the blob is a single JSON document, exactly what fetch returned
+        blob = json.loads(bronze.read_text())
+        assert blob["type"] == "FeatureCollection"
+        assert len(blob["features"]) == len(feature_collection()["features"])
+        assert result.silver_rows == len(EXPECTED_VALID_IDS)
+        assert result.gold_tables["fact_earthquake_events"] == result.silver_rows
+
+    def test_ingest_is_idempotent_overwrite(self, tmp_path):
+        from .fixture_data import feature_collection
+
+        from etl_earthquake_gcp_spark.pipeline.ingest import ingest_to_bronze
+
+        p = str(tmp_path / "bronze" / "raw.json")
+        n1 = ingest_to_bronze(feature_collection, p)
+        n2 = ingest_to_bronze(feature_collection, p)  # overwrite, same count
+        assert n1 == n2 == len(feature_collection()["features"])
+
     def test_ndjson_variant(self, spark, tmp_path):
         path = write_ndjson(str(tmp_path / "bronze.ndjson"))
         df = bronze_to_silver(read_geojson(spark, path, multiline=False))

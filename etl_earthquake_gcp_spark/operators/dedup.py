@@ -77,33 +77,59 @@ def jaccard_pairs_inverted(docs: DataFrame, threshold: float = 0.8) -> DataFrame
 def doc_bitmasks(docs: DataFrame, tids: DataFrame | None = None) -> DataFrame:
     """(doc_id, mask): the document's distinct-token set as a BIGINT bitmask.
 
-    Requires vocabulary ≤ 64 tokens (caller checks). Dictionary join is
-    broadcast; the mask aggregation is a single partial-agg shuffle on doc_id.
-    Pass precomputed ``tids`` (doc_id, tid) to share one tokenize+dictionary
-    pass with other operators over the same corpus.
+    Requires vocabulary ≤ 64 tokens — ENFORCED here: a larger vocabulary
+    would wrap shiftleft's shift amount mod 64 and silently alias bit
+    positions, so both paths fail loudly instead (use
+    ``minhash_band_pairs_open`` for open vocabularies).
+
+    Default path: the ≤64-token dictionary is collected to the driver (the
+    broadcast-variable pattern — KB-scale by contract) and baked into the
+    plan as a token→bit-literal map, so the mask is ONE fold over the
+    token array per row: a single scan + one partial-agg-free projection,
+    no explode, no global dictionary sort, no join. Bit ids equal the
+    rank in token sort order — identical to ``token_dictionary`` and the
+    DuckDB oracles. Pass precomputed ``tids`` (doc_id, tid) to reuse an
+    existing dictionary encoding instead (one doc_id shuffle).
     """
-    if tids is None:
-        tok = tokenize_distinct(docs)
-        vocab = token_dictionary(tok)
-        tids = tok.join(F.broadcast(vocab), "token")
-    return (
-        tids.groupBy("doc_id")
-        .agg(
-            # shiftleft with a *column* shift needs the SQL form (the Python
-            # API only accepts a literal bit count). Spark wraps shift
-            # amounts mod 64, so a >64-token vocabulary would silently
-            # alias bit positions — assert_true turns that into a loud
-            # runtime error instead (use minhash_band_pairs_open there).
-            F.sum(
-                F.expr(
-                    "CASE WHEN assert_true(tid < 64, 'doc_bitmasks requires a"
-                    " <=64-token vocabulary; use minhash_band_pairs_open for"
-                    " open vocabularies') IS NULL"
-                    " THEN shiftleft(CAST(1 AS BIGINT), CAST(tid AS INT)) END"
-                )
-            ).alias("mask")
+    if tids is not None:
+        return (
+            tids.groupBy("doc_id")
+            .agg(
+                # shiftleft with a *column* shift needs the SQL form (the
+                # Python API only accepts a literal bit count); assert_true
+                # makes >=64 a runtime error, not a silent wrap
+                F.sum(
+                    F.expr(
+                        "CASE WHEN assert_true(tid < 64, 'doc_bitmasks"
+                        " requires a <=64-token vocabulary; use"
+                        " minhash_band_pairs_open for open vocabularies')"
+                        " IS NULL"
+                        " THEN shiftleft(CAST(1 AS BIGINT), CAST(tid AS INT))"
+                        " END"
+                    )
+                ).alias("mask")
+            )
         )
+    tokens = sorted(
+        r.token for r in tokenize_distinct(docs).select("token").distinct().collect()
     )
+    if len(tokens) > 64:
+        raise ValueError(
+            f"doc_bitmasks requires a <=64-token vocabulary, got {len(tokens)};"
+            " use minhash_band_pairs_open for open vocabularies"
+        )
+    # bit 63 is the sign bit: 1 << 63 exceeds max long, its two's-complement
+    # value is min-long
+    bit = {t: (1 << i) if i < 63 else -(1 << 63) for i, t in enumerate(tokens)}
+    bit_map = F.create_map(
+        *[x for t in tokens for x in (F.lit(t), F.lit(bit[t]).cast("long"))]
+    )
+    mask = F.aggregate(
+        F.array_distinct(F.split(F.col("text"), " ")),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc.bitwiseOR(F.element_at(bit_map, t)),
+    )
+    return docs.select("doc_id", mask.alias("mask"))
 
 
 def jaccard_pairs_bitmask(docs: DataFrame, threshold: float = 0.8) -> DataFrame:

@@ -586,3 +586,46 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "bucketed_join_orders_customer",
+    oracle="""
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """,
+    doc="co-located join over BUCKETED tables (SURVEY §4's write-time "
+    "shuffle): both sides are materialized with bucketBy(8, custkey) + "
+    "sortBy, so the join reads matching buckets directly and plans with "
+    "NO join-time Exchange — the per-query shuffle is paid once at write "
+    "time, the amortization pattern for a fact table joined on one key "
+    "by many queries at 100 TB. Oracle = the plain join on the raw "
+    "parquet (bucketing must not change results). Exchange elimination "
+    "pinned in tests/test_physical_strategies.py.",
+)
+def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bucketing import bucketed_pair
+
+    orders, customer = bucketed_pair(
+        spark,
+        sf_dir,
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        "orders",
+        "customer",
+        "o_custkey",
+        "c_custkey",
+        n_buckets=8,
+    )
+    return (
+        orders.hint("merge")
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

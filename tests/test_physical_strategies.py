@@ -102,3 +102,23 @@ def test_deterministic_sample_is_scan_side_filter(spark):
     """the hash-sample filter must reach the scan: no exchange at all."""
     plan = _plan(spark, "deterministic_hash_sample")
     assert "Exchange" not in plan, plan
+
+
+def test_bucketed_join_has_no_join_time_exchange(spark, tmp_path):
+    """bucketBy moves the join shuffle to write time: the sort-merge join
+    over two same-bucket-count tables must read bucketed scans directly —
+    the only Exchange left in the plan is the post-join groupBy."""
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    df = QUERIES["bucketed_join_orders_customer"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    df.collect()
+    # AQE's toString prints Final + Initial sections; pin the final one
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final
+    # one Exchange for the final groupBy, none feeding the join
+    assert final.count("Exchange hashpartitioning") == 1
+    # both sides read bucket-layout-aware scans
+    assert final.count("Bucketed: true") == 2

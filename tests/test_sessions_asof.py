@@ -134,3 +134,42 @@ def test_asof_single_shuffle_plan(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_asof_null_value_column_stays_on_same_row(spark):
+    """A NULL in one right value column must NOT fall back to an older
+    right row while sibling columns come from the newer one (the struct
+    fill guarantees one coherent right row per match)."""
+    left = spark.createDataFrame(
+        [(100, 1, 2000)], "event_id long, user_id long, t_ms long"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 500, 10, 1.0),
+            (1, 1000, 11, None),  # newest match carries NULL click_value
+        ],
+        "user_id long, t_ms long, click_id long, click_value double",
+    )
+    row = asof_join(
+        left, right, "user_id", "t_ms", ["click_id", "click_value"], "click_id"
+    ).collect()[0]
+    # both columns from the t=1000 row: value NULL, NOT 1.0 from t=500
+    assert (row.asof_click_id, row.asof_click_value) == (11, None)
+
+
+def test_asof_nearest_null_value_column_same_row(spark):
+    from etl_earthquake_gcp_spark.operators.asof import asof_nearest_join
+
+    left = spark.createDataFrame(
+        [(100, 1, 2000)], "event_id long, user_id long, t_ms long"
+    )
+    right = spark.createDataFrame(
+        [(1, 500, 10, 1.0), (1, 1900, 11, None)],
+        "user_id long, t_ms long, click_id long, click_value double",
+    )
+    row = asof_nearest_join(
+        left, right, "user_id", "t_ms", ["click_id", "click_value"],
+        "click_id", tolerance_ms=10_000,
+    ).collect()[0]
+    assert (row.nearest_click_id, row.nearest_click_value) == (11, None)
+    assert row.nearest_dist_ms == 100 and row.nearest_dir == "prev"

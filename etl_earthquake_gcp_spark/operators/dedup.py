@@ -44,13 +44,58 @@ def token_dictionary(tok: DataFrame) -> DataFrame:
 
     The global row_number window is safe because vocabularies are orders of
     magnitude smaller than the corpus (they get broadcast); for open-web
-    vocabularies swap in ``F.xxhash64(token)`` ids (no dictionary needed).
+    vocabularies use :func:`token_dictionary_distributed` (same ids, no
+    single-partition sort) or skip dictionaries entirely
+    (:func:`shingle_tids` / ``F.xxhash64(token)`` ids).
     """
     w = Window.orderBy("token")
     return (
         tok.select("token")
         .distinct()
         .withColumn("tid", (F.row_number().over(w) - 1).cast("long"))
+    )
+
+
+def token_dictionary_distributed(tok: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """``token_dictionary`` for OPEN vocabularies — identical ids, no
+    single-partition sort.
+
+    Classic distributed dense-rank: range-partition the distinct tokens,
+    rank within each partition, add per-partition offsets (a driver-side
+    map of ``n_parts`` counts — KB-scale). The global id equals the
+    token's rank in total sort order REGARDLESS of where the sampled
+    range boundaries fall: offset(p) counts exactly the tokens in lower
+    ranges, so ids are deterministic run to run and bit-identical to
+    ``token_dictionary`` (asserted in tests) — the same DuckDB
+    ``row_number() OVER (ORDER BY token)`` oracle covers both.
+
+    The vocabulary is persisted between the two passes (offset count +
+    final ranking) so both see one consistent partition assignment; the
+    cache is vocabulary-sized, released by the caller/bench clearCache.
+    """
+    spark = tok.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    parts = (
+        tok.select("token")
+        .distinct()
+        .repartitionByRange(n_parts, "token")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {r.pid: r.n for r in parts.groupBy("pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_map = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("pid").orderBy("token")
+    return parts.select(
+        "token",
+        (F.element_at(off_map, F.col("pid")) + F.row_number().over(w) - 1)
+        .cast("long")
+        .alias("tid"),
     )
 
 
@@ -665,8 +710,12 @@ def minhash_band_pairs_open(
     """
     r = n_hashes // n_bands
     if tids is None:
-        vocab = token_dictionary(tok)
-        tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid")
+        # open vocabulary ⇒ the dictionary must not bottleneck either: the
+        # distributed dense-rank builds identical ids without the global
+        # single-partition sort, and the encode join is left to AQE (auto-
+        # broadcast when the vocabulary is small, shuffle join when not)
+        vocab = token_dictionary_distributed(tok)
+        tids = tok.join(vocab, "token").select("doc_id", "tid")
     coeffs = minhash_coeffs(n_hashes, seed)
     mins = [
         F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")

@@ -52,7 +52,8 @@ _DRIVER_PRIORITY = [
     "multimodal_decode_features", "multimodal_frame_sample",
     # round-2 additions / upgraded oracles (56+)
     "simhash_near_pairs", "minhash_word_generic_near_dup",
-    "equidepth_histogram_approx",
+    "equidepth_histogram_approx", "bucketed_join_orders_customer",
+    "minhash_open_vocab_near_dup", "pack_sequences_by_budget",
 ]
 
 

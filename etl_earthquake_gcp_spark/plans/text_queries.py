@@ -383,6 +383,28 @@ def minhash_word_generic_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "minhash_open_vocab_near_dup",
+    # same semantics again → same oracle (triple differential)
+    oracle=minhash_oracle_sql(n_hashes=16, n_bands=4, threshold=0.8, seed=42),
+    doc="the fully OPEN-vocabulary word path: distributed dense-rank "
+    "dictionary (token_dictionary_distributed — range partition + "
+    "per-partition offsets, NO single-partition sort; ids bit-identical "
+    "to the global-sort dictionary), AQE-decided encode join, fused "
+    "signature+posting-array groupBy, array_intersect verify "
+    "(minhash_band_pairs_open). Every stage is shuffle-parallel even "
+    "when the vocabulary itself is corpus-scale — the construction that "
+    "replaces the broadcast-dictionary assumption at 100 TB.",
+)
+def minhash_open_vocab_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_band_pairs_open, tokenize_distinct
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_band_pairs_open(
+        tok=tokenize_distinct(d), n_hashes=16, n_bands=4, threshold=0.8, seed=42
+    )
+
+
+@register(
     "minhash_shingle_near_dup",
     oracle=minhash_shingle_oracle_sql(
         k=4, n_hashes=16, n_bands=4, threshold=0.8, seed=42
@@ -735,3 +757,64 @@ def containment_subset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return containment_pairs_bitmask(d, threshold=1.0)
+
+
+_PACK_BUDGET = 256  # tokens per packed training sequence (multi-bin even at sf0.01)
+
+
+@register(
+    "pack_sequences_by_budget",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM t
+        )
+        SELECT source,
+               -- // : DuckDB floor division (CAST(x/y AS BIGINT) ROUNDS)
+               CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM c
+        GROUP BY 1, 2
+    """,
+    doc=f"sequence packing for training shards (tier-4 prep): greedy "
+    f"sequential packing of documents into ~{_PACK_BUDGET}-token bins per "
+    "source — running token count over a deterministic (source, doc_id) "
+    "order, bin id = prior-cumsum div budget. One window pass over one "
+    "source-partitioned exchange + a partial agg; at 100 TB each source "
+    "shard packs independently (the window key IS the shard key), so "
+    "packing parallelizes across shards with no global coordination.",
+)
+def pack_sequences_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    c = d.select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.groupBy(
+            "source",
+            F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_BUDGET)
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )

@@ -59,3 +59,22 @@ def test_salted_join_rejects_outer_joins(spark):
         salted_join(big, small, "k", how="full")
     # allowed types still work
     assert salted_join(big, small, "k", how="left_semi").count() == 3
+
+
+def test_distributed_dictionary_ids_match_global_sort(spark):
+    """token_dictionary_distributed must produce BIT-IDENTICAL ids to the
+    single-partition token_dictionary (global rank is invariant to where
+    the sampled range boundaries fall), so both share one oracle."""
+    from etl_earthquake_gcp_spark.operators.dedup import (
+        token_dictionary,
+        token_dictionary_distributed,
+        tokenize_distinct,
+    )
+    from etl_earthquake_gcp_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    tok = tokenize_distinct(docs)
+    a = {r.token: r.tid for r in token_dictionary(tok).collect()}
+    b = {r.token: r.tid for r in token_dictionary_distributed(tok, n_parts=7).collect()}
+    assert a == b and len(a) > 0
+    spark.catalog.clearCache()

@@ -54,6 +54,7 @@ _DRIVER_PRIORITY = [
     "simhash_near_pairs", "minhash_word_generic_near_dup",
     "equidepth_histogram_approx", "bucketed_join_orders_customer",
     "minhash_open_vocab_near_dup", "pack_sequences_by_budget",
+    "decontaminate_ngram_overlap", "quality_filter_verdicts",
 ]
 
 

@@ -818,3 +818,114 @@ def pack_sequences_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("bin_tokens"),
         )
     )
+
+
+_DECON_N = 5  # n-gram width for decontamination overlap (corpus docs are short)
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - {_DECON_N - 1}, 1)),
+                       i -> array_to_string(list_slice(t, i, i + {_DECON_N - 1}), ' ')
+                   ))) AS gram
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0
+        ), hits AS (
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_overlapping
+            FROM grams g JOIN bench USING (gram)
+            WHERE g.doc_id % 50 <> 0
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_overlapping, 0) AS n_overlapping,
+               coalesce(h.n_overlapping, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 50 <> 0
+    """,
+    doc=f"benchmark decontamination via {_DECON_N}-gram overlap (the GPT-3 "
+    "method's shape): the held-out set's distinct n-grams (every 50th doc "
+    "as a stand-in benchmark) are semi-joined against the training "
+    "corpus's n-grams; any shared gram marks the doc contaminated. "
+    "Sliding n-grams are pure array expressions (sequence → slice → "
+    "join); the benchmark gram set is dimension-sized, so at 100 TB it "
+    "broadcasts (or Bloom-prefilters, see bloom_prefilter_semi_join) and "
+    "the corpus side stays scan-shaped — one explode + one partial-agg "
+    "per doc, no corpus-wide shuffle on raw text.",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    gen = (
+        f"array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - {_DECON_N - 1}, 1)),"
+        f" i -> array_join(slice(split(text, ' '), i, {_DECON_N}), ' ')))"
+    )
+    grams = d.select("doc_id", F.explode(F.expr(gen)).alias("gram"))
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlapping"))
+    )
+    return (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlapping", F.lit(0)).alias("n_overlapping"),
+            (F.coalesce("n_overlapping", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "quality_filter_verdicts",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, text, string_split(text, ' ') AS toks,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN {_STOPWORDS!r})) AS n_stop
+            FROM documents
+        ), v AS (
+            SELECT source,
+                   CASE WHEN len(toks) < 20 THEN 'too_short'
+                        WHEN length(text) * 1.0 / len(toks) > 9.0
+                             THEN 'tokens_too_long'
+                        WHEN n_stop * 1.0 / len(toks) < 0.02 THEN 'low_stopword'
+                        ELSE 'keep' END AS verdict
+            FROM t
+        )
+        SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs
+        FROM v GROUP BY 1, 2
+    """,
+    doc="the quality-filter decision stage: rule ladder (length, average "
+    "token length, stopword ratio — C4/Gopher-style heuristics) to a "
+    "keep/drop verdict with a reason, aggregated per source. Single scan "
+    "+ one group-cell-sized shuffle; rules are pure Catalyst CASE "
+    "expressions, so at 100 TB this is scan-bound and the verdict "
+    "distribution doubles as the filter's monitoring dashboard.",
+)
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    verdict = (
+        F.when(F.size(toks) < 20, F.lit("too_short"))
+        .when(F.length("text") * F.lit(1.0) / F.size(toks) > 9.0, F.lit("tokens_too_long"))
+        .when(n_stop * F.lit(1.0) / F.size(toks) < 0.02, F.lit("low_stopword"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        d.select("source", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -97,11 +97,12 @@ def clean_and_type(flat: DataFrame) -> DataFrame:
     )
 
 
-def validate(typed: DataFrame) -> DataFrame:
-    """Range/null validation (P6; b2s.py:103-109): magnitude ∈ [-2,10],
-    lat ∈ [-90,90], lon ∈ [-180,180], depth ∈ [0,1000), non-null id/ts."""
+def validity_condition() -> F.Column:
+    """The P6 validity predicate as a reusable Column — shared by the
+    filter and the runner's Observation metrics (so the drop-rate is
+    counted inside the same action that writes silver, no second scan)."""
     c = F.col
-    return typed.filter(
+    return (
         c("event_id").isNotNull()
         & c("event_timestamp_utc").isNotNull()
         & c("magnitude").isNotNull()
@@ -114,6 +115,12 @@ def validate(typed: DataFrame) -> DataFrame:
         & (c("depth_km") >= 0)
         & (c("depth_km") < 1000)
     )
+
+
+def validate(typed: DataFrame) -> DataFrame:
+    """Range/null validation (P6; b2s.py:103-109): magnitude ∈ [-2,10],
+    lat ∈ [-90,90], lon ∈ [-180,180], depth ∈ [0,1000), non-null id/ts."""
+    return typed.filter(validity_condition())
 
 
 def dedup_latest_update(validated: DataFrame) -> DataFrame:

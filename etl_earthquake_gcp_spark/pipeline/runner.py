@@ -16,11 +16,17 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..ml.tsunami import train_tsunami_model
 from ..sources.geojson import read_geojson
 from ..sources.writers import read_table, write_table
-from .bronze_to_silver import bronze_to_silver
+from .bronze_to_silver import (
+    bronze_to_silver,
+    clean_and_type,
+    flatten_features,
+    validity_condition,
+)
 from .ingest import ingest_to_bronze
 from .silver_to_gold import silver_to_gold
 
@@ -33,6 +39,9 @@ class PipelineResult:
     gold_tables: dict[str, int] = field(default_factory=dict)
     ml_metrics: dict[str, float] = field(default_factory=dict)
     predictions_rows: int = 0
+    # data-quality metrics from the bronze→silver stage: flattened feature
+    # count + validity-pass count (drop rate = 1 - n_valid/n_flattened)
+    observed: dict[str, int] = field(default_factory=dict)
 
 
 def run_pipeline(
@@ -59,13 +68,29 @@ def run_pipeline(
 
     # -- task 2 analog: bronze → silver -------------------------------------
     bronze = read_geojson(spark, bronze_path, multiline=multiline)
-    silver = bronze_to_silver(bronze)
     # empty-input guard (S4) without the RDD hop; checked on the flattened
     # frame because a FeatureCollection with features=[] still reads as one
     # bronze row
+    silver = bronze_to_silver(bronze)
     if silver.isEmpty():
         logger.warning("bronze layer empty; nothing to process")
         return result
+    # data-quality metrics (flattened vs validity-passing counts) in one
+    # edge-sized aggregate over the typed frame. Deliberately NOT
+    # df.observe: Spark 4.1's Observation leaves the session's
+    # ObservationManager in later RDD closures (MLlib evaluators die with
+    # 'Task not serializable' after ANY observe in the session), so the
+    # explicit aggregate is the robust form; bronze is one blob, the
+    # second scan is edge-sized.
+    typed = clean_and_type(flatten_features(bronze))
+    qrow = typed.agg(
+        F.count(F.lit(1)).alias("n_flattened"),
+        F.count_if(validity_condition()).alias("n_valid"),
+    ).collect()[0]
+    result.observed = {
+        "n_flattened": int(qrow.n_flattened),
+        "n_valid": int(qrow.n_valid),
+    }
     silver_path = f"{out_dir}/silver/earthquakes_cleaned"
     # partitioned by (year, month) for downstream partition pruning
     # (b2s.py:146); overwrite keeps the stage idempotent

@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = [
     "equidepth_histogram_approx", "bucketed_join_orders_customer",
     "minhash_open_vocab_near_dup", "pack_sequences_by_budget",
     "decontaminate_ngram_overlap", "quality_filter_verdicts",
+    "variant_extract_props", "recursive_event_chains",
 ]
 
 

@@ -792,3 +792,55 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_estimate(regs)
     true = ev.agg(F.count_distinct("user_id").alias("true_distinct"))
     return est.crossJoin(F.broadcast(true))
+
+
+_CHAIN_GAP_MS = 2 * 3600 * 1000  # follow next event within 2h
+_CHAIN_MAX_DEPTH = 20  # identical truncation on both engines
+
+
+def _chain_sql(epoch_fn: str) -> str:
+    """Shared recursive-CTE text; only the epoch-millis function differs
+    (Spark ``unix_millis`` / DuckDB ``epoch_ms``)."""
+    return f"""
+        WITH RECURSIVE nxt AS (
+            SELECT event_id, user_id, {epoch_fn}(ts) AS t,
+                   lag({epoch_fn}(ts)) OVER w AS prev_t,
+                   CASE WHEN lead({epoch_fn}(ts)) OVER w - {epoch_fn}(ts)
+                             <= {_CHAIN_GAP_MS}
+                        THEN lead(event_id) OVER w END AS next_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), chain(start_id, cur_id, depth) AS (
+            SELECT event_id, event_id, 0
+            FROM nxt WHERE prev_t IS NULL OR t - prev_t > {_CHAIN_GAP_MS}
+            UNION ALL
+            SELECT c.start_id, n.next_id, c.depth + 1
+            FROM chain c JOIN nxt n ON c.cur_id = n.event_id
+            WHERE n.next_id IS NOT NULL AND c.depth < {_CHAIN_MAX_DEPTH}
+        )
+        SELECT CAST(max_depth + 1 AS BIGINT) AS chain_len,
+               CAST(count(*) AS BIGINT) AS n_chains
+        FROM (SELECT start_id, max(depth) AS max_depth
+              FROM chain GROUP BY start_id)
+        GROUP BY 1
+    """
+
+
+@register(
+    "recursive_event_chains",
+    oracle=_chain_sql("epoch_ms"),
+    doc="pointer-chasing recursion with Spark 4's WITH RECURSIVE (UNION "
+    "ALL form): per-user next-event links are precomputed with one lead() "
+    "window pass (the acyclic pointer table), then the recursive member "
+    "follows links from each chain anchor (first event after a >2h gap), "
+    "depth-capped identically on both engines. Chain-length distribution "
+    "out. The recursion is a co-partitioned self-join per level keyed on "
+    "event ids — each level is one shuffle-bounded step, and depth, not "
+    "data size, bounds the level count. Same SQL text as the DuckDB "
+    "oracle modulo the epoch function.",
+)
+def recursive_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_chain_sql("unix_millis"))

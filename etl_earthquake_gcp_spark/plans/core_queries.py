@@ -747,3 +747,38 @@ def tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "variant_extract_props",
+    # same oracle shape as json_extract_props — VARIANT must not change results
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS max_k
+        FROM events
+        GROUP BY 1
+    """,
+    doc="semi-structured access through Spark 4's VARIANT type: parse_json "
+    "once into a binary variant, variant_get typed paths after — the "
+    "modern replacement for repeated get_json_object string re-parses "
+    "(each get_json_object re-tokenizes the JSON text; a variant parses "
+    "once and serves every path from the binary encoding). Differential "
+    "twin of json_extract_props' capability class; oracle via DuckDB "
+    "json_extract_string.",
+)
+def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

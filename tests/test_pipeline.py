@@ -193,6 +193,19 @@ class TestEndToEndRunner:
         assert result.gold_tables["dim_magnitude"] == 8
         assert result.predictions_rows > 0
         assert 0.0 <= result.ml_metrics["auc_roc"] <= 1.0
+        # quality metrics from the bronze→silver stage: every fixture
+        # feature flattens to one row; the ev_bad/ev_null/ev_negdepth
+        # rejects fail validation; the remainder includes the duplicate
+        # revision collapsed later by dedup
+        from .fixture_data import FEATURES
+
+        n_rejects = sum(
+            f["id"].startswith(("ev_bad", "ev_null", "ev_negdepth"))
+            for f in FEATURES
+        )
+        assert result.observed["n_flattened"] == len(FEATURES)
+        assert result.observed["n_valid"] == len(FEATURES) - n_rejects
+        assert result.observed["n_valid"] > len(EXPECTED_VALID_IDS)  # dup revision
 
     def test_full_pipeline_from_ingest(self, spark, tmp_path):
         """Ingest→bronze→silver→gold from a transport-stubbed fetch: the

@@ -24,7 +24,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BooleanType,
@@ -132,8 +134,78 @@ class _GeoJsonStreamReader(DataSourceStreamReader):
         pass
 
 
+def _unflatten(row) -> dict:
+    """Inverse of :func:`_flatten`: an EVENT_SCHEMA row back to a GeoJSON
+    feature (the blob layout cloud_function/main.py writes)."""
+    return {
+        "id": row.event_id,
+        "properties": {
+            "mag": row.magnitude,
+            "place": row.place,
+            "time": row.time_ms,
+            "updated": row.updated_ms,
+            "tsunami": 1 if row.tsunami_warning else 0,
+        },
+        "geometry": {
+            "coordinates": [row.longitude, row.latitude, row.depth_km]
+        },
+    }
+
+
+class _PartFile(WriterCommitMessage):
+    def __init__(self, part_path: str):
+        self.part_path = part_path
+
+
+class _GeoJsonBatchWriter(DataSourceWriter):
+    """The S2 WRITE protocol as a pluggable sink: every task writes its
+    features to a part file next to the target (shared storage — the same
+    assumption every file sink makes), and the driver-side ``commit``
+    merges them into ONE FeatureCollection blob, matching the reference's
+    single-object bronze layout (cloud_function/main.py:83-89). Commit is
+    all-or-nothing: part files only become the blob after every task
+    succeeded; ``abort`` removes the orphans."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        part = f"{self.path}.part-{uuid.uuid4().hex}"
+        parent = os.path.dirname(part)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(part, "w") as fh:
+            json.dump([_unflatten(r) for r in iterator], fh)
+        return _PartFile(part)
+
+    def commit(self, messages):
+        import os
+
+        features: list[dict] = []
+        for m in messages:
+            with open(m.part_path) as fh:
+                features.extend(json.load(fh))
+            os.remove(m.part_path)
+        doc = {"type": "FeatureCollection", "features": features}
+        with open(self.path, "w") as fh:
+            json.dump(doc, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.part_path)
+            except OSError:
+                pass
+
+
 class UsgsGeoJsonDataSource(DataSource):
-    """``spark.read.format("usgs_geojson").option("path", ...)`` source."""
+    """``spark.read.format("usgs_geojson").option("path", ...)`` source /
+    ``df.write.format("usgs_geojson").option("path", ...)`` sink."""
 
     @classmethod
     def name(cls) -> str:
@@ -147,6 +219,9 @@ class UsgsGeoJsonDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _GeoJsonStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _GeoJsonBatchWriter(self.options)
 
 
 def register(spark) -> None:

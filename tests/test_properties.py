@@ -1,0 +1,140 @@
+"""Property-based differential tests (hypothesis) — SURVEY §5's randomized
+layer: each operator is checked against a brute-force Python oracle on
+arbitrary small inputs, catching edge shapes the fixed fixtures miss
+(empty docs, all-identical corpora, single-user streams, tie storms).
+
+Spark jobs are slow, so examples are few but adversarially shrunk by
+hypothesis on failure; deadlines are off (JVM warmup would trip them).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_earthquake_gcp_spark.operators.asof import asof_join
+from etl_earthquake_gcp_spark.operators.dedup import (
+    jaccard_pairs_bitmask,
+    jaccard_pairs_inverted,
+)
+from etl_earthquake_gcp_spark.operators.sessions import sessionize
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# documents: 1-8 docs over a tiny closed vocabulary (≤10 tokens → far under
+# the 64-bit mask limit), repetition encouraged so identical token sets occur
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from([f"t{i}" for i in range(10)]), min_size=1, max_size=6
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _brute_jaccard_pairs(texts: list[str], threshold: float) -> set[tuple]:
+    out = set()
+    sets = [frozenset(t.split(" ")) for t in texts]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= threshold:
+                out.add((i, j, round(inter / union, 4)))
+    return out
+
+
+@_SETTINGS
+@given(texts=_doc_texts, threshold=st.sampled_from([0.5, 0.8, 1.0]))
+def test_jaccard_bitmask_equals_inverted_equals_brute(spark, texts, threshold):
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    expected = _brute_jaccard_pairs(texts, threshold)
+    got_mask = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs_bitmask(docs, threshold=threshold).collect()
+    }
+    got_inv = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs_inverted(docs, threshold=threshold).collect()
+    }
+    assert got_mask == expected
+    assert got_inv == expected
+    spark.catalog.clearCache()
+
+
+# as-of: small integer timelines with deliberate collisions (0-5 range)
+_asof_frames = st.tuples(
+    st.lists(st.integers(0, 5), min_size=1, max_size=6),  # left times
+    st.lists(  # right rows: (time, value)
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=0,
+        max_size=6,
+    ),
+)
+
+
+@_SETTINGS
+@given(frames=_asof_frames)
+def test_asof_join_matches_brute_force(spark, frames):
+    lts, rrows = frames
+    left = spark.createDataFrame(
+        [(i, 1, t) for i, t in enumerate(lts)],
+        "event_id long, user_id long, t_ms long",
+    )
+    right = spark.createDataFrame(
+        [(1, t, i, v) for i, (t, v) in enumerate(rrows)],
+        "user_id long, t_ms long, click_id long, v long",
+    )
+    got = {
+        r.event_id: (r.asof_click_id, r.asof_v)
+        for r in asof_join(
+            left, right, "user_id", "t_ms", ["click_id", "v"], "click_id"
+        ).collect()
+    }
+    for i, t in enumerate(lts):
+        # brute force: all right rows at-or-before t; (time, tie) max wins
+        cands = [(rt, ci, v) for ci, (rt, v) in enumerate(rrows) if rt <= t]
+        if cands:
+            rt, ci, v = max(cands, key=lambda c: (c[0], c[1]))
+            assert got[i] == (ci, v)
+        else:
+            assert got[i] == (None, None)
+
+
+@_SETTINGS
+@given(
+    times=st.lists(st.integers(0, 50), min_size=1, max_size=12),
+    gap=st.sampled_from([5, 10]),
+)
+def test_sessionize_matches_brute_force(spark, times, gap):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, base + dt.timedelta(seconds=t), 1.0)
+        for i, t in enumerate(sorted(times))
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = sorted(
+        (r.session_id, r.n_events)
+        for r in sessionize(events, gap_ms=gap * 1000).collect()
+    )
+    # brute force: a gap >= `gap` seconds starts a new session
+    ordered = sorted(times)
+    sizes, cur = [], 1
+    for a, b in zip(ordered, ordered[1:]):
+        if b - a >= gap:
+            sizes.append(cur)
+            cur = 1
+        else:
+            cur += 1
+    sizes.append(cur)
+    assert got == [(i + 1, n) for i, n in enumerate(sizes)]

@@ -65,3 +65,27 @@ def test_stream_read_delivers_all_features(spark, tmp_path):
     got = spark.table("usgs_stream_test")
     assert got.count() == len(FEATURES)
     assert got.filter(F.col("event_id") == "ev_m80").count() == 1
+
+
+def test_write_roundtrip_single_blob(spark, tmp_path):
+    """S2 write side via the DataSource API: read → write → read parity,
+    and the sink's output is ONE FeatureCollection blob (the reference's
+    bronze layout), not a part-file directory."""
+    import json
+
+    usgs_source.register(spark)
+    src = write_geojson(str(tmp_path / "in.json"))
+    df = spark.read.format("usgs_geojson").option("path", src).load()
+
+    out = str(tmp_path / "out" / "raw_earthquakes.json")
+    df.write.format("usgs_geojson").option("path", out).mode("append").save()
+
+    blob = json.loads(open(out).read())
+    assert blob["type"] == "FeatureCollection"
+    assert len(blob["features"]) == len(FEATURES)
+    assert not [p for p in (tmp_path / "out").iterdir() if "part-" in p.name]
+
+    back = spark.read.format("usgs_geojson").option("path", out).load()
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b

@@ -364,6 +364,13 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_sum"))
         )
+        # NOTE on lineage: iteration k's plan nests the earlier iterations'
+        # joins. For the fixed 3 rounds here that tree is bounded and the
+        # per-round frames are node-sized, so nesting is cheaper than
+        # truncation — df.localCheckpoint (even eager=False) compiles the
+        # plan to an RDD at CALL time, which costs more wall-clock than it
+        # saves at this depth. Data-dependent iteration counts (graph.py)
+        # DO truncate per round.
         ranks = vertices.join(
             contrib, vertices.id == contrib.dst, "left"
         ).select(

@@ -802,14 +802,17 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CHAIN_GAP_MS = 2 * 3600 * 1000  # follow next event within 2h
-_CHAIN_MAX_DEPTH = 20  # identical truncation on both engines
+_CHAIN_MAX_DEPTH = 8  # identical truncation on both engines; each level
+# is one materialized join pass in Spark's recursion, so depth — not data
+# size — dominates cost: keep it at the funnel horizon actually needed
 
 
-def _chain_sql(epoch_fn: str) -> str:
+def _chain_sql(epoch_fn: str, inline_nxt: bool = True) -> str:
     """Shared recursive-CTE text; only the epoch-millis function differs
-    (Spark ``unix_millis`` / DuckDB ``epoch_ms``)."""
-    return f"""
-        WITH RECURSIVE nxt AS (
+    (Spark ``unix_millis`` / DuckDB ``epoch_ms``). ``inline_nxt=False``
+    drops the pointer-table CTE and references a pre-materialized ``nxt``
+    view instead (Spark side — see recursive_event_chains)."""
+    nxt_cte = f"""nxt AS (
             SELECT event_id, user_id, {epoch_fn}(ts) AS t,
                    lag({epoch_fn}(ts)) OVER w AS prev_t,
                    CASE WHEN lead({epoch_fn}(ts)) OVER w - {epoch_fn}(ts)
@@ -817,7 +820,9 @@ def _chain_sql(epoch_fn: str) -> str:
                         THEN lead(event_id) OVER w END AS next_id
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ), chain(start_id, cur_id, depth) AS (
+        ), """ if inline_nxt else ""
+    return f"""
+        WITH RECURSIVE {nxt_cte}chain(start_id, cur_id, depth) AS (
             SELECT event_id, event_id, 0
             FROM nxt WHERE prev_t IS NULL OR t - prev_t > {_CHAIN_GAP_MS}
             UNION ALL
@@ -847,7 +852,23 @@ def _chain_sql(epoch_fn: str) -> str:
     "oracle modulo the epoch function.",
 )
 def recursive_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.tables import register_views
+    from pyspark.sql import Window
 
-    register_views(spark, sf_dir)
-    return spark.sql(_chain_sql("unix_millis"))
+    # Spark INLINES non-recursive CTEs into every recursion level, so the
+    # lead/lag window over events would be recomputed ~depth times (600k-row
+    # windows x 20 levels measured in minutes at the 10x probe scale).
+    # Materialize the pointer table once (cached temp view); the recursive
+    # SQL then only joins against the cache per level.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_millis("ts")
+    nxt = ev.select(
+        "event_id",
+        t.alias("t"),
+        F.lag(t).over(w).alias("prev_t"),
+        F.when(
+            F.lead(t).over(w) - t <= _CHAIN_GAP_MS, F.lead("event_id").over(w)
+        ).alias("next_id"),
+    ).persist()
+    nxt.createOrReplaceTempView("nxt")
+    return spark.sql(_chain_sql("unix_millis", inline_nxt=False))

@@ -122,3 +122,41 @@ def test_bucketed_join_has_no_join_time_exchange(spark, tmp_path):
     assert final.count("Exchange hashpartitioning") == 1
     # both sides read bucket-layout-aware scans
     assert final.count("Bucketed: true") == 2
+
+
+def test_shingle_minhash_has_no_sortmerge_and_single_cache_build(spark):
+    """The fused shingle path: one cached per-doc aggregate feeds banding
+    and both verify sides; all joins resolve as broadcast at test scale
+    and the raw parquet is only scanned inside the cache build."""
+    df = QUERIES["minhash_shingle_near_dup"].spark_fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan  # the fused aggregate cache
+    spark.catalog.clearCache()
+
+
+def test_decontamination_benchmark_side_broadcasts(spark):
+    """The benchmark gram set must reach the corpus join as a broadcast —
+    a shuffle of corpus grams against it would be the 100 TB anti-shape."""
+    df = QUERIES["decontaminate_ngram_overlap"].spark_fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_equidepth_approx_has_no_global_sort(spark):
+    """The sketch-boundary path must not plan any sort at all (the exact
+    ntile form's single-partition global sort is what it replaces)."""
+    df = QUERIES["equidepth_histogram_approx"].spark_fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Sort " not in final
+    # the only single-partition exchange allowed is the constant-size
+    # percentile sketch-buffer merge (1 row of GK state), never row data
+    singles = final.count("Exchange SinglePartition")
+    assert singles <= 1
+    if singles:
+        after = final.split("Exchange SinglePartition", 1)[1]
+        assert "partial_percentile_approx" in after

@@ -51,7 +51,7 @@ _DRIVER_PRIORITY = [
     "ml_predictions", "ml_class_balance", "multimodal_meta_stats",
     "multimodal_decode_features", "multimodal_frame_sample",
     # round-2 additions / upgraded oracles (56+)
-    "simhash_near_pairs", "minhash_word_generic_near_dup",
+    "simhash_near_pairs", "minhash_grouped_mask_near_dup",
     "equidepth_histogram_approx", "bucketed_join_orders_customer",
     "minhash_open_vocab_near_dup", "pack_sequences_by_budget",
     "decontaminate_ngram_overlap", "quality_filter_verdicts",

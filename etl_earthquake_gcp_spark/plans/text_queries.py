@@ -352,34 +352,37 @@ def clean_corpus_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join → exact-Jaccard verify ≥0.8. Hashes are engine-portable BIGINT "
     "arithmetic, so even this approximate path is fully oracle-checked "
     "(minhash_oracle_sql builds the identical DuckDB pipeline). Runs the "
-    "distinct-mask fast path (minhash_band_pairs_grouped: banding and "
-    "candidate dedup in token-set space, ~2.7x faster; output "
-    "row-identical to the generic minhash_band_pairs, asserted in tests).",
+    "r2 fused doc-space path (minhash_band_pairs: ONE groupBy computes "
+    "signature + verify bitmask, xxhash64 band keys) — measured ~2x "
+    "faster than the r1 grouped mask-space rewrite, which stays "
+    "registered as minhash_grouped_mask_near_dup.",
     bench=True,
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return minhash_band_pairs_grouped(
-        d, n_hashes=16, n_bands=4, threshold=0.8, seed=42
-    )
-
-
-@register(
-    "minhash_word_generic_near_dup",
-    # identical semantics to minhash_lsh_near_dup → same oracle
-    oracle=minhash_oracle_sql(n_hashes=16, n_bands=4, threshold=0.8, seed=42),
-    doc="the GENERIC doc-space MinHash-LSH path (operators/dedup.py "
-    "minhash_band_pairs): one fused groupBy computes signature + verify "
-    "bitmask, xxhash64 band keys, bucket self-join, broadcast popcount "
-    "verify. Same oracle as the grouped mask-space fast path "
-    "(minhash_lsh_near_dup) — the differential pair certifies both "
-    "rewrites against one DuckDB pipeline.",
-)
-def minhash_word_generic_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_band_pairs
 
     d = load_table(spark, sf_dir, "documents")
     return minhash_band_pairs(d, n_hashes=16, n_bands=4, threshold=0.8, seed=42)
+
+
+@register(
+    "minhash_grouped_mask_near_dup",
+    # identical semantics to minhash_lsh_near_dup → same oracle
+    oracle=minhash_oracle_sql(n_hashes=16, n_bands=4, threshold=0.8, seed=42),
+    doc="the grouped MASK-SPACE MinHash-LSH rewrite (operators/dedup.py "
+    "minhash_band_pairs_grouped): banding and candidate dedup run over "
+    "distinct token-set masks (signatures derived from mask BITS), doc "
+    "pairs recovered by broadcast expansion. Wins when texts repeat "
+    "token sets heavily; on this corpus the fused doc-space path "
+    "(minhash_lsh_near_dup) is ~2x faster. Same oracle as that path — "
+    "the differential pair certifies both rewrites against one DuckDB "
+    "pipeline.",
+)
+def minhash_grouped_mask_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_band_pairs_grouped(
+        d, n_hashes=16, n_bands=4, threshold=0.8, seed=42
+    )
 
 
 @register(

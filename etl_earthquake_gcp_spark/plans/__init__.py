@@ -56,6 +56,8 @@ _DRIVER_PRIORITY = [
     "minhash_open_vocab_near_dup", "pack_sequences_by_budget",
     "decontaminate_ngram_overlap", "quality_filter_verdicts",
     "variant_extract_props", "recursive_event_chains",
+    "unigram_logprob_scores", "source_mixing_weights",
+    "select_top_quality_within_budget",
 ]
 
 

@@ -932,3 +932,165 @@ def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "verdict")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "unigram_logprob_scores",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), freq AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+        ), total AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(ln(f.n * 1.0 / total.n_total)) / count(*), 4)
+                   + 0.0 AS avg_logprob
+        FROM tok t
+        JOIN freq f USING (token)
+        CROSS JOIN total
+        GROUP BY t.doc_id
+    """,
+    doc="unigram language-model scoring — the perplexity-proxy quality "
+    "filter (KenLM-style pipelines score against a reference LM; the "
+    "self-corpus unigram model is the dependency-free analog): per-doc "
+    "mean log p(token) under corpus frequencies. The frequency table is "
+    "vocabulary-sized (broadcast back onto the token stream) and the "
+    "corpus total is one scalar — at 100 TB the scoring pass is "
+    "scan-shaped with a single (doc_id) partial agg. Low avg_logprob = "
+    "rare-token-heavy docs (OCR noise, boilerplate IDs) → drop "
+    "candidates.",
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.round(
+                    F.sum(F.log(F.col("n") * F.lit(1.0) / F.col("n_total")))
+                    / F.count("*"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+_MIX_TARGET_SHARE = 0.05  # uniform target: every source at 5% (20 sources)
+
+
+@register(
+    "source_mixing_weights",
+    oracle=f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1
+        ), total AS (
+            SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per
+        )
+        SELECT source, n_docs, n_tokens,
+               round(n_tokens * 1.0 / total.t, 6) AS actual_share,
+               round({_MIX_TARGET_SHARE} / (n_tokens * 1.0 / total.t), 4)
+                   AS sample_weight
+        FROM per CROSS JOIN total
+    """,
+    doc="domain-mixing weights: per-source token shares vs a target mix, "
+    "emitting the resampling weight (target/actual) each source needs — "
+    "the mixture-rebalancing step before training-shard construction. "
+    "One group-cell aggregate + a scalar broadcast; weights feed "
+    "sampleBy/deterministic_hash_sample as per-stratum rates.",
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").cast("long").alias("t"))
+    share = F.col("n_tokens") * F.lit(1.0) / F.col("t")
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("actual_share"),
+        F.round(F.lit(_MIX_TARGET_SHARE) / share, 4).alias("sample_weight"),
+    )
+
+
+_SELECT_BUDGET = 1000  # tokens kept per source (quality-ranked)
+
+
+@register(
+    "select_top_quality_within_budget",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       * 1.0 / len(string_split(text, ' ')) AS quality
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY quality DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM t
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_selected,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_selected
+        FROM ranked
+        WHERE cum - n_tokens < {_SELECT_BUDGET}
+        GROUP BY 1
+    """,
+    doc=f"token-budget data selection: per source, take documents in "
+    "quality order (distinct-token ratio as the score) until "
+    f"~{_SELECT_BUDGET} tokens are kept — the data-selection step that "
+    "turns scores into a bounded training mix. One source-partitioned "
+    "window pass (shard-parallel like pack_sequences_by_budget, no "
+    "global sort), greedy boundary rule: a doc is kept iff selection "
+    "starts under budget.",
+)
+def select_top_quality_within_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    quality = (
+        F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+    )
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        ranked.filter(F.col("cum") - F.col("n_tokens") < _SELECT_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("n_tokens").cast("long").alias("tokens_selected"),
+        )
+    )

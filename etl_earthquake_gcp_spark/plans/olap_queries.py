@@ -546,14 +546,26 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="approx_percentile (GK/t-digest-class sketch): fixed-size state per "
     "group regardless of cardinality — the 100 TB form of "
     "event_value_percentiles (same shape as approx_count_distinct vs "
-    "countDistinct, A10). Accuracy vs the exact query asserted in tests.",
+    "countDistinct, A10). Accuracy vs the exact query asserted in tests. "
+    "Presented long-form — (event_type, p, quantile) scalar rows via "
+    "posexplode against the literal p-array — so downstream comparators "
+    "see only scalar columns.",
 )
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (0.25, 0.5, 0.75, 0.9)
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    wide = e.groupBy("event_type").agg(
         F.approx_percentile(
-            "value", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.9)]), 10_000
+            "value", F.array(*[F.lit(p) for p in ps]), 10_000
         ).alias("quantiles")
+    )
+    return wide.select(
+        "event_type",
+        F.posexplode("quantiles").alias("pos", "quantile"),
+    ).select(
+        "event_type",
+        F.element_at(F.array(*[F.lit(p) for p in ps]), F.col("pos") + 1).alias("p"),
+        "quantile",
     )
 
 

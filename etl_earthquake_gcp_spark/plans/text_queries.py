@@ -551,10 +551,14 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok
         ), dfreq AS (
             SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1
+        ), tok_f AS (
+            SELECT t.* FROM tok t
+            WHERE EXISTS (SELECT 1 FROM dfreq d
+                          WHERE d.token = t.token AND d.df >= 2)
         ), co AS (
             SELECT a.token AS tok_a, b.token AS tok_b,
                    CAST(count(*) AS BIGINT) AS n_co
-            FROM tok a JOIN tok b
+            FROM tok_f a JOIN tok_f b
               ON a.doc_id = b.doc_id AND a.token < b.token
             GROUP BY 1, 2
         )
@@ -571,7 +575,13 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document-level co-occurrence counts vs marginal document "
     "frequencies. The co-occurrence self-join runs on doc_id (each doc "
     "contributes its token-pair cross product map-side); marginals and "
-    "the corpus count broadcast back onto the vocabulary² result.",
+    "the corpus count broadcast back onto the vocabulary² result. "
+    "Hapax tokens (df < 2) are semi-join-pruned BEFORE the quadratic "
+    "self-join: a df=1 token cannot co-occur in two documents, so its "
+    "pairs are pure fan-out cost — on long-tailed corpora (most of a "
+    "100 TB crawl's vocabulary is hapax) this bounds the per-doc pair "
+    "cross product to the recurring vocabulary. Marginals (df, n_docs) "
+    "stay corpus-wide, so surviving pairs' PMI values are unchanged.",
     bench=True,
 )
 def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,6 +591,10 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     n = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
     dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    recurring = dfreq.filter(F.col("df") >= 2).select("token")
+    # left-semi on the recurring vocabulary; AQE broadcasts it when small,
+    # shuffles when the vocabulary itself is big — both correct shapes
+    tok = tok.join(recurring, "token", "left_semi")
     a, b = tok.alias("a"), tok.alias("b")
     co = (
         a.join(

@@ -26,19 +26,30 @@ TABLE_NAMES = (
 
 
 def fix_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Convert a TIMESTAMP(NANOS)-read-as-long column to TimestampType.
+    """Normalize the events timestamp column to TimestampType (LTZ).
 
-    The ``events`` table stores nanosecond timestamps, which Spark's parquet
-    reader rejects (PARQUET_TYPE_ILLEGAL) unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is on — then the column arrives
-    as epoch-nanos BIGINT. Integer ``div`` keeps full precision (a double
-    roundtrip would lose sub-ms accuracy at 1.7e18), and flooring to micros
-    matches DuckDB's own NANOS→TIMESTAMP truncation, so oracle comparisons
-    stay exact. Same capability class as the reference's epoch-ms cast
-    (process_bronze_to_silver.py:84-85, P5).
+    The driver's testdata generator has shipped ``events.ts`` in two
+    physical forms across rounds, and the engine must absorb either:
+
+    - TIMESTAMP(NANOS): Spark's parquet reader rejects it
+      (PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet.nanosAsLong``
+      is on — then the column arrives as epoch-nanos BIGINT. Integer
+      ``div`` keeps full precision (a double roundtrip would lose sub-ms
+      accuracy at 1.7e18), and flooring to micros matches DuckDB's own
+      NANOS→TIMESTAMP truncation. Same capability class as the reference's
+      epoch-ms cast (process_bronze_to_silver.py:84-85, P5).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ, which half the timestamp function surface
+      (unix_millis, window(), to_utc_timestamp…) rejects. The session
+      timezone is pinned UTC before any scan (_self_configure), so the
+      NTZ→LTZ cast below is the identity on the underlying instant —
+      naive-UTC semantics, matching the DuckDB oracle's naive TIMESTAMP.
     """
-    if dict(df.dtypes).get(col) == "bigint":
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

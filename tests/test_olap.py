@@ -85,13 +85,13 @@ def test_approx_percentiles_close_to_exact(spark):
         r.event_type: (r.p25, r.p50, r.p75, r.p90)
         for r in QUERIES["event_value_percentiles"].spark_fn(spark, SF_DIR).collect()
     }
-    approx = {
-        r.event_type: r.quantiles
-        for r in QUERIES["approx_value_percentiles"].spark_fn(spark, SF_DIR).collect()
-    }
+    approx: dict = {}
+    for r in QUERIES["approx_value_percentiles"].spark_fn(spark, SF_DIR).collect():
+        approx.setdefault(r.event_type, {})[r.p] = r.quantile
     assert exact.keys() == approx.keys()
     for etype, ex in exact.items():
-        for e, a in zip(ex, approx[etype]):
+        got = [approx[etype][p] for p in (0.25, 0.5, 0.75, 0.9)]
+        for e, a in zip(ex, got):
             # accuracy 10_000 on a few-hundred-row group → near-exact;
             # allow 5% relative drift for the sketch
             assert abs(a - e) <= 0.05 * max(abs(e), 1.0), (etype, ex, approx[etype])

@@ -254,3 +254,59 @@ class TestEndToEndRunner:
         p.write_text(json.dumps({"type": "FeatureCollection", "features": []}))
         result = run_pipeline(spark, str(p), str(tmp_path / "lake2"))
         assert result.silver_rows == 0 and result.gold_tables == {}
+
+
+class TestRetrySemantics:
+    """Task-level retry policy, the DAG's retries=5 analog
+    (dags/earthquake_etl_dag.py:106)."""
+
+    def test_transient_failure_retried_to_success(self):
+        from etl_earthquake_gcp_spark.pipeline.runner import run_stage_with_retries
+
+        calls = {"n": 0}
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("transient")
+            return "ok"
+
+        assert run_stage_with_retries(flaky, name="t", retries=5) == "ok"
+        assert calls["n"] == 3
+
+    def test_exhausted_retries_raise_last_error(self):
+        import pytest
+
+        from etl_earthquake_gcp_spark.pipeline.runner import run_stage_with_retries
+
+        calls = {"n": 0}
+
+        def always_fails():
+            calls["n"] += 1
+            raise ValueError(f"attempt {calls['n']}")
+
+        with pytest.raises(ValueError, match="attempt 3"):
+            run_stage_with_retries(always_fails, name="t", retries=2)
+        assert calls["n"] == 3  # 1 + retries attempts
+
+    def test_pipeline_ingest_retries_through_flaky_fetch(self, spark, tmp_path):
+        from .fixture_data import feature_collection
+
+        calls = {"n": 0}
+
+        def flaky_fetch():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise ConnectionError("USGS 503")
+            return feature_collection()
+
+        result = run_pipeline(
+            spark,
+            str(tmp_path / "bronze" / "raw.json"),
+            str(tmp_path / "lake"),
+            train_model=False,
+            fetch=flaky_fetch,
+            retries=5,
+        )
+        assert calls["n"] == 2
+        assert result.silver_rows == len(EXPECTED_VALID_IDS)

@@ -729,13 +729,16 @@ def minhash_band_pairs_open(
     # former groupBys means one tokenize inside one partial-agg exchange,
     # and what gets cached for the three downstream references is only the
     # compact per-doc aggregate — not the raw posting table.
+    # collect_set (not collect_list/count): the shingle generator emits
+    # duplicate tids and the set-state partial aggregate dedups them
+    # map-side — min() is duplicate-blind, so the signature is unchanged
     agg = (
         tids.groupBy("doc_id")
         .agg(
             *mins,
-            F.sort_array(F.collect_list("tid")).alias("tids"),
-            F.count("*").alias("n"),
+            F.sort_array(F.collect_set("tid")).alias("tids"),
         )
+        .withColumn("n", F.size("tids").cast("long"))
         .persist()
     )
     # band key = xxhash64(band index, r signature values): a single BIGINT
@@ -844,7 +847,8 @@ def minhash_shingle_oracle_sql(
 
 
 def shingle_tids(docs: DataFrame, k: int = 4) -> DataFrame:
-    """(doc_id, tid) pairs where tid IS the k-gram's bytes as a base-256
+    """(doc_id, tid) pairs (NOT distinct per doc — consumers dedup in
+    their per-doc aggregate) where tid IS the k-gram's bytes as a base-256
     integer — the dictionary-FREE shingle encoding.
 
     For ASCII corpora and k ≤ 7 the encoding is injective, so these ids are
@@ -861,16 +865,26 @@ def shingle_tids(docs: DataFrame, k: int = 4) -> DataFrame:
     if k > 7:
         raise ValueError("base-256 shingle ids overflow BIGINT beyond k=7")
     docs = _widen_narrow_scan(docs)
+    # explode(sequence) + flat scalar id expression, NOT
+    # transform(..., i -> ...): higher-order-function lambdas are evaluated
+    # interpreted (no whole-stage codegen), which made the tokenize the
+    # pipeline's dominant cost (~3.9 s of a 6.8 s total at sf0.1); the
+    # generator + scalar form stays codegen'd end to end. Duplicate
+    # shingles are NOT removed here — emitting them is cheaper than any
+    # per-row dedup structure, and the downstream per-doc aggregate
+    # (collect_set / min) absorbs duplicates map-side for free.
     code = " + ".join(
         f"ascii(substr(text, i + {j}, 1)) * {256 ** (k - 1 - j)}" for j in range(k)
     )
-    gen = (
-        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
-        f" i -> CAST({code} AS BIGINT))"
-    )
     return docs.select(
         F.col("doc_id"),
-        F.explode(F.array_distinct(F.expr(gen))).alias("tid"),
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1)))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.expr(f"CAST({code} AS BIGINT)").alias("tid"),
     )
 
 

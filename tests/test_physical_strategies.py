@@ -160,3 +160,53 @@ def test_equidepth_approx_has_no_global_sort(spark):
     if singles:
         after = final.split("Exchange SinglePartition", 1)[1]
         assert "partial_percentile_approx" in after
+
+
+def test_make_upsert_table_picks_backend():
+    import tempfile
+
+    from etl_earthquake_gcp_spark.sources.writers import _HAS_DELTA
+    from etl_earthquake_gcp_spark.streaming.upsert import (
+        DeltaUpsertTable,
+        ParquetUpsertTable,
+        make_upsert_table,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        t = make_upsert_table(f"{root}/t", keys=["k"], order_cols=["ts"])
+        expected = DeltaUpsertTable if _HAS_DELTA else ParquetUpsertTable
+        assert type(t) is expected
+
+
+def test_delta_merge_latest_wins(spark, tmp_path):
+    """Real DeltaTable.merge semantics — runs only when delta-spark is
+    importable (the reference's Delta write, process_bronze_to_silver.py:146);
+    mirrors test_upsert_latest_wins_and_gc's scenario exactly."""
+    import pytest
+
+    from etl_earthquake_gcp_spark.sources.writers import _HAS_DELTA
+
+    if not _HAS_DELTA:
+        pytest.skip("delta-spark not importable in this environment")
+
+    from etl_earthquake_gcp_spark.streaming.upsert import DeltaUpsertTable
+
+    root = str(tmp_path / "delta_tbl")
+    t = DeltaUpsertTable(root, keys=["k"], order_cols=["ts", "rid"])
+    ts = dt.datetime(2024, 1, 1)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, ts timestamp, rid long, v string")
+
+    t.merge(df([(1, ts, 1, "a"), (2, ts, 2, "b")]))
+    assert {r.k: r.v for r in t.read(spark).collect()} == {1: "a", 2: "b"}
+    t.merge(
+        df(
+            [
+                (1, ts + dt.timedelta(hours=1), 3, "a2"),
+                (2, ts, 1, "b-stale"),
+                (3, ts, 4, "c"),
+            ]
+        )
+    )
+    assert {r.k: r.v for r in t.read(spark).collect()} == {1: "a2", 2: "b", 3: "c"}

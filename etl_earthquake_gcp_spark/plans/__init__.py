@@ -37,6 +37,10 @@ _DRIVER_PRIORITY = [
     "simhash_near_pairs", "approx_value_percentiles",
     # -- round-3 additions (new queries register module-last; listing them
     #    here lifts them into the sampled window) --------------------------
+    "dedup_keep_canonical", "top_bigram_share", "dup_ngram_ratio",
+    "cross_source_exact_dups", "resample_ohlc_5min",
+    "triangle_count_user_graph", "map_ops_suite",
+    "join_shufflehash_hint", "skyline_pareto_orders",
     # -- previously-green re-confirmations fill the remaining slots --------
     "cube_order_counts", "pivot_status_by_priority", "range_join_value_buckets",
     "date_part_join_weekday", "event_value_percentiles", "salted_join_user_nation",

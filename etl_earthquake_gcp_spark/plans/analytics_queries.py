@@ -872,3 +872,83 @@ def recursive_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     nxt.createOrReplaceTempView("nxt")
     return spark.sql(_chain_sql("unix_millis", inline_nxt=False))
+
+
+_TRIANGLE_EDGES_SQL = """
+        cells AS (
+            SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+            FROM events
+        ), edges AS (
+            SELECT a.user_id AS u, b.user_id AS v,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM cells a JOIN cells b
+              ON a.event_type = b.event_type AND a.day = b.day
+             AND a.user_id < b.user_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 25
+        )
+"""
+
+
+@register(
+    "triangle_count_user_graph",
+    oracle=f"""
+        WITH {_TRIANGLE_EDGES_SQL}
+        SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+               CAST((SELECT count(DISTINCT x) FROM (
+                   SELECT u AS x FROM edges UNION SELECT v FROM edges))
+                   AS BIGINT) AS n_vertices,
+               CAST((SELECT count(*)
+                     FROM edges e1
+                     JOIN edges e2 ON e2.u = e1.v
+                     JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+                   AS BIGINT) AS n_triangles
+    """,
+    doc="triangle counting (graph-analytics class beyond components/"
+    "pagerank): co-activity graph where users are linked by >= 25 shared "
+    "(event_type, day) cells, triangles counted by the ordered two-path "
+    "join (u < v < w, so each triangle counts exactly once). The "
+    "degree-bounded edge list keeps the 3-way self-join sub-quadratic; "
+    "at 100 TB the standard refinement orients edges low-degree -> "
+    "high-degree first, which this ordered formulation already is.",
+)
+def triangle_count_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = e.select(
+        "user_id", "event_type", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 25)
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    n_edges = edges.count()
+    n_vertices = (
+        edges.select(F.col("u").alias("x"))
+        .union(edges.select("v"))
+        .distinct()
+        .count()
+    )
+    return e.sparkSession.createDataFrame(
+        [(n_edges, n_vertices, tri)],
+        "n_edges long, n_vertices long, n_triangles long",
+    )

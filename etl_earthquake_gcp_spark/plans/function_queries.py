@@ -247,3 +247,53 @@ def value_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad"),
         )
     )
+
+
+@register(
+    "map_ops_suite",
+    oracle="""
+        WITH m AS (
+            SELECT event_id, 'val' AS key, round(value, 4) AS v FROM events
+            UNION ALL
+            SELECT event_id, 'uid', round(CAST(user_id AS DOUBLE), 4)
+            FROM events
+            UNION ALL
+            SELECT event_id, 'k',
+                   round(CAST(json_extract(props, '$.k') AS DOUBLE), 4)
+            FROM events
+        )
+        SELECT key,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(v), 4) AS avg_v,
+               round(max(v), 4) AS max_v
+        FROM m WHERE v IS NOT NULL AND v >= 0
+        GROUP BY key
+    """,
+    doc="MapType surface (F10-class functions the flat reference schema "
+    "never needed): create_map from heterogeneous columns, "
+    "transform_values casting per entry, map_filter dropping negative/"
+    "null entries, explode(map) back to long (key, value) rows, then a "
+    "per-key aggregate. The oracle is the UNION ALL long form — proving "
+    "map construction/explosion round-trips exactly. Maps explode "
+    "map-side; the only shuffle carries 3 key groups.",
+)
+def map_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("val"), F.col("value"),
+        F.lit("uid"), F.col("user_id").cast("double"),
+        F.lit("k"), F.get_json_object("props", "$.k").cast("double"),
+    )
+    filtered = F.map_filter(
+        F.transform_values(m, lambda _, v: F.round(v, 4)),
+        lambda _, v: v.isNotNull() & (v >= 0),
+    )
+    return (
+        e.select("event_id", F.explode(filtered).alias("key", "v"))
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("v"), 4).alias("avg_v"),
+            F.round(F.max("v"), 4).alias("max_v"),
+        )
+    )

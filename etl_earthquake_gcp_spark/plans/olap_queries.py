@@ -9,7 +9,7 @@ non-equi range join (bucket classification), and distribution quantiles
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.skew import salted_join
@@ -639,5 +639,173 @@ def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "resample_ohlc_5min",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, value, ts, event_id,
+                   make_timestamp(CAST(floor(epoch_us(ts) / 300000000)
+                                       AS BIGINT) * 300000000) AS bucket,
+                   row_number() OVER (
+                       PARTITION BY event_type,
+                           CAST(floor(epoch_us(ts) / 300000000) AS BIGINT)
+                       ORDER BY ts, event_id) AS rn_asc,
+                   row_number() OVER (
+                       PARTITION BY event_type,
+                           CAST(floor(epoch_us(ts) / 300000000) AS BIGINT)
+                       ORDER BY ts DESC, event_id DESC) AS rn_desc
+            FROM events
+        )
+        SELECT event_type, bucket,
+               max(CASE WHEN rn_asc = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_desc = 1 THEN value END) AS close,
+               CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2
+    """,
+    doc="time-series resampling (downsampling) to 5-minute OHLC bars per "
+    "event_type — the storage-side rollup under any metrics/market-data "
+    "view. Bucket = integer floor of epoch-micros (identical arithmetic "
+    "both engines); open/close = first/last by (ts, event_id) via two "
+    "window ranks sharing ONE (event_type, bucket) sort, high/low/n in "
+    "the same final aggregate. At scale this is one exchange keyed on "
+    "(event_type, bucket) — the window sort and the groupBy share it.",
+)
+def resample_ohlc_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_micros(
+        (F.floor(F.unix_micros("ts") / 300_000_000) * 300_000_000).cast("long")
+    )
+    b = e.select(
+        "event_type", "value", "ts", "event_id", bucket.alias("bucket")
+    )
+    wb = Window.partitionBy("event_type", "bucket")
+    rn_asc = F.row_number().over(wb.orderBy("ts", "event_id"))
+    rn_desc = F.row_number().over(
+        wb.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    )
+    return (
+        b.withColumn("rn_asc", rn_asc)
+        .withColumn("rn_desc", rn_desc)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_asc") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_desc") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "join_shufflehash_hint",
+    oracle=_CUST_ORDER_ORACLE,
+    doc="same join forced to shuffle-hash via the SHUFFLE_HASH hint — the "
+    "third physical strategy: both sides exchange on the key but the "
+    "build side hashes instead of sorting, beating sort-merge when one "
+    "side is much smaller than the other yet too big to broadcast. "
+    "Completes the broadcast / sort-merge / shuffle-hash hint family on "
+    "one oracle; tests/test_physical_strategies.py pins the plan.",
+)
+def join_shufflehash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "skyline_pareto_orders",
+    oracle="""
+        WITH recent AS (
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders
+        ), ranked AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+                   max(CAST(o_orderdate AS TIMESTAMP)) OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS best_date_above
+            FROM recent
+        )
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderdate
+        FROM ranked
+        WHERE best_date_above IS NULL OR o_orderdate > best_date_above
+    """,
+    doc="skyline (Pareto frontier) query: orders not dominated on "
+    "(totalprice, orderdate) — no other order is both pricier and more "
+    "recent (o_orderkey tie-break makes equal prices dominate in key "
+    "order, deterministically). DISTRIBUTED sweep, not the textbook "
+    "single global sort: range-partition by (price desc, key), run the "
+    "running-max-date sweep inside each partition in parallel, then "
+    "correct across boundaries with the partition-count-sized prefix-max "
+    "of earlier (pricier) partitions' dates — a bounded driver-side "
+    "exchange (#partitions rows), the same contract-bounded pattern as "
+    "the pack-sequences offset map. The oracle keeps the one-sort "
+    "formulation: identical semantics, different physical strategy.",
+)
+def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    # range partitioner: partition i holds strictly better (price, key)
+    # tuples than partition i+1; the tie-break key makes the order total
+    r = o.repartitionByRange(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    ).withColumn("pid", F.spark_partition_id())
+    # pass 1 (parallel): running max date among better-priced rows WITHIN
+    # the partition
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = r.withColumn("local_best_above", F.max("o_orderdate").over(w))
+    # pass 2: per-partition max dates are #partitions rows — prefix-max of
+    # all EARLIER partitions computed over that tiny frame and broadcast
+    # back (empty-input guard: no rows → no correction needed)
+    pmax_rows = sorted(
+        local.groupBy("pid").agg(F.max("o_orderdate").alias("mx")).collect(),
+        key=lambda row: row.pid,
+    )
+    prefix: list[tuple[int, object]] = []
+    best = None
+    for row in pmax_rows:
+        prefix.append((row.pid, best))
+        best = row.mx if best is None or row.mx > best else best
+    spark = o.sparkSession
+    pref_df = spark.createDataFrame(
+        prefix, "pid int, earlier_best timestamp"
+    )
+    joined = local.join(F.broadcast(pref_df), "pid", "left")
+    best_above = F.greatest(
+        F.coalesce(F.col("local_best_above"), F.lit(None).cast("timestamp")),
+        F.col("earlier_best"),
+    )
+    return (
+        joined.withColumn("best_date_above", best_above)
+        .filter(
+            F.col("best_date_above").isNull()
+            | (F.col("o_orderdate") > F.col("best_date_above"))
+        )
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderdate",
         )
     )

@@ -12,7 +12,7 @@ corpus is single-space-delimited lowercase words (TESTDATA.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -1107,4 +1107,199 @@ def select_top_quality_within_budget(spark: SparkSession, sf_dir: str) -> DataFr
             F.count("*").alias("n_selected"),
             F.sum("n_tokens").cast("long").alias("tokens_selected"),
         )
+    )
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+        WITH RECURSIVE {_pairs_cte()}
+        , joined AS (
+            SELECT k.component, c.doc_id, c.n_chars,
+                   row_number() OVER (PARTITION BY k.component
+                                      ORDER BY c.n_chars DESC, c.doc_id)
+                       AS rn,
+                   count(*) OVER (PARTITION BY k.component) AS cluster_size,
+                   sum(c.n_chars) OVER (PARTITION BY k.component)
+                       AS cluster_chars
+            FROM components k JOIN cand c USING (doc_id)
+        )
+        SELECT component, doc_id AS canonical_doc_id,
+               CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(cluster_chars AS BIGINT) AS cluster_chars
+        FROM joined WHERE rn = 1
+    """,
+    doc="dedup RESOLUTION output (the step after near_dup_components): "
+    "one canonical survivor per duplicate cluster — the longest document "
+    "(ties to smallest doc_id) — plus cluster size/chars, i.e. exactly "
+    "what a training-data pipeline keeps and what it can attribute to "
+    "the drop. Window rank within component; singleton docs are their "
+    "own cluster. Composes bitmask Jaccard -> iterative components -> "
+    "window argmax in one lazy plan.",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_bitmask(d, threshold=0.8)
+    comp = connected_components(
+        vertices=d.select(F.col("doc_id").alias("id")),
+        edges=pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    joined = comp.join(d, comp.id == d.doc_id).select(
+        "component", "doc_id", "n_chars"
+    )
+    wp = Window.partitionBy("component")
+    rn = F.row_number().over(
+        wp.orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+    return (
+        joined.withColumn("rn", rn)
+        .withColumn("cluster_size", F.count("*").over(wp).cast("long"))
+        .withColumn("cluster_chars", F.sum("n_chars").over(wp).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "cluster_size",
+            "cluster_chars",
+        )
+    )
+
+
+@register(
+    "top_bigram_share",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+            FROM t WHERE len(toks) >= 2
+        ), counts AS (
+            SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS n
+            FROM grams GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_bigrams,
+               CAST(max(n) AS BIGINT) AS top_bigram_n,
+               round(max(n) * 1.0 / sum(n), 4) AS top_share
+        FROM counts GROUP BY doc_id
+    """,
+    doc="per-document repetition signal: share of the most frequent "
+    "bigram among all bigram occurrences (the Gopher-class "
+    "'top n-gram fraction' quality rule — boilerplate and template spam "
+    "score high). Adjacent-token bigrams via 1-indexed element_at over a "
+    "sequence, two partial aggregates; shard-parallel per doc, no "
+    "cross-doc state.",
+)
+def top_bigram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    " element_at(toks, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    counts = grams.groupBy("doc_id", "bigram").agg(F.count("*").alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.max("n").cast("long").alias("top_bigram_n"),
+        F.round(F.max("n") * F.lit(1.0) / F.sum("n"), 4).alias("top_share"),
+    )
+
+
+@register(
+    "dup_ngram_ratio",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(toks) - 7),
+                       i -> list_aggregate(toks[i:i+7], 'string_agg', ' ')))
+                       AS gram
+            FROM t WHERE len(toks) >= 8
+        ), counts AS (
+            SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n
+            FROM grams GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_windows,
+               CAST(sum(n) - count(*) AS BIGINT) AS n_dup_windows,
+               round((sum(n) - count(*)) * 1.0 / sum(n), 4) AS dup_ratio
+        FROM counts GROUP BY doc_id
+    """,
+    doc="per-document duplicate-8-gram ratio: fraction of 8-token sliding "
+    "windows that repeat an earlier window of the same doc (the "
+    "'duplicate n-gram fraction' repetition rule from large-corpus "
+    "quality filtering). Sliding windows as 1-indexed slices; repeated "
+    "windows = occurrences minus distinct. Per-doc aggregates only — "
+    "scan-shaped at any corpus size.",
+)
+def dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 7),"
+                    " i -> array_join(slice(toks, i, 8), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_windows"),
+        (F.sum("n") - F.count("*")).cast("long").alias("n_dup_windows"),
+        F.round(
+            (F.sum("n") - F.count("*")) * F.lit(1.0) / F.sum("n"), 4
+        ).alias("dup_ratio"),
+    )
+
+
+@register(
+    "cross_source_exact_dups",
+    oracle="""
+        SELECT sha256(text) AS content_sha,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS first_doc_id
+        FROM documents
+        GROUP BY 1
+        HAVING count(DISTINCT source) > 1
+    """,
+    doc="cross-source exact contamination: content hashes appearing in "
+    "MORE THAN ONE source — the leakage signal between corpus shards "
+    "(e.g. a benchmark document syndicated into a crawl). groupBy on the "
+    "32-byte sha means the shuffle never carries text; count(distinct "
+    "source) is a per-group set aggregate.",
+)
+def cross_source_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("content_sha"))
+        .agg(
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_sources") > 1)
     )

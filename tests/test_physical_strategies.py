@@ -34,6 +34,19 @@ def test_merge_hint_plans_smj(spark):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_shufflehash_hint_plans_shj(spark):
+    plan = _plan(spark, "join_shufflehash_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_skyline_no_single_partition_global_sort(spark):
+    """The distributed skyline must not fall back to a SinglePartition
+    global window (the documented equidepth-exact anti-pattern)."""
+    plan = _plan(spark, "skyline_pareto_orders")
+    assert "SinglePartition" not in plan, plan
+
+
 def test_sessionize_single_shuffle(spark):
     """sessions.py claims one hash-partition(user_id) exchange reused by both
     windows and the final agg — pin it."""

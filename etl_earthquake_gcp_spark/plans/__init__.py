@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     "cross_source_exact_dups", "resample_ohlc_5min",
     "triangle_count_user_graph", "map_ops_suite",
     "join_shufflehash_hint", "skyline_pareto_orders",
+    "bm25_scores", "bigram_lm_loglik", "pq_adc_topk",
     # -- previously-green re-confirmations fill the remaining slots --------
     "cube_order_counts", "pivot_status_by_priority", "range_join_value_buckets",
     "date_part_join_weekday", "event_value_percentiles", "salted_join_user_nation",

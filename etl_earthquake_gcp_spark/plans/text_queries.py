@@ -1303,3 +1303,165 @@ def cross_source_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_sources") > 1)
     )
+
+
+_BM25_QUERY = ("spark", "join", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_scores",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(dl), 6) AS avgdl
+            FROM dl
+        ), tf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tok WHERE token IN {_BM25_QUERY!r}
+            GROUP BY 1, 2
+        ), df AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        )
+        SELECT t.doc_id,
+               round(sum(
+                   ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                   * (t.tf * ({_BM25_K1} + 1.0))
+                   / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * d.dl / s.avgdl))
+               ), 4) + 0.0 AS bm25
+        FROM tf t
+        JOIN df f USING (token)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY t.doc_id
+    """,
+    doc=f"BM25 relevance scoring for the fixed query {_BM25_QUERY} — the "
+    "lexical-retrieval primitive under corpus search/dedup triage. "
+    "Per-doc term frequencies for the query terms only (the IN filter "
+    "prunes the posting explosion before the shuffle), document lengths, "
+    "corpus stats (2 scalars, broadcast), Robertson idf. avgdl is "
+    "rounded on both engines before use so the score arithmetic sees "
+    "bit-identical inputs. Everything shuffles on (doc, term) cells — "
+    "scan-shaped at corpus scale.",
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("dl"), 6).alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.round(F.sum(term_score), 4) + F.lit(0.0)).alias("bm25"))
+    )
+
+
+_LM_ALPHA = 0.5
+
+
+@register(
+    "bigram_lm_loglik",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])))
+                       AS g
+            FROM t WHERE len(toks) >= 2
+        ), big AS (
+            SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM grams
+        ), c2 AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY 1, 2
+        ), c1 AS (
+            SELECT w1, CAST(sum(c) AS BIGINT) AS c FROM c2 GROUP BY 1
+        ), vocab AS (
+            SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+        )
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(sum(round(ln((c2.c + {_LM_ALPHA})
+                                  / (c1.c + {_LM_ALPHA} * vocab.v)), 6)), 3)
+                   + 0.0 AS loglik
+        FROM big b
+        JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        JOIN c1 ON b.w1 = c1.w1
+        CROSS JOIN vocab
+        GROUP BY b.doc_id
+    """,
+    doc="per-document log-likelihood under an add-alpha-smoothed corpus "
+    "bigram LM — the perplexity-class quality filter (low likelihood = "
+    "unnatural token sequences) one tier up from unigram_logprob_scores. "
+    "Bigram/unigram count tables shuffle on token keys; each per-bigram "
+    "logprob is rounded to 6 places on BOTH engines before the per-doc "
+    "sum (libm ln can differ in the last ulp; rounding first keeps the "
+    "sum deterministic), then the sum rounds to 3.",
+)
+def bigram_lm_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    big = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS w1,"
+                    " element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = d.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).agg(F.count_distinct("token").alias("v"))
+    logp = F.round(
+        F.log(
+            (F.col("c2") + F.lit(_LM_ALPHA))
+            / (F.col("c1") + F.lit(_LM_ALPHA) * F.col("v"))
+        ),
+        6,
+    )
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.round(F.sum(logp), 3) + F.lit(0.0)).alias("loglik"),
+        )
+    )

@@ -732,14 +732,34 @@ _EWMA_ALPHA = 0.2
 
 @register(
     "ewma_user_values",
-    oracle=None,  # inherently sequential recurrence — verified by unit test
+    oracle=f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), rec(user_id, event_id, ts, value, rn, y) AS (
+            SELECT user_id, event_id, ts, value, rn, value
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.event_id, s.ts, s.value, s.rn,
+                   {_EWMA_ALPHA} * s.value + {1 - _EWMA_ALPHA} * r.y
+            FROM rec r JOIN seq s
+              ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, ts, value, round(y, 4) + 0.0 AS ewma
+        FROM rec
+    """,
     doc="per-user EWMA (alpha=0.2, adjust-free recurrence y_t = a*x_t + "
     "(1-a)*y_{t-1}) over the event stream via grouped applyInPandas: one "
     "hash-partition(user_id) exchange, then a linear Arrow-batched fold "
     "per group — the canonical shape for sequential recurrences that "
-    "window expressions can't express without fp-order hazards. "
-    "Rows-only driver check; the recurrence itself is pinned against a "
-    "hand-rolled reference in tests/test_ewma.py.",
+    "window expressions can't express without fp-order hazards. Oracle "
+    "(upgraded r3 from rows-only): a recursive CTE running the SAME "
+    "double recurrence step-by-step — per-level joins bounded by the "
+    "longest per-user sequence; round-4 collapses pandas-vs-SQL last-ulp "
+    "drift. Also pinned against a hand-rolled reference in "
+    "tests/test_ewma.py.",
 )
 def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -751,6 +771,7 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         pdf["ewma"] = (
             pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean().round(4)
+            + 0.0  # fold IEEE -0.0 into +0.0, matching the oracle's + 0.0
         )
         return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
 

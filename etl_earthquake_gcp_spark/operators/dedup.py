@@ -943,3 +943,69 @@ def containment_pairs_bitmask(docs: DataFrame, threshold: float = 1.0) -> DataFr
             F.round("cont", 4).alias("containment"),
         )
     )
+
+
+def minhash_quality_oracle_sql(
+    n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.8, seed: int = 42
+) -> str:
+    """DuckDB SQL for :func:`minhash band` candidate-stage quality: one row
+    of (n_true_pairs, n_candidates, n_hits, precision, recall) where truth
+    is the exact token-set Jaccard >= threshold over ALL pairs and
+    candidates are the banding collisions (pre-verify). Same dictionary /
+    hashes / banding as minhash_oracle_sql."""
+    r = n_hashes // n_bands
+    coeffs = minhash_coeffs(n_hashes, seed)
+    hash_exprs = ",\n               ".join(
+        f"min((tid * {a} + {b}) % {_MERSENNE_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, concat_ws('_', {cols}) AS key FROM sig".format(
+            band=i, cols=", ".join(f"h{i * r + j}" for j in range(r))
+        )
+        for i in range(n_bands)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), vocab AS (
+            SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS tid
+            FROM (SELECT DISTINCT token FROM tok)
+        ), tids AS (
+            SELECT doc_id, tid FROM tok JOIN vocab USING (token)
+        ), sig AS (
+            SELECT doc_id,
+               {hash_exprs}
+            FROM tids GROUP BY doc_id
+        ), bands AS (
+            {band_selects}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+        ), all_common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), truth AS (
+            SELECT c.doc_a, c.doc_b
+            FROM all_common c
+            JOIN sizes sa ON c.doc_a = sa.doc_id
+            JOIN sizes sb ON c.doc_b = sb.doc_id
+            WHERE c.n_common * 1.0 / (sa.n + sb.n - c.n_common) >= {threshold}
+        ), counts AS (
+            SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+                (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM cand JOIN truth USING (doc_a, doc_b)) AS n_hits
+        )
+        SELECT n_true_pairs, n_candidates, n_hits,
+               round(n_hits * 1.0 / n_candidates, 4) AS precision,
+               round(n_hits * 1.0 / n_true_pairs, 4) AS recall
+        FROM counts
+    """

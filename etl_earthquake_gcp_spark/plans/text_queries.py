@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     jaccard_pairs_bitmask,
+    minhash_quality_oracle_sql,
+    tokenize_distinct,
     minhash_band_pairs_grouped,
     minhash_band_pairs_open,
     minhash_oracle_sql,
@@ -1464,4 +1466,96 @@ def bigram_lm_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bigrams"),
             (F.round(F.sum(logp), 3) + F.lit(0.0)).alias("loglik"),
         )
+    )
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(toks) - 7),
+                       i -> list_aggregate(toks[i:i+7], 'string_agg', ' ')))
+                       AS gram
+            FROM t WHERE len(toks) >= 8
+        )
+        SELECT gram,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM grams
+        GROUP BY gram
+        HAVING count(*) >= 5
+    """,
+    doc="cross-document boilerplate detection: 8-token windows appearing "
+    "in >= 5 DISTINCT documents — headers, templates, licence blocks; "
+    "the n-gram-level contamination/boilerplate sweep (the bounded "
+    "cousin of suffix-array substring dedup). Distinct (gram, doc) "
+    "before the count so within-doc repetition can't inflate reach; "
+    "shuffle keys are the gram strings (at 100 TB: xxhash64 the gram to "
+    "a BIGINT key and keep strings out of the exchange — exactly the "
+    "shingle_tids trade).",
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 7),"
+                    " i -> array_join(slice(toks, i, 8), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 5)
+    )
+
+
+@register(
+    "minhash_candidate_quality",
+    oracle=minhash_quality_oracle_sql(
+        n_hashes=16, n_bands=4, threshold=0.8, seed=42
+    ),
+    doc="in-engine audit of the MinHash-LSH candidate stage: one row of "
+    "(n_true_pairs, n_candidates, n_hits, precision, recall) where truth "
+    "is exact token-set Jaccard >= 0.8 over ALL pairs (bitmask path) and "
+    "candidates are the banding collisions before the verify filter. "
+    "This measures the 16x4 banding S-curve empirically — the number a "
+    "100 TB dedup run reports to justify its parameters — and the oracle "
+    "replays the identical dictionary/hash/banding in SQL, so even the "
+    "quality METRIC is differentially checked.",
+)
+def minhash_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # candidates with their exact jaccard: threshold 0 keeps every
+    # banding collision through the verify join
+    cand = minhash_band_pairs_open(
+        tok=tokenize_distinct(d), n_hashes=16, n_bands=4, threshold=0.0, seed=42
+    )
+    truth = jaccard_pairs_bitmask(d, threshold=0.8)
+    nc = cand.agg(
+        F.count("*").alias("n_candidates"),
+        F.count_if(F.col("jaccard") >= 0.8).alias("n_hits"),
+    )
+    nt = truth.agg(F.count("*").alias("n_true_pairs"))
+    return nt.crossJoin(nc).select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_hits",
+        F.round(F.col("n_hits") * F.lit(1.0) / F.col("n_candidates"), 4).alias(
+            "precision"
+        ),
+        F.round(F.col("n_hits") * F.lit(1.0) / F.col("n_true_pairs"), 4).alias(
+            "recall"
+        ),
     )

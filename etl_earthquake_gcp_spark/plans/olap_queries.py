@@ -809,3 +809,110 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
         )
     )
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@register(
+    "sql_entry_lateral_topk",
+    oracle=_LATERAL_TOPK_SQL,
+    doc="LATERAL correlated subquery (Spark 4 SQL surface): top-2 orders "
+    "per customer expressed as a per-row dependent subquery — the same "
+    "SQL text runs on both engines. Catalyst decorrelates it into a "
+    "window-rank plan (no per-customer re-execution), which is exactly "
+    "what you want at scale: one exchange on the correlation key, not "
+    "|customers| subqueries.",
+)
+def sql_entry_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+_INTERVAL_MINS = 30
+
+
+@register(
+    "merge_overlapping_intervals",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id, ts AS s,
+                   ts + INTERVAL {_INTERVAL_MINS} MINUTE AS e
+            FROM events
+        ), marked AS (
+            SELECT user_id, s, e,
+                   CASE WHEN s > max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        OR max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           IS NULL
+                        THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ), islands AS (
+            SELECT user_id, s, e,
+                   sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM marked
+        ), merged AS (
+            SELECT user_id, island, min(s) AS start_ts, max(e) AS end_ts
+            FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(epoch_us(end_ts) - epoch_us(start_ts)) / 60000000.0
+                    AS DOUBLE) AS covered_minutes
+        FROM merged GROUP BY user_id
+    """,
+    doc=f"interval merging (gaps-and-islands on time ranges): each event "
+    f"opens a {_INTERVAL_MINS}-minute activity interval; overlapping "
+    "intervals per user coalesce into islands via the classic running-"
+    "max-end sweep (island boundary where start > max end of all prior "
+    "intervals), then per-user merged-interval count and covered "
+    "minutes. One (user_id)-partitioned sort shared by both windows — "
+    "the availability/uptime primitive.",
+)
+def merge_overlapping_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {_INTERVAL_MINS} MINUTE")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_ts"), F.max("e").alias("end_ts")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        (
+            F.sum(F.unix_micros("end_ts") - F.unix_micros("start_ts"))
+            / F.lit(60_000_000.0)
+        ).alias("covered_minutes"),
+    )

@@ -316,3 +316,104 @@ def hll_oracle_sql(table: str, key_col: str) -> str:
             ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / s END, 4) AS est_distinct
         FROM agg
     """
+
+
+def hll_registers_by(keys: DataFrame, key_col: str, group_col: str) -> DataFrame:
+    """Per-group HLL register tables: (group, bucket, m_j).
+
+    Same hash/rank pipeline as :func:`hll_registers`, keyed by an extra
+    group column — state is HLL_M cells PER GROUP, still constant in key
+    cardinality. The registers are MERGEABLE: max over groups per bucket
+    equals the registers of the union of the groups' key sets, which is
+    the whole reason sketches beat exact distinct at scale (rollups
+    re-aggregate sketch cells, never rescan data)."""
+    a, b = minhash_coeffs(1, HLL_SEED)[0]
+    h1 = f"(({key_col} * {a} + {b}) % {_MERSENNE_P})"
+    h = f"(({h1} * {h1}) % {_MERSENNE_P})"
+    w = f"({h} div {HLL_M})"
+    return (
+        keys.select(
+            F.col(group_col).alias("grp"),
+            F.expr(f"{h} % {HLL_M}").alias("bucket"),
+            F.expr(_rho_case_sql(w)).alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate_by(registers: DataFrame) -> DataFrame:
+    """(grp, est_distinct) from per-group register tables — the grouped
+    twin of :func:`hll_estimate`, same exact-arithmetic harmonic sum and
+    small-range correction per group."""
+    spark = registers.sparkSession
+    allb = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    groups = registers.select("grp").distinct()
+    grid = groups.crossJoin(F.broadcast(allb))
+    full = grid.join(registers, ["grp", "bucket"], "left").select(
+        "grp", F.coalesce("m_j", F.lit(0)).alias("m_j")
+    )
+    agg = full.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s"),
+        F.count_if(F.col("m_j") == 0).alias("v"),
+    )
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    return agg.select("grp", F.round(est, 4).alias("est_distinct"))
+
+
+def hll_rollup_oracle_sql(table: str, key_col: str, group_col: str) -> str:
+    """DuckDB SQL for the grouped + merged HLL rollup — identical hash,
+    registers, per-group estimates, register-max merge, and corrections."""
+    a, b = minhash_coeffs(1, HLL_SEED)[0]
+    h1 = f"(({key_col} * {a} + {b}) % {_MERSENNE_P})"
+    h = f"(({h1} * {h1}) % {_MERSENNE_P})"
+    rho = _rho_case_sql(f"({h} // {HLL_M})")
+    est_case = f"""round(CASE
+            WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / s <= {2.5 * HLL_M}
+                 AND v > 0
+            THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+            ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / s END, 4)"""
+    return f"""
+        WITH regs AS (
+            SELECT {group_col} AS grp, ({h} % {HLL_M}) AS bucket,
+                   max({rho}) AS m_j
+            FROM {table} GROUP BY 1, 2
+        ), groups AS (
+            SELECT DISTINCT grp FROM regs
+        ), grid AS (
+            SELECT g.grp, t.bucket FROM groups g CROSS JOIN range({HLL_M}) t(bucket)
+        ), filled AS (
+            SELECT grid.grp, coalesce(r.m_j, 0) AS m_j
+            FROM grid LEFT JOIN regs r USING (grp, bucket)
+        ), agg AS (
+            SELECT grp, sum(pow(2.0, -m_j)) AS s,
+                   count(*) FILTER (WHERE m_j = 0) AS v
+            FROM filled GROUP BY 1
+        ), est AS (
+            SELECT grp, {est_case} AS est_distinct FROM agg
+        ), mregs AS (
+            SELECT bucket, max(m_j) AS m_j FROM regs GROUP BY 1
+        ), mfilled AS (
+            SELECT coalesce(r.m_j, 0) AS m_j
+            FROM range({HLL_M}) t(bucket) LEFT JOIN mregs r USING (bucket)
+        ), magg AS (
+            SELECT sum(pow(2.0, -m_j)) AS s,
+                   count(*) FILTER (WHERE m_j = 0) AS v
+            FROM mfilled
+        ), mest AS (
+            SELECT 'ALL' AS grp, {est_case} AS est_distinct FROM magg
+        ), exact AS (
+            SELECT {group_col} AS grp,
+                   CAST(count(DISTINCT {key_col}) AS BIGINT) AS true_distinct
+            FROM {table} GROUP BY 1
+            UNION ALL
+            SELECT 'ALL', CAST(count(DISTINCT {key_col}) AS BIGINT) FROM {table}
+        )
+        SELECT u.grp, u.est_distinct, exact.true_distinct
+        FROM (SELECT * FROM est UNION ALL SELECT * FROM mest) u
+        JOIN exact USING (grp)
+    """

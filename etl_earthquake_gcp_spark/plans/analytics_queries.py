@@ -973,3 +973,52 @@ def triangle_count_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_edges, n_vertices, tri)],
         "n_edges long, n_vertices long, n_triangles long",
     )
+
+
+def _hll_rollup_oracle() -> str:
+    from ..operators.sketch import hll_rollup_oracle_sql
+
+    return hll_rollup_oracle_sql("events", "user_id", "event_type")
+
+
+@register(
+    "hll_mergeable_rollup",
+    oracle=_hll_rollup_oracle(),
+    doc="sketch MERGEABILITY, demonstrated end to end: per-event_type HLL "
+    "register tables (64 cells each), per-type estimates, then the "
+    "global estimate computed by MERGING registers (max per bucket "
+    "across types) — never rescanning events. Exact distinct counts "
+    "emitted beside every estimate for the error budget. This is the "
+    "property that makes sketches the 100 TB rollup path: a cube of "
+    "distinct-counts re-aggregates KB-sized sketch cells upward instead "
+    "of re-shuffling raw keys per grain, and the oracle replays register "
+    "merge + harmonic sum + corrections bit-for-bit.",
+)
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import (
+        hll_estimate,
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    regs = hll_registers_by(e, "user_id", "event_type").persist()
+    per_type = hll_estimate_by(regs)
+    merged_regs = regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    merged = hll_estimate(merged_regs).select(
+        F.lit("ALL").alias("grp"), "est_distinct"
+    )
+    exact = (
+        e.groupBy(F.col("event_type").alias("grp"))
+        .agg(F.count_distinct("user_id").alias("true_distinct"))
+        .unionByName(
+            e.agg(F.count_distinct("user_id").alias("true_distinct")).select(
+                F.lit("ALL").alias("grp"), "true_distinct"
+            )
+        )
+    )
+    return (
+        per_type.unionByName(merged)
+        .join(exact, "grp")
+        .select("grp", "est_distinct", "true_distinct")
+    )

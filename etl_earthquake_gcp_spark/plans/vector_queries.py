@@ -564,6 +564,7 @@ def _pq_codebooks(emb, seed: int = 42):
     f"task closure. Two-stage FAISS shape: ADC top-{_PQ_SHORTLIST} "
     "shortlist (id pairs only) -> exact-cosine re-rank -> top-3. Recall "
     "vs brute force pinned in tests/test_pq.py.",
+    bench=True,
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator

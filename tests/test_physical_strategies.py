@@ -223,3 +223,17 @@ def test_delta_merge_latest_wins(spark, tmp_path):
         )
     )
     assert {r.k: r.v for r in t.read(spark).collect()} == {1: "a2", 2: "b", 3: "c"}
+
+
+def test_ohlc_single_exchange(spark):
+    """resample_ohlc_5min claims both window ranks and the final agg share
+    one (event_type, bucket) exchange — pin it."""
+    plan = _plan(spark, "resample_ohlc_5min")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_map_ops_single_exchange(spark):
+    """map construction/filter/explode all run map-side; the only exchange
+    carries the 3 key groups."""
+    plan = _plan(spark, "map_ops_suite")
+    assert plan.count("Exchange hashpartitioning") == 1, plan

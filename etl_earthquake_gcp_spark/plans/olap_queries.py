@@ -916,3 +916,56 @@ def merge_overlapping_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(60_000_000.0)
         ).alias("covered_minutes"),
     )
+
+
+_ARES_K = 100
+# portable uniform: one linear + one squaring round of the Mersenne hash
+# (same construction as operators/sketch.py HLL), scaled to (0, 1]
+_ARES_P = (1 << 31) - 1
+_ARES_A, _ARES_B = 48271, 11
+
+
+@register(
+    "weighted_sample_ares",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   round(pow(
+                       ((((o_orderkey * {_ARES_A} + {_ARES_B}) % {_ARES_P})
+                         * ((o_orderkey * {_ARES_A} + {_ARES_B}) % {_ARES_P}))
+                        % {_ARES_P} + 1.0) / {_ARES_P + 1}.0,
+                       1.0 / o_totalprice), 6) AS k
+            FROM orders WHERE o_totalprice > 0
+        )
+        SELECT o_orderkey, o_totalprice
+        FROM keyed
+        ORDER BY k DESC, o_orderkey
+        LIMIT {_ARES_K}
+    """,
+    doc=f"weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    f"A-Res): top-{_ARES_K} orders by key u^(1/w), w = o_totalprice, "
+    "u = a seeded arithmetic hash of the orderkey scaled to (0,1] — "
+    "fully deterministic and engine-portable, no RNG state. This is THE "
+    "distributed weighted-sampling construction: each partition computes "
+    "keys map-side and keeps a local top-k, the final k merge in one "
+    "reduce (Spark's TakeOrderedAndProject) — no global sort, no "
+    "sequential pass. Keys rounded to 6 places with an id tie-break so "
+    "libm pow last-ulp drift can't flip the selection boundary.",
+)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h1 = (F.col("o_orderkey") * _ARES_A + _ARES_B) % _ARES_P
+    h = (h1 * h1) % _ARES_P
+    u = (h + 1.0) / float(_ARES_P + 1)
+    key = F.round(F.pow(u, 1.0 / F.col("o_totalprice")), 6)
+    return (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            key.alias("k"),
+        )
+        .orderBy(F.col("k").desc(), "o_orderkey")
+        .limit(_ARES_K)
+        .select("o_orderkey", "o_totalprice")
+    )

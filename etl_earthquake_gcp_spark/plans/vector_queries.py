@@ -539,8 +539,9 @@ def _pq_codebooks(emb, seed: int = 42):
     for b in range(_PQ_BLOCKS):
         X = U[:, b * dpb : (b + 1) * dpb]
         C = X[rng.choice(n, k, replace=False)].copy()
-        for _ in range(20):  # Lloyd
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        x2 = (X**2).sum(axis=1)[:, None]
+        for _ in range(20):  # Lloyd; GEMM distances, not O(n*k*d) broadcast
+            d2 = x2 + (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
             a = d2.argmin(axis=1)
             for c in range(k):
                 pts = X[a == c]
@@ -600,7 +601,12 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes = np.empty((n, _PQ_BLOCKS), dtype=np.int64)
             for b in range(_PQ_BLOCKS):
                 Xb = V[:, b * dpb : (b + 1) * dpb]
-                d2 = ((Xb[:, None, :] - books[b][None, :, :]) ** 2).sum(axis=2)
+                Cb = books[b]
+                d2 = (
+                    (Xb**2).sum(axis=1)[:, None]
+                    + (Cb**2).sum(axis=1)[None, :]
+                    - 2.0 * (Xb @ Cb.T)
+                )
                 codes[:, b] = d2.argmin(axis=1)
             # ADC: approx dist(q, x) = sum_b LUT[q, b, code_b(x)]
             adc = lut[:, np.arange(_PQ_BLOCKS)[None, :], codes].sum(axis=2)

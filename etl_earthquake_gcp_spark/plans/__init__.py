@@ -44,7 +44,7 @@ _DRIVER_PRIORITY = [
     "bm25_scores", "bigram_lm_loglik", "pq_adc_topk",
     "boilerplate_ngrams", "minhash_candidate_quality", "ewma_user_values",
     "sql_entry_lateral_topk", "merge_overlapping_intervals",
-    "hll_mergeable_rollup", "weighted_sample_ares",
+    "hll_mergeable_rollup", "weighted_sample_ares", "streaming_ewma_state",
     # -- previously-green re-confirmations fill the remaining slots --------
     "cube_order_counts", "pivot_status_by_priority", "range_join_value_buckets",
     "date_part_join_weekday", "event_value_percentiles", "salted_join_user_nation",

@@ -139,3 +139,41 @@ def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_within_watermark(spark, sf_dir)
+
+
+_EWMA_A = 0.2
+
+
+@register(
+    "streaming_ewma_state",
+    oracle=f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), rec(user_id, rn, y) AS (
+            SELECT user_id, rn, value FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.rn, {_EWMA_A} * s.value + {1 - _EWMA_A} * r.y
+            FROM rec r JOIN seq s
+              ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        ), last AS (
+            SELECT user_id, max(rn) AS mx FROM rec GROUP BY 1
+        )
+        SELECT r.user_id, CAST(r.rn AS BIGINT) AS n_events,
+               round(r.y, 4) + 0.0 AS ewma
+        FROM rec r JOIN last l ON r.user_id = l.user_id AND r.rn = l.mx
+    """,
+    doc="stateful streaming EWMA (applyInPandasWithState): per-user "
+    "running recurrence carried ACROSS micro-batches in O(users) state, "
+    "final value emitted after the replay drains. The fold uses the "
+    "oracle's exact arithmetic (y = a*x + (1-a)*y), and the replay is "
+    "event-time-ordered, so even this arbitrary-state operator is fully "
+    "oracle-checked (recursive CTE, last row per user) — the streaming "
+    "twin of the batch ewma_user_values.",
+)
+def streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import stream_ewma_state
+
+    return stream_ewma_state(spark, sf_dir, alpha=_EWMA_A)

@@ -398,3 +398,68 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     return _run_to_memory(agg, "complete")
+
+
+def stream_ewma_state(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.2
+) -> DataFrame:
+    """Streaming per-user EWMA via ``applyInPandasWithState`` — the
+    stateful-recurrence twin of the batch applyInPandas fold
+    (plans/analytics_queries.py::ewma_user_values).
+
+    State per user = (running ewma, n_events): O(users) bytes. Each
+    micro-batch folds its rows in (ts, event_id) order with EXACTLY the
+    oracle's arithmetic (y = alpha*x + (1-alpha)*y — same op order →
+    bit-identical doubles), emitting the cumulative (n, ewma) after each
+    batch; the final state per user is the row with max n. Because the
+    multibatch replay is event-time-ordered per user, the drained result
+    equals the batch recurrence — so even this arbitrary-state operator
+    carries a full DuckDB oracle (recursive CTE, last row per user).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold_ewma(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        y, n = state.get if state.exists else (None, 0)
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for value in pdf["value"]:
+                x = float(value)
+                y = x if y is None else alpha * x + (1.0 - alpha) * y
+                n += 1
+        state.update((y, n))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "ewma_raw": [y]}
+        )
+
+    cumulative = (
+        _events_stream_multibatch(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold_ewma,
+            outputStructType="user_id long, n_events long, ewma_raw double",
+            stateStructType="ewma double, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = _run_to_memory(cumulative, "append")
+    # final state per user = the emission with the highest cumulative n
+    return (
+        drained.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("ewma_raw", "n_events").alias("ewma_raw"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.round("ewma_raw", 4) + F.lit(0.0)).alias("ewma"),
+        )
+    )

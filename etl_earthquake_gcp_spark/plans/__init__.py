@@ -57,7 +57,7 @@ _DRIVER_PRIORITY = [
     "inverted_index_postings", "profile_events_columns", "pagerank_3iter",
     "scd2_user_value_intervals", "event_type_bigrams", "equidepth_histogram",
     "snapshot_reconciliation", "deterministic_hash_sample",
-    "rolling_7d_active_users", "sales_share_by_region", "ewma_user_values",
+    "rolling_7d_active_users", "sales_share_by_region",
     "hll_distinct_users",
     "streaming_tumbling_counts", "streaming_sliding_counts",
     "streaming_stream_stream_join", "streaming_static_enrich",

@@ -775,7 +775,15 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = r.withColumn("local_best_above", F.max("o_orderdate").over(w))
+    # persist BEFORE the two downstream jobs: spark_partition_id() under a
+    # re-executed repartitionByRange can land rows in a DIFFERENT layout
+    # per job (range bounds are re-sampled), which would key the boundary
+    # correction to a layout other than the one it is applied to — the
+    # same hazard token_dictionary_distributed persists against. The
+    # collect below materializes the cache.
+    local = r.withColumn(
+        "local_best_above", F.max("o_orderdate").over(w)
+    ).persist()
     # pass 2: per-partition max dates are #partitions rows — prefix-max of
     # all EARLIER partitions computed over that tiny frame and broadcast
     # back (empty-input guard: no rows → no correction needed)
@@ -793,10 +801,9 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix, "pid int, earlier_best timestamp"
     )
     joined = local.join(F.broadcast(pref_df), "pid", "left")
-    best_above = F.greatest(
-        F.coalesce(F.col("local_best_above"), F.lit(None).cast("timestamp")),
-        F.col("earlier_best"),
-    )
+    # greatest() skips NULLs (returns null only if both are), so no
+    # explicit null-guard is needed for first-in-partition / partition-0
+    best_above = F.greatest(F.col("local_best_above"), F.col("earlier_best"))
     return (
         joined.withColumn("best_date_above", best_above)
         .filter(

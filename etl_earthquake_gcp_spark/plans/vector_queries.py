@@ -519,7 +519,8 @@ def _pq_codebooks(emb, seed: int = 42):
     The FAISS-standard split: codebooks are trained on a SAMPLE (here
     ≤10k unit vectors via deterministic hash order — at 100 TB you never
     k-means the full corpus for a quantizer), then encoding runs
-    distributed. Seeded numpy Lloyd iterations, k=16 per 8-dim block.
+    distributed. Seeded numpy Lloyd iterations, k=min(256, sample) per
+    8-dim block.
     Returns (blocks, k, dim_per_block) codebook array.
     """
     import numpy as np
@@ -555,10 +556,10 @@ def _pq_codebooks(emb, seed: int = 42):
     "pq_adc_topk",
     oracle=None,  # trainer-specific codebooks -> rows-only driver check
     doc=f"product-quantization ANN (the 64x-compression scale path): "
-    f"{_PQ_BLOCKS} sub-blocks x {_PQ_K} centroids = 4-bit codes packed "
-    "into ONE BIGINT per vector — at 100 TB the searchable index is "
-    "~8 bytes/vector instead of 512, small enough to keep in memory "
-    "fleet-wide. Codebooks train on a bounded driver-side sample "
+    f"{_PQ_BLOCKS} sub-blocks x {_PQ_K} centroids = 8-bit codes, "
+    "8 bytes/vector of index state — at 100 TB the searchable index is "
+    "64x smaller than the raw 512-byte vectors, small enough to keep "
+    "in memory fleet-wide at 100 TB. Codebooks train on a bounded driver-side sample "
     "(deterministic hash-ordered 10k cap); encoding + asymmetric-"
     "distance scoring run distributed via Arrow-batch numpy (one GEMM-"
     "class pass per batch); each query's 8x256 lookup table ships in the "
@@ -635,7 +636,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    qv = emb.select(
+    # broadcast only the 5 query vectors, not the whole corpus — the
+    # shortlist join keeps query_id < _N_QUERIES anyway, and a full-table
+    # broadcast would grow linearly with sf
+    qv = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),

@@ -64,13 +64,13 @@ def planted(spark):
 
 def test_recall_on_planted_near_dups(spark, planted):
     corpus, expected_pairs, _ = planted
-    out = lsh_near_pairs(_with_norm(corpus), threshold=0.8)
-    got = {(r.vec_a, r.vec_b) for r in out.collect()}
+    rows = lsh_near_pairs(_with_norm(corpus), threshold=0.8).collect()
+    got = {(r.vec_a, r.vec_b) for r in rows}
     hits = len(got & expected_pairs)
     recall = hits / len(expected_pairs)
     assert recall >= 0.9, f"recall {hits}/{len(expected_pairs)}"
     # exact verify: every surviving pair really is >= the threshold
-    assert all(r.cosine >= 0.8 for r in out.collect())
+    assert all(r.cosine >= 0.8 for r in rows)
 
 
 def test_candidate_count_far_below_quadratic(spark, planted):

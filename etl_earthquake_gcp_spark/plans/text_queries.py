@@ -1559,3 +1559,63 @@ def minhash_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@register(
+    "source_kl_divergence",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), sc AS (
+            SELECT source, token, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ), st AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY 1
+        ), cc AS (
+            SELECT token, CAST(sum(c) AS BIGINT) AS c FROM sc GROUP BY 1
+        ), ct AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n FROM cc
+        ), terms AS (
+            SELECT sc.source,
+                   round((round(sc.c * 1.0 / st.n, 10))
+                         * ln(round(sc.c * 1.0 / st.n, 10)
+                              / round(cc.c * 1.0 / ct.n, 10)), 8) AS term
+            FROM sc
+            JOIN st USING (source)
+            JOIN cc USING (token)
+            CROSS JOIN ct
+        )
+        SELECT source, round(sum(term), 4) + 0.0 AS kl_vs_corpus
+        FROM terms GROUP BY source
+    """,
+    doc="per-source KL divergence of the token distribution vs the whole "
+    "corpus — the domain-shift diagnostic behind source-mixing decisions "
+    "(a source with high KL is lexically unlike the blend; pairs with "
+    "source_mixing_weights). Every source token exists in the corpus by "
+    "construction, so KL is finite with no smoothing. Probabilities are "
+    "rounded to 10 places and each p*ln(p/q) term to 8 BEFORE the "
+    "per-source sum (libm ln last-ulp portability), then the sum rounds "
+    "to 4. Count tables shuffle on token keys; the vocabulary-sized "
+    "corpus marginal join is left to AQE (broadcast when small).",
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    sc = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    cc = sc.groupBy("token").agg(F.sum("c").alias("cc"))
+    ct = cc.agg(F.sum("cc").alias("nc"))
+    p_s = F.round(F.col("c") * F.lit(1.0) / F.col("n"), 10)
+    p_c = F.round(F.col("cc") * F.lit(1.0) / F.col("nc"), 10)
+    term = F.round(p_s * F.log(p_s / p_c), 8)
+    return (
+        sc.join(F.broadcast(st), "source")
+        # cc is vocabulary-sized: AQE broadcasts it when small, shuffle-joins
+        # when the vocabulary itself is corpus-scale — no forced hint
+        .join(cc, "token")
+        .crossJoin(F.broadcast(ct))
+        .select("source", term.alias("term"))
+        .groupBy("source")
+        .agg((F.round(F.sum("term"), 4) + F.lit(0.0)).alias("kl_vs_corpus"))
+    )

@@ -780,7 +780,10 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per job (range bounds are re-sampled), which would key the boundary
     # correction to a layout other than the one it is applied to — the
     # same hazard token_dictionary_distributed persists against. The
-    # collect below materializes the cache.
+    # collect below materializes the cache. The cache is deliberately NOT
+    # unpersisted here (the returned plan still reads it); callers that
+    # sweep many queries release it via spark.catalog.clearCache(), which
+    # bench.py does between repeats.
     local = r.withColumn(
         "local_best_above", F.max("o_orderdate").over(w)
     ).persist()

@@ -557,9 +557,9 @@ def _pq_codebooks(emb, seed: int = 42):
     oracle=None,  # trainer-specific codebooks -> rows-only driver check
     doc=f"product-quantization ANN (the 64x-compression scale path): "
     f"{_PQ_BLOCKS} sub-blocks x {_PQ_K} centroids = 8-bit codes, "
-    "8 bytes/vector of index state — at 100 TB the searchable index is "
-    "64x smaller than the raw 512-byte vectors, small enough to keep "
-    "in memory fleet-wide at 100 TB. Codebooks train on a bounded driver-side sample "
+    "8 bytes/vector of index state — 64x smaller than the raw 512-byte "
+    "vectors, small enough to keep in memory fleet-wide at 100 TB. "
+    "Codebooks train on a bounded driver-side sample "
     "(deterministic hash-ordered 10k cap); encoding + asymmetric-"
     "distance scoring run distributed via Arrow-batch numpy (one GEMM-"
     "class pass per batch); each query's 8x256 lookup table ships in the "
@@ -636,13 +636,12 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    # broadcast only the 5 query vectors, not the whole corpus — the
-    # shortlist join keeps query_id < _N_QUERIES anyway, and a full-table
-    # broadcast would grow linearly with sf
-    qv = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qnorm"),
+    # the 5 query vectors were already collected driver-side (qrows, for
+    # the LUTs) — rebuild the broadcast side from them instead of paying a
+    # second table scan; a full-table broadcast would also grow with sf
+    qv = spark.createDataFrame(
+        [(int(r.vec_id), list(r.vec), float(r.norm)) for r in qrows],
+        "query_id long, qvec array<double>, qnorm double",
     )
     nv = emb.select(
         F.col("vec_id").alias("neighbor_id"),

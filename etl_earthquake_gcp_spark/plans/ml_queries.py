@@ -70,3 +70,62 @@ def ml_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("value") > 50).alias("high_value"))
         .agg(F.count("*").alias("n"))
     )
+
+
+_FP_MIN_SUPPORT = 0.02
+
+
+@register(
+    "fpgrowth_brand_itemsets",
+    oracle=f"""
+        WITH b AS (
+            SELECT DISTINCT l_orderkey, p_brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), nb AS (
+            SELECT count(DISTINCT l_orderkey) AS n FROM b
+        ), singles AS (
+            SELECT p_brand AS itemset, CAST(count(*) AS BIGINT) AS freq
+            FROM b GROUP BY 1
+        ), pairs AS (
+            SELECT a.p_brand || '+' || c.p_brand AS itemset,
+                   CAST(count(*) AS BIGINT) AS freq
+            FROM b a JOIN b c
+              ON a.l_orderkey = c.l_orderkey AND a.p_brand < c.p_brand
+            GROUP BY 1
+        )
+        SELECT itemset, freq
+        FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+        CROSS JOIN nb
+        WHERE freq >= {_FP_MIN_SUPPORT} * n
+    """,
+    doc=f"frequent-itemset mining with MLlib FP-Growth (minSupport="
+    f"{_FP_MIN_SUPPORT}) over per-order brand baskets — market-basket "
+    "analysis, a NEW MLlib surface beyond the classifier/KMeans. "
+    "FP-Growth is exact (not sampled), so itemsets of size <= 2 are "
+    "verifiable against plain SQL counts — the rare case of an MLlib "
+    "algorithm holding a full DuckDB oracle. Itemsets emitted as "
+    "sort-joined strings (never array columns — comparator contract); "
+    "the same >= minSupport * n double comparison on both engines.",
+)
+def fpgrowth_brand_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=_FP_MIN_SUPPORT, minConfidence=0.1
+    ).fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.concat_ws("+", F.array_sort("items")).alias("itemset"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+    )

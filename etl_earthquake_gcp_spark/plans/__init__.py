@@ -45,7 +45,7 @@ _DRIVER_PRIORITY = [
     "boilerplate_ngrams", "minhash_candidate_quality", "ewma_user_values",
     "sql_entry_lateral_topk", "merge_overlapping_intervals",
     "hll_mergeable_rollup", "weighted_sample_ares", "streaming_ewma_state",
-    "source_kl_divergence", "fpgrowth_brand_itemsets",
+    "source_kl_divergence", "fpgrowth_brand_itemsets", "ivf_pq_topk",
     # -- previously-green re-confirmations fill the remaining slots --------
     "cube_order_counts", "pivot_status_by_priority", "range_join_value_buckets",
     "date_part_join_weekday", "event_value_percentiles", "salted_join_user_nation",

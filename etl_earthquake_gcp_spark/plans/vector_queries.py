@@ -665,3 +665,197 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"))
     )
+
+
+_IVFPQ_CELLS = 16
+_IVFPQ_NPROBE = 4
+
+
+@register(
+    "ivf_pq_topk",
+    oracle=None,  # trainer-specific quantizers -> rows-only driver check
+    doc=f"IVF-PQ ANN — the production index composition: a coarse "
+    f"quantizer ({_IVFPQ_CELLS} cells) partitions the corpus, PQ encodes "
+    "the RESIDUAL (x - cell centroid) at 8 bytes/vector, queries probe "
+    f"their {_IVFPQ_NPROBE} nearest cells and score only those cells' "
+    "codes via per-(query, cell) ADC lookup tables, then an exact-cosine "
+    "re-rank refines the shortlist. All quantizers train on one bounded "
+    "driver-side sample (the FAISS pattern); encoding and scoring run "
+    "distributed via Arrow-batch numpy. At 100 TB the corpus is "
+    "partitioned BY cell id, so a query touches nprobe/cells of the "
+    "data AND reads 64x-compressed codes — the two scale levers "
+    "(ann_ivf_topk, pq_adc_topk) composed. Recall on planted near-dups "
+    "pinned in tests/test_pq.py.",
+)
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+
+    # ---- train coarse + residual quantizers on one bounded sample --------
+    rows = (
+        emb.select("vec_id", "vec", "norm")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(_PQ_TRAIN_SAMPLE)
+        .collect()
+    )
+    U = np.array([r.vec for r in rows]) / np.array([[r.norm] for r in rows])
+    n, dim = U.shape
+    rng = np.random.default_rng(42)
+
+    def lloyd(X: "np.ndarray", k: int) -> "np.ndarray":
+        C = X[rng.choice(len(X), k, replace=False)].copy()
+        x2 = (X**2).sum(axis=1)[:, None]
+        for _ in range(20):
+            d2 = x2 + (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                pts = X[a == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        return C
+
+    coarse = lloyd(U, min(_IVFPQ_CELLS, n))  # cells × dim
+    cells_of_sample = (
+        ((U**2).sum(1)[:, None] + (coarse**2).sum(1)[None, :] - 2 * U @ coarse.T)
+        .argmin(axis=1)
+    )
+    resid = U - coarse[cells_of_sample]
+    dpb = dim // _PQ_BLOCKS
+    k_pq = min(_PQ_K, n)
+    books = np.empty((_PQ_BLOCKS, k_pq, dpb))
+    for b in range(_PQ_BLOCKS):
+        books[b] = lloyd(resid[:, b * dpb : (b + 1) * dpb], k_pq)
+
+    # ---- encode distributed: cell id + residual codes --------------------
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            d2c = (
+                (V**2).sum(1)[:, None]
+                + (coarse**2).sum(1)[None, :]
+                - 2.0 * (V @ coarse.T)
+            )
+            cell = d2c.argmin(axis=1)
+            R = V - coarse[cell]
+            codes = np.empty((len(V), _PQ_BLOCKS), dtype=np.int64)
+            for b in range(_PQ_BLOCKS):
+                Rb = R[:, b * dpb : (b + 1) * dpb]
+                Cb = books[b]
+                d2 = (
+                    (Rb**2).sum(1)[:, None]
+                    + (Cb**2).sum(1)[None, :]
+                    - 2.0 * (Rb @ Cb.T)
+                )
+                codes[:, b] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell,
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = emb.select("vec_id", "vec").mapInPandas(
+        encode, schema="vec_id long, cell int, codes array<long>"
+    )
+
+    # ---- query side: probe cells, per-(query, cell) residual LUTs --------
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _N_QUERIES).collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = [int(r.vec_id) for r in qrows]
+    qmat = np.array([r.vec for r in qrows]) / np.array(
+        [[r.norm] for r in qrows]
+    )
+    qd2c = (
+        (qmat**2).sum(1)[:, None]
+        + (coarse**2).sum(1)[None, :]
+        - 2.0 * (qmat @ coarse.T)
+    )
+    probe_cells = np.argsort(qd2c, axis=1)[:, :_IVFPQ_NPROBE]
+    probes = spark.createDataFrame(
+        [
+            (qids[qi], int(c))
+            for qi in range(len(qids))
+            for c in probe_cells[qi]
+        ],
+        "query_id long, cell int",
+    )
+    # LUT[(qi, cell)][b, code] = ||(q - c_cell)_b - book_b[code]||^2
+    lut: dict[tuple[int, int], "np.ndarray"] = {}
+    for qi in range(len(qids)):
+        for c in probe_cells[qi]:
+            qr = qmat[qi] - coarse[c]
+            t = np.empty((_PQ_BLOCKS, k_pq))
+            for b in range(_PQ_BLOCKS):
+                qb = qr[b * dpb : (b + 1) * dpb]
+                t[b] = ((books[b] - qb[None, :]) ** 2).sum(axis=1)
+            lut[(qids[qi], int(c))] = t
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dists = np.empty(len(pdf))
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            for i, (q, c) in enumerate(
+                zip(pdf["query_id"].to_numpy(), pdf["cell"].to_numpy())
+            ):
+                t = lut[(int(q), int(c))]
+                dists[i] = t[np.arange(_PQ_BLOCKS), codes[i]].sum()
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "adc_dist": dists,
+                }
+            )
+
+    scored = (
+        encoded.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "cell", "vec_id", "codes")
+        .mapInPandas(
+            adc, schema="query_id long, neighbor_id long, adc_dist double"
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("adc_dist"), 6), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = spark.createDataFrame(
+        [(int(r.vec_id), list(r.vec), float(r.norm)) for r in qrows],
+        "query_id long, qvec array<double>, qnorm double",
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("qnorm") * F.col("nnorm"))
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"))
+    )

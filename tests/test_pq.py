@@ -52,3 +52,18 @@ def test_pq_deterministic(spark):
         map(tuple, QUERIES["pq_adc_topk"].spark_fn(spark, SF_DIR).collect())
     )
     assert a == b
+
+
+def test_ivfpq_recall_vs_bruteforce(spark):
+    """IVF-PQ (coarse cells + residual codes + ADC + refine) must keep its
+    returned neighbors inside the true top-10 despite probing only
+    4/16 cells."""
+    got = QUERIES["ivf_pq_topk"].spark_fn(spark, SF_DIR).collect()
+    ids, C = _truth(spark)
+    in_top10 = total = 0
+    for q in range(5):
+        mine = [r.neighbor_id for r in got if r.query_id == q]
+        assert len(mine) == 3, (q, mine)
+        in_top10 += len(set(mine) & set(ids[np.argsort(-C[q])[:10]]))
+        total += 3
+    assert in_top10 / total >= 0.8, f"{in_top10}/{total} inside true top-10"

@@ -513,6 +513,83 @@ _PQ_TRAIN_SAMPLE = 10_000  # codebook training sample cap (driver-bounded)
 _PQ_SHORTLIST = 50  # ADC candidates per query fed to the exact re-rank
 
 
+def _pq_unit_sample(emb):
+    """Bounded deterministic training sample as unit vectors (FAISS
+    pattern: quantizers train on a ≤10k hash-ordered sample, never the
+    full corpus)."""
+    import numpy as np
+
+    rows = (
+        emb.select("vec_id", "vec", "norm")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")  # deterministic "sample"
+        .limit(_PQ_TRAIN_SAMPLE)
+        .collect()
+    )
+    return np.array([r.vec for r in rows]) / np.array(
+        [[r.norm] for r in rows]
+    )
+
+
+def _lloyd(X, k, rng):
+    """Seeded numpy Lloyd k-means, 20 iterations, GEMM distances (the
+    ||x||²+||c||²-2x·c identity, not O(n·k·d) broadcasting). Shared by
+    every PQ/IVF trainer so empty-cluster / seed policy stays in one
+    place."""
+    C = X[rng.choice(len(X), k, replace=False)].copy()
+    x2 = (X**2).sum(axis=1)[:, None]
+    for _ in range(20):
+        d2 = x2 + (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        a = d2.argmin(axis=1)
+        for c in range(k):
+            pts = X[a == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+    return C
+
+
+def _adc_refine(spark, scored, qrows, emb):
+    """Stage 2 of the FAISS shape, shared by pq_adc_topk / ivf_pq_topk:
+    ADC top-``_PQ_SHORTLIST`` shortlist (id pairs only) -> exact-cosine
+    re-rank -> top-``_TOP_K``. The query side is rebuilt from the
+    already-collected ``qrows`` (no second table scan)."""
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("adc_dist"), 6), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = spark.createDataFrame(
+        [(int(r.vec_id), list(r.vec), float(r.norm)) for r in qrows],
+        "query_id long, qvec array<double>, qnorm double",
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("qnorm") * F.col("nnorm"))
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine")
+        )
+    )
+
+
 def _pq_codebooks(emb, seed: int = 42):
     """Train the per-block codebooks on a bounded driver-side sample.
 
@@ -525,30 +602,14 @@ def _pq_codebooks(emb, seed: int = 42):
     """
     import numpy as np
 
-    rows = (
-        emb.select("vec_id", "vec", "norm")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")  # deterministic "sample"
-        .limit(_PQ_TRAIN_SAMPLE)
-        .collect()
-    )
-    U = np.array([r.vec for r in rows]) / np.array([[r.norm] for r in rows])
+    U = _pq_unit_sample(emb)
     n, dim = U.shape
     dpb = dim // _PQ_BLOCKS
     k = min(_PQ_K, n)  # tiny corpora can't support 256 centroids
     books = np.empty((_PQ_BLOCKS, k, dpb))
     rng = np.random.default_rng(seed)
     for b in range(_PQ_BLOCKS):
-        X = U[:, b * dpb : (b + 1) * dpb]
-        C = X[rng.choice(n, k, replace=False)].copy()
-        x2 = (X**2).sum(axis=1)[:, None]
-        for _ in range(20):  # Lloyd; GEMM distances, not O(n*k*d) broadcast
-            d2 = x2 + (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
-            a = d2.argmin(axis=1)
-            for c in range(k):
-                pts = X[a == c]
-                if len(pts):
-                    C[c] = pts.mean(axis=0)
-        books[b] = C
+        books[b] = _lloyd(U[:, b * dpb : (b + 1) * dpb], k, rng)
     return books
 
 
@@ -625,48 +686,14 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.select("vec_id", "vec").mapInPandas(
         score_batches, schema="query_id long, neighbor_id long, adc_dist double"
     ).filter(F.col("neighbor_id") != F.col("query_id"))
-    # stage 2 (FAISS-style refine): ADC shortlist -> exact cosine re-rank.
-    # The shortlist travels as id pairs; only |queries|x|shortlist| rows
-    # re-join the full vectors for the exact pass.
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("adc_dist"), 6), F.col("neighbor_id")
-    )
-    shortlist = (
-        scored.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= _PQ_SHORTLIST)
-        .select("query_id", "neighbor_id")
-    )
-    # the 5 query vectors were already collected driver-side (qrows, for
-    # the LUTs) — rebuild the broadcast side from them instead of paying a
-    # second table scan; a full-table broadcast would also grow with sf
-    qv = spark.createDataFrame(
-        [(int(r.vec_id), list(r.vec), float(r.norm)) for r in qrows],
-        "query_id long, qvec array<double>, qnorm double",
-    )
-    nv = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("vec").alias("nvec"),
-        F.col("norm").alias("nnorm"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("qnorm") * F.col("nnorm"))
-    w_exact = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
-    )
-    return (
-        shortlist.join(F.broadcast(qv), "query_id")
-        .join(nv, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
-        .withColumn("rn", F.row_number().over(w_exact))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"))
-    )
+    # stage 2 (FAISS-style refine, shared with ivf_pq_topk): ADC shortlist
+    # as id pairs -> exact-cosine re-rank
+    return _adc_refine(spark, scored, qrows, emb)
 
 
+# deliberately separate from _IVF_CELLS/_IVF_NPROBE: ann_ivf_topk trains
+# its coarse quantizer with distributed MLlib KMeans, this one with the
+# sample-based numpy trainer — the two geometries tune independently
 _IVFPQ_CELLS = 16
 _IVFPQ_NPROBE = 4
 
@@ -696,29 +723,11 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
 
     # ---- train coarse + residual quantizers on one bounded sample --------
-    rows = (
-        emb.select("vec_id", "vec", "norm")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(_PQ_TRAIN_SAMPLE)
-        .collect()
-    )
-    U = np.array([r.vec for r in rows]) / np.array([[r.norm] for r in rows])
+    U = _pq_unit_sample(emb)
     n, dim = U.shape
     rng = np.random.default_rng(42)
 
-    def lloyd(X: "np.ndarray", k: int) -> "np.ndarray":
-        C = X[rng.choice(len(X), k, replace=False)].copy()
-        x2 = (X**2).sum(axis=1)[:, None]
-        for _ in range(20):
-            d2 = x2 + (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
-            a = d2.argmin(axis=1)
-            for c in range(k):
-                pts = X[a == c]
-                if len(pts):
-                    C[c] = pts.mean(axis=0)
-        return C
-
-    coarse = lloyd(U, min(_IVFPQ_CELLS, n))  # cells × dim
+    coarse = _lloyd(U, min(_IVFPQ_CELLS, n), rng)  # cells × dim
     cells_of_sample = (
         ((U**2).sum(1)[:, None] + (coarse**2).sum(1)[None, :] - 2 * U @ coarse.T)
         .argmin(axis=1)
@@ -728,7 +737,7 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_pq = min(_PQ_K, n)
     books = np.empty((_PQ_BLOCKS, k_pq, dpb))
     for b in range(_PQ_BLOCKS):
-        books[b] = lloyd(resid[:, b * dpb : (b + 1) * dpb], k_pq)
+        books[b] = _lloyd(resid[:, b * dpb : (b + 1) * dpb], k_pq, rng)
 
     # ---- encode distributed: cell id + residual codes --------------------
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -798,17 +807,23 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t[b] = ((books[b] - qb[None, :]) ** 2).sum(axis=1)
             lut[(qids[qi], int(c))] = t
 
+    block_ix = np.arange(_PQ_BLOCKS)
+
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one LUT gather per (query, cell) GROUP, not per row — the whole
+        # group's codes fancy-index the same table in one numpy op (the
+        # per-row-Python anti-pattern this file documents elsewhere)
         for pdf in batches:
             if not len(pdf):
                 continue
             dists = np.empty(len(pdf))
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            for i, (q, c) in enumerate(
-                zip(pdf["query_id"].to_numpy(), pdf["cell"].to_numpy())
-            ):
+            keys = pd.MultiIndex.from_arrays(
+                [pdf["query_id"], pdf["cell"]]
+            )
+            for (q, c), ix in pdf.groupby(keys, sort=False).indices.items():
                 t = lut[(int(q), int(c))]
-                dists[i] = t[np.arange(_PQ_BLOCKS), codes[i]].sum()
+                dists[ix] = t[block_ix[None, :], codes[ix]].sum(axis=1)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy(),
@@ -825,37 +840,4 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             adc, schema="query_id long, neighbor_id long, adc_dist double"
         )
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("adc_dist"), 6), F.col("neighbor_id")
-    )
-    shortlist = (
-        scored.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= _PQ_SHORTLIST)
-        .select("query_id", "neighbor_id")
-    )
-    qv = spark.createDataFrame(
-        [(int(r.vec_id), list(r.vec), float(r.norm)) for r in qrows],
-        "query_id long, qvec array<double>, qnorm double",
-    )
-    nv = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("vec").alias("nvec"),
-        F.col("norm").alias("nnorm"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("qnorm") * F.col("nnorm"))
-    w_exact = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
-    )
-    return (
-        shortlist.join(F.broadcast(qv), "query_id")
-        .join(nv, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
-        .withColumn("rn", F.row_number().over(w_exact))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"))
-    )
+    return _adc_refine(spark, scored, qrows, emb)

@@ -67,3 +67,13 @@ def test_ivfpq_recall_vs_bruteforce(spark):
         in_top10 += len(set(mine) & set(ids[np.argsort(-C[q])[:10]]))
         total += 3
     assert in_top10 / total >= 0.8, f"{in_top10}/{total} inside true top-10"
+
+
+def test_ivfpq_deterministic(spark):
+    a = sorted(
+        map(tuple, QUERIES["ivf_pq_topk"].spark_fn(spark, SF_DIR).collect())
+    )
+    b = sorted(
+        map(tuple, QUERIES["ivf_pq_topk"].spark_fn(spark, SF_DIR).collect())
+    )
+    assert a == b

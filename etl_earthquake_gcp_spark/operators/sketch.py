@@ -405,15 +405,18 @@ def hll_rollup_oracle_sql(table: str, key_col: str, group_col: str) -> str:
                    count(*) FILTER (WHERE m_j = 0) AS v
             FROM mfilled
         ), mest AS (
-            SELECT 'ALL' AS grp, {est_case} AS est_distinct FROM magg
+            SELECT 'ALL' AS grp, TRUE AS is_total, {est_case} AS est_distinct
+            FROM magg
         ), exact AS (
-            SELECT {group_col} AS grp,
+            SELECT {group_col} AS grp, FALSE AS is_total,
                    CAST(count(DISTINCT {key_col}) AS BIGINT) AS true_distinct
             FROM {table} GROUP BY 1
             UNION ALL
-            SELECT 'ALL', CAST(count(DISTINCT {key_col}) AS BIGINT) FROM {table}
+            SELECT 'ALL', TRUE, CAST(count(DISTINCT {key_col}) AS BIGINT)
+            FROM {table}
         )
-        SELECT u.grp, u.est_distinct, exact.true_distinct
-        FROM (SELECT * FROM est UNION ALL SELECT * FROM mest) u
-        JOIN exact USING (grp)
+        SELECT u.grp, u.is_total, u.est_distinct, exact.true_distinct
+        FROM (SELECT grp, FALSE AS is_total, est_distinct FROM est
+              UNION ALL SELECT * FROM mest) u
+        JOIN exact USING (grp, is_total)
     """

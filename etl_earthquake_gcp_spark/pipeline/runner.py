@@ -16,8 +16,6 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import TypeVar
 
-T = TypeVar("T")
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,6 +32,8 @@ from .ingest import ingest_to_bronze
 from .silver_to_gold import silver_to_gold
 
 logger = logging.getLogger(__name__)
+
+T = TypeVar("T")
 
 # the DAG's default_args: retries=5, retry_delay (earthquake_etl_dag.py:106).
 # Locally the delay defaults to 0 so tests stay fast; attempts = 1 + retries.

@@ -1003,22 +1003,30 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     regs = hll_registers_by(e, "user_id", "event_type").persist()
-    per_type = hll_estimate_by(regs)
+    # is_total disambiguates the rollup row from a hypothetical genuine
+    # 'ALL' group value — the join keys on (grp, is_total) so a domain
+    # collision can't fan out (ADVICE r3).
+    per_type = hll_estimate_by(regs).select(
+        "grp", F.lit(False).alias("is_total"), "est_distinct"
+    )
     merged_regs = regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
     merged = hll_estimate(merged_regs).select(
-        F.lit("ALL").alias("grp"), "est_distinct"
+        F.lit("ALL").alias("grp"), F.lit(True).alias("is_total"),
+        "est_distinct",
     )
     exact = (
         e.groupBy(F.col("event_type").alias("grp"))
         .agg(F.count_distinct("user_id").alias("true_distinct"))
+        .select("grp", F.lit(False).alias("is_total"), "true_distinct")
         .unionByName(
             e.agg(F.count_distinct("user_id").alias("true_distinct")).select(
-                F.lit("ALL").alias("grp"), "true_distinct"
+                F.lit("ALL").alias("grp"), F.lit(True).alias("is_total"),
+                "true_distinct",
             )
         )
     )
     return (
         per_type.unionByName(merged)
-        .join(exact, "grp")
-        .select("grp", "est_distinct", "true_distinct")
+        .join(exact, ["grp", "is_total"])
+        .select("grp", "is_total", "est_distinct", "true_distinct")
     )

@@ -749,13 +749,17 @@ def join_shufflehash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(totalprice, orderdate) — no other order is both pricier and more "
     "recent (o_orderkey tie-break makes equal prices dominate in key "
     "order, deterministically). DISTRIBUTED sweep, not the textbook "
-    "single global sort: range-partition by (price desc, key), run the "
-    "running-max-date sweep inside each partition in parallel, then "
-    "correct across boundaries with the partition-count-sized prefix-max "
-    "of earlier (pricier) partitions' dates — a bounded driver-side "
-    "exchange (#partitions rows), the same contract-bounded pattern as "
-    "the pack-sequences offset map. The oracle keeps the one-sort "
-    "formulation: identical semantics, different physical strategy.",
+    "single global sort: bucket rows by VALUE (price-quantile bounds "
+    "collected once, driver-bounded), run the running-max-date sweep "
+    "inside each bucket in parallel, then correct across buckets with "
+    "the bucket-count-sized prefix-max of pricier buckets' dates. The "
+    "bucket id is a pure function of the row's price — unlike "
+    "spark_partition_id() under a re-executed range exchange, recompute "
+    "of any stage reproduces the identical layout, so no persist is "
+    "needed for correctness (ADVICE r3). Equal prices always share a "
+    "bucket, so cross-bucket correction sees strictly-pricier rows only. "
+    "The oracle keeps the one-sort formulation: identical semantics, "
+    "different physical strategy.",
 )
 def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
@@ -763,33 +767,39 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
     )
-    # range partitioner: partition i holds strictly better (price, key)
-    # tuples than partition i+1; the tie-break key makes the order total
-    r = o.repartitionByRange(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    ).withColumn("pid", F.spark_partition_id())
+    # value-derived buckets: ascending price quantile bounds (≤31 scalars
+    # on the driver — contract-bounded like the pack-sequences offset
+    # map). pid = #bounds strictly above my price, so pid 0 is the
+    # priciest bucket and ties at a bound land together in the pricier
+    # bucket. Bucket balance only affects parallelism, never correctness.
+    bounds = sorted(
+        set(
+            o.stat.approxQuantile(
+                "o_totalprice", [i / 32.0 for i in range(1, 32)], 0.001
+            )
+        )
+    )
+    if bounds:  # empty input → no quantiles → single bucket
+        pid = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bounds]),
+                lambda b: b > F.col("o_totalprice"),
+            )
+        )
+    else:
+        pid = F.lit(0)
+    r = o.withColumn("pid", pid)
     # pass 1 (parallel): running max date among better-priced rows WITHIN
-    # the partition
+    # the bucket (the window's own exchange hashes on pid)
     w = (
         Window.partitionBy("pid")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # persist BEFORE the two downstream jobs: spark_partition_id() under a
-    # re-executed repartitionByRange can land rows in a DIFFERENT layout
-    # per job (range bounds are re-sampled), which would key the boundary
-    # correction to a layout other than the one it is applied to — the
-    # same hazard token_dictionary_distributed persists against. The
-    # collect below materializes the cache. The cache is deliberately NOT
-    # unpersisted here (the returned plan still reads it); callers that
-    # sweep many queries release it via spark.catalog.clearCache(), which
-    # bench.py does between repeats.
-    local = r.withColumn(
-        "local_best_above", F.max("o_orderdate").over(w)
-    ).persist()
-    # pass 2: per-partition max dates are #partitions rows — prefix-max of
-    # all EARLIER partitions computed over that tiny frame and broadcast
-    # back (empty-input guard: no rows → no correction needed)
+    local = r.withColumn("local_best_above", F.max("o_orderdate").over(w))
+    # pass 2: per-bucket max dates are #buckets rows — prefix-max of all
+    # PRICIER buckets computed over that tiny frame and broadcast back
+    # (empty-input guard: no rows → no correction needed)
     pmax_rows = sorted(
         local.groupBy("pid").agg(F.max("o_orderdate").alias("mx")).collect(),
         key=lambda row: row.pid,

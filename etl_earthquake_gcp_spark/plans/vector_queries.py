@@ -525,8 +525,8 @@ def _pq_unit_sample(emb):
         .limit(_PQ_TRAIN_SAMPLE)
         .collect()
     )
-    return np.array([r.vec for r in rows]) / np.array(
-        [[r.norm] for r in rows]
+    return np.array([r.vec for r in rows]) / np.maximum(
+        np.array([[r.norm] for r in rows]), 1e-12
     )
 
 
@@ -658,7 +658,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             V = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            V = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )  # zero-norm rows stay zero instead of going NaN
             n = len(V)
             codes = np.empty((n, _PQ_BLOCKS), dtype=np.int64)
             for b in range(_PQ_BLOCKS):
@@ -743,7 +745,9 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             V = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            V = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )  # zero-norm rows stay zero instead of going NaN
             d2c = (
                 (V**2).sum(1)[:, None]
                 + (coarse**2).sum(1)[None, :]

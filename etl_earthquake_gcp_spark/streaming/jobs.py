@@ -23,6 +23,17 @@ from pyspark.sql import functions as F
 from ..sources.tables import fix_nanos_ts
 
 
+def _src_fingerprint(path: str) -> str:
+    """mtime+size fingerprint of a source file, folded into every /tmp
+    staging key so a regenerated source (the driver rewrites testdata
+    between rounds, sometimes with different physical types) automatically
+    invalidates the staged copy instead of silently replaying stale data."""
+    import os
+
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events table (schema pinned — streaming
     reads never infer, SURVEY §1.2). Nanos→micros fix as in batch
@@ -36,7 +47,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir}/events.parquet"
-    stage = f"/tmp/spark_stream_stage_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+    key = f"{src}:{_src_fingerprint(src)}"
+    stage = f"/tmp/spark_stream_stage_{hashlib.md5(key.encode()).hexdigest()[:8]}"
     os.makedirs(stage, exist_ok=True)
     link = f"{stage}/events.parquet"
     if not os.path.exists(link):
@@ -87,7 +99,7 @@ def _events_stream_multibatch(
     src = f"{sf_dir}/events.parquet"
     stage = (
         "/tmp/spark_stream_slices_"
-        f"{hashlib.md5(f'{src}:{n_files}'.encode()).hexdigest()[:8]}"
+        f"{hashlib.md5(f'{src}:{n_files}:{_src_fingerprint(src)}'.encode()).hexdigest()[:8]}"
     )
     done = f"{stage}/.done"
     if not os.path.exists(done):

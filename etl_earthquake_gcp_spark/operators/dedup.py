@@ -230,12 +230,13 @@ def minhash_coeffs(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_oracle_sql(
+def minhash_pairs_cte(
     n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.8, seed: int = 42
 ) -> str:
-    """DuckDB SQL computing exactly ``minhash_band_pairs`` — same dictionary,
-    same (a·x+b) mod p hashes, same banding — so even the *approximate* LSH
-    path is oracle-checked end to end (SURVEY §5.1)."""
+    """CTE body replaying ``minhash_band_pairs`` in DuckDB — same dictionary,
+    same (a·x+b) mod p hashes, same banding, exact-Jaccard verify — ending
+    in ``mh_pairs (doc_a, doc_b, jaccard)``. Composable: downstream oracles
+    (components, canonical selection) chain further CTEs onto it."""
     r = n_hashes // n_bands
     coeffs = minhash_coeffs(n_hashes, seed)
     hash_exprs = ",\n               ".join(
@@ -249,7 +250,7 @@ def minhash_oracle_sql(
         for i in range(n_bands)
     )
     return f"""
-        WITH tok AS (
+        tok AS (
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
             FROM documents
         ), vocab AS (
@@ -275,13 +276,25 @@ def minhash_oracle_sql(
             JOIN tok a ON doc_a = a.doc_id
             JOIN tok b ON doc_b = b.doc_id AND a.token = b.token
             GROUP BY 1, 2
+        ), mh_pairs AS (
+            SELECT doc_a, doc_b,
+                   round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {threshold}
         )
-        SELECT doc_a, doc_b,
-               round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
-        FROM common
-        JOIN sizes sa ON doc_a = sa.doc_id
-        JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {threshold}
+    """
+
+
+def minhash_oracle_sql(
+    n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.8, seed: int = 42
+) -> str:
+    """DuckDB SQL computing exactly ``minhash_band_pairs`` — so even the
+    *approximate* LSH path is oracle-checked end to end (SURVEY §5.1)."""
+    return f"""
+        WITH {minhash_pairs_cte(n_hashes, n_bands, threshold, seed)}
+        SELECT doc_a, doc_b, jaccard FROM mh_pairs
     """
 
 

@@ -329,9 +329,12 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
     """,
     doc="PageRank, 3 fixed iterations, over the symmetric ≥0.8 Jaccard "
     "near-dup graph (damping 0.85; isolated docs hold teleport mass). "
-    "Each iteration is one co-partitioned edge⋈rank join + one "
-    "partial-agg shuffle on dst; the rank vector is node-sized, so at "
-    "100 TB it broadcasts and only edges stream. Oracle = the same three "
+    "Edges are hash-partitioned on src ONCE and persisted; each "
+    "iteration is a co-partitioned edge⋈rank shuffle join (only the "
+    "node-sized rank table moves) + one partial-agg shuffle on dst — no "
+    "vertex-sized broadcast anywhere in the plan, so the same plan runs "
+    "when ranks outgrow broadcast limits at 100 TB (AQE may still pick "
+    "a runtime broadcast when sizes allow). Oracle = the same three "
     "updates unrolled as CTEs — the iterative-algorithm class held to a "
     "full differential check (near_dup_components covers the "
     "data-dependent-iteration variant).",
@@ -346,17 +349,20 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    edges = edges.persist()
+    # One hash exchange on src, reused everywhere: deg's partial agg, the
+    # deg join, and every iteration's rank join all consume this layout,
+    # so NOTHING vertex- or edge-sized is ever broadcast (r3 verdict #1 —
+    # at 100 TB the rank table outgrows any broadcast limit; AQE is still
+    # free to pick a runtime broadcast when the actual size allows).
+    edges = edges.repartition("src").persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges_deg = edges.join(F.broadcast(deg), "src").persist()
+    edges_deg = edges.join(deg, "src").persist()
 
     vertices = d.select(F.col("doc_id").alias("id"))
     ranks = vertices.withColumn("rank", F.lit(1.0 / n_docs))
     for _ in range(3):
         contrib = (
-            edges_deg.join(
-                F.broadcast(ranks), edges_deg.src == ranks.id
-            )
+            edges_deg.join(ranks, edges_deg.src == ranks.id)
             .select(
                 F.col("dst"),
                 (F.col("rank") / F.col("outdeg")).alias("contrib"),
@@ -895,11 +901,13 @@ def recursive_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_chain_sql("unix_millis", inline_nxt=False))
 
 
-_TRIANGLE_EDGES_SQL = """
+_TRIANGLE_DEGREE_CAP = 10  # keep each vertex's top-K neighbors only
+
+_TRIANGLE_EDGES_SQL = f"""
         cells AS (
             SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
             FROM events
-        ), edges AS (
+        ), edges0 AS (
             SELECT a.user_id AS u, b.user_id AS v,
                    CAST(count(*) AS BIGINT) AS shared
             FROM cells a JOIN cells b
@@ -907,6 +915,19 @@ _TRIANGLE_EDGES_SQL = """
              AND a.user_id < b.user_id
             GROUP BY 1, 2
             HAVING count(*) >= 25
+        ), directed AS (
+            SELECT u AS src, v AS dst, shared FROM edges0
+            UNION ALL
+            SELECT v, u, shared FROM edges0
+        ), kept AS (
+            SELECT src, dst FROM (
+                SELECT src, dst, row_number() OVER (
+                    PARTITION BY src ORDER BY shared DESC, dst) AS rn
+                FROM directed)
+            WHERE rn <= {_TRIANGLE_DEGREE_CAP}
+        ), edges AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM kept
         )
 """
 
@@ -927,19 +948,26 @@ _TRIANGLE_EDGES_SQL = """
     """,
     doc="triangle counting (graph-analytics class beyond components/"
     "pagerank): co-activity graph where users are linked by >= 25 shared "
-    "(event_type, day) cells, triangles counted by the ordered two-path "
-    "join (u < v < w, so each triangle counts exactly once). The "
-    "degree-bounded edge list keeps the 3-way self-join sub-quadratic; "
-    "at 100 TB the standard refinement orients edges low-degree -> "
-    "high-degree first, which this ordered formulation already is.",
+    "(event_type, day) cells, DEGREE-CAPPED to each vertex's top-"
+    f"{_TRIANGLE_DEGREE_CAP} neighbors (by shared count, neighbor-id "
+    "tie-break) before the two-path join — standard kNN-graph "
+    "sparsification. A co-activity graph over saturating cells densifies "
+    "as users² (r3 decade ratio 7.4); the cap makes the materialized "
+    "edge list LINEAR in users while keeping the strongest ties, so the "
+    "ordered two-path join (u < v < w, each triangle counted once) "
+    "probes a bounded-degree graph at any scale. The cap is a pure "
+    "function of the data (rank over shared desc, dst), replayed "
+    "verbatim by the oracle.",
 )
 def triangle_count_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # persist: both self-join branches read this frame — without the cache
+    # the events scan + distinct runs twice (measured 4× slower at sf0.1)
     cells = e.select(
         "user_id", "event_type", F.col("ts").cast("date").alias("day")
-    ).distinct()
+    ).distinct().persist()
     a, b = cells.alias("a"), cells.alias("b")
-    edges = (
+    edges0 = (
         a.join(
             b,
             (F.col("a.event_type") == F.col("b.event_type"))
@@ -951,6 +979,25 @@ def triangle_count_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= 25)
+    )
+    directed = edges0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "shared"
+    ).unionByName(
+        edges0.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), "shared"
+        )
+    )
+    from pyspark.sql import Window
+
+    w_deg = Window.partitionBy("src").orderBy(F.desc("shared"), "dst")
+    edges = (
+        directed.withColumn("rn", F.row_number().over(w_deg))
+        .filter(F.col("rn") <= _TRIANGLE_DEGREE_CAP)
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
         .persist()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")

@@ -22,6 +22,7 @@ from ..operators.dedup import (
     minhash_band_pairs_grouped,
     minhash_band_pairs_open,
     minhash_oracle_sql,
+    minhash_pairs_cte,
     minhash_shingle_oracle_sql,
     shingle_distinct,
     simhash_near_pairs,
@@ -1115,8 +1116,20 @@ def select_top_quality_within_budget(spark: SparkSession, sf_dir: str) -> DataFr
 @register(
     "dedup_keep_canonical",
     oracle=f"""
-        WITH RECURSIVE {_pairs_cte()}
-        , joined AS (
+        WITH RECURSIVE {minhash_pairs_cte(n_hashes=16, n_bands=4,
+                                          threshold=0.8, seed=42)}
+        , dedup_edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM mh_pairs
+        ), reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN dedup_edges e ON e.a = reach.id
+        ), components AS (
+            SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+            FROM reach GROUP BY id
+        ), joined AS (
             SELECT k.component, c.doc_id, c.n_chars,
                    row_number() OVER (PARTITION BY k.component
                                       ORDER BY c.n_chars DESC, c.doc_id)
@@ -1124,7 +1137,7 @@ def select_top_quality_within_budget(spark: SparkSession, sf_dir: str) -> DataFr
                    count(*) OVER (PARTITION BY k.component) AS cluster_size,
                    sum(c.n_chars) OVER (PARTITION BY k.component)
                        AS cluster_chars
-            FROM components k JOIN cand c USING (doc_id)
+            FROM components k JOIN documents c USING (doc_id)
         )
         SELECT component, doc_id AS canonical_doc_id,
                CAST(cluster_size AS BIGINT) AS cluster_size,
@@ -1135,15 +1148,19 @@ def select_top_quality_within_budget(spark: SparkSession, sf_dir: str) -> DataFr
     "one canonical survivor per duplicate cluster — the longest document "
     "(ties to smallest doc_id) — plus cluster size/chars, i.e. exactly "
     "what a training-data pipeline keeps and what it can attribute to "
-    "the drop. Window rank within component; singleton docs are their "
-    "own cluster. Composes bitmask Jaccard -> iterative components -> "
-    "window argmax in one lazy plan.",
+    "the drop. The cluster graph is the BANDED MinHash candidate graph "
+    "(16 hashes × 4 bands, exact-Jaccard verify ≥0.8 on collided pairs "
+    "only — the sub-quadratic production substrate, r3 verdict #5), not "
+    "exact all-pairs; the oracle replays banding + verify + recursive "
+    "reachability + the canonical window bit-for-bit. Composes banded "
+    "MinHash -> iterative components -> window argmax in one lazy plan.",
 )
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_band_pairs
     from ..operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs_bitmask(d, threshold=0.8)
+    pairs = minhash_band_pairs(d, n_hashes=16, n_bands=4, threshold=0.8, seed=42)
     comp = connected_components(
         vertices=d.select(F.col("doc_id").alias("id")),
         edges=pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),

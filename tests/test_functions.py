@@ -116,3 +116,41 @@ def test_hll_error_within_budget(spark):
     row = QUERIES["hll_distinct_users"].spark_fn(spark, SF_DIR).collect()[0]
     rel_err = abs(row.est_distinct - row.true_distinct) / row.true_distinct
     assert rel_err < 0.40, (row.est_distinct, row.true_distinct)
+
+
+def test_doc_chunks_catalyst_is_python_free(spark):
+    """The production chunk fan-out must stay whole-stage-codegen'd: no
+    Python eval node anywhere in the physical plan (the UDTF twin is the
+    deliberate Python-path exception, certified by the shared oracle)."""
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    from .conftest import SF_DIR
+
+    plan = (
+        QUERIES["doc_chunks_catalyst"]
+        .spark_fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+def test_udtf_and_catalyst_chunks_agree(spark):
+    """Differential: the genuine UDTF and the Catalyst twin emit identical
+    rows (the oracle certifies each against DuckDB; this pins them against
+    each other without an engine in between)."""
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    from .conftest import SF_DIR
+
+    a = set(
+        map(tuple, QUERIES["doc_chunks_udtf"].spark_fn(spark, SF_DIR).collect())
+    )
+    b = set(
+        map(
+            tuple,
+            QUERIES["doc_chunks_catalyst"].spark_fn(spark, SF_DIR).collect(),
+        )
+    )
+    assert a == b

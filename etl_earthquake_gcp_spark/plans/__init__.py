@@ -29,6 +29,9 @@ _DRIVER_PRIORITY = [
     # -- round-4 additions -------------------------------------------------
     "ann_recall_audit", "multimodal_real_decode",
     "doc_chunks_udtf", "doc_chunks_catalyst", "chunk_fixed_context",
+    "approx_distinct_audit", "approx_percentile_audit",
+    "stratified_sample_audit", "equidepth_approx_audit",
+    "ml_accuracy_audit", "semantic_dedup_signbucket",
     # -- changed semantics/schema this round: need rows under the new defs -
     "dedup_keep_canonical", "triangle_count_user_graph",
     "hll_mergeable_rollup", "skyline_pareto_orders", "pagerank_3iter",

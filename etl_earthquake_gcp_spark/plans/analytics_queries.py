@@ -553,6 +553,59 @@ def equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "equidepth_approx_audit",
+    oracle="""
+        SELECT CAST(8 AS BIGINT) AS n_buckets,
+               CAST(count(*) AS BIGINT) AS total_rows,
+               TRUE AS depth_ok
+        FROM events WHERE value IS NOT NULL
+    """,
+    doc="oracle-checkable audit of the GK-sketch equi-depth path (the "
+    "ann_recall_audit pattern): buckets rows by the approx_percentile "
+    "octile boundaries exactly as equidepth_histogram_approx does, then "
+    "asserts (a) exactly 8 buckets materialize, (b) every row lands in "
+    "one (total preserved), and (c) each bucket's depth is within 2% of "
+    "n/8 — the sketch's rank-error contract at 200x slack. The oracle "
+    "recomputes n and expects TRUE, so a broken sketch or bucket fold "
+    "hash-fails the driver row instead of hiding behind the rows-only "
+    "check. Same scan-shaped plan: sketch -> broadcast bounds -> "
+    "per-partition bucket fold -> 8-row partial agg.",
+)
+def equidepth_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bounds = ev.agg(
+        F.percentile_approx(
+            "value", [i / 8 for i in range(1, 8)], 10000
+        ).alias("bs")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.col("bs"),
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.col("value") > x, 1).otherwise(0),
+    )
+    per_bucket = (
+        ev.join(F.broadcast(bounds))
+        .select(bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = per_bucket.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_n"),
+        F.min("n").alias("min_n"),
+    )
+    tot = F.col("total_rows")
+    depth_ok = (
+        (F.col("max_n") - tot / 8.0 <= 0.02 * tot)
+        & (tot / 8.0 - F.col("min_n") <= 0.02 * tot)
+    )
+    return stats.select("n_buckets", "total_rows", depth_ok.alias("depth_ok"))
+
+
 # --------------------------------------------------------------------------
 # Snapshot reconciliation — FULL OUTER diff of two per-user aggregates
 # --------------------------------------------------------------------------

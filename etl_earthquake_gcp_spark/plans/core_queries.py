@@ -413,6 +413,50 @@ def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_distinct_audit",
+    oracle="""
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS exact_events,
+               TRUE AS users_ok,
+               TRUE AS events_ok
+        FROM events
+    """,
+    doc="oracle-checkable audit of approx_count_distinct (the "
+    "minhash_candidate_quality / ann_recall_audit pattern, r3 verdict #1 "
+    "generalized): one pass computes BOTH the exact distinct counts and "
+    "the HLL++ estimates (rsd 0.01), and emits the exact counts plus "
+    "booleans asserting the estimate sits within 5x the configured rsd. "
+    "The oracle recomputes the exact counts and expects TRUE — a broken "
+    "sketch (wrong register merge, precision regression) hash-fails the "
+    "driver row instead of hiding behind approx_distinct_events' "
+    "rows-only check. Same single-shuffle plan as the underlying query: "
+    "partial HLL registers + partial distinct maps combine map-side.",
+)
+def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    agg = e.agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count_distinct("event_id").alias("exact_events"),
+        F.approx_count_distinct("user_id", 0.01).alias("au"),
+        F.approx_count_distinct("event_id", 0.01).alias("ae"),
+    )
+    # 5% tolerance = 5x the configured rsd; HLL++ error at these
+    # cardinalities is far inside it, a broken sketch is far outside.
+    return agg.select(
+        "exact_users",
+        "exact_events",
+        (
+            F.abs(F.col("au") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("users_ok"),
+        (
+            F.abs(F.col("ae") - F.col("exact_events"))
+            <= 0.05 * F.col("exact_events")
+        ).alias("events_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # A11 — sum by two keys + series (geo-bubble analog, visuals/c34c0905)
 # --------------------------------------------------------------------------

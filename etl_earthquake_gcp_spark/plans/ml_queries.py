@@ -72,6 +72,52 @@ def ml_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Knuth multiplicative hash split (same portable-arithmetic pattern as
+# deterministic_hash_sample): both engines can compute membership exactly,
+# unlike randomSplit whose row assignment depends on partition layout.
+_SPLIT_A = 2654435761
+_SPLIT_P = 2147483647
+
+
+@register(
+    "ml_accuracy_audit",
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_test, TRUE AS acc_ok
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+          AND event_id IS NOT NULL AND user_id IS NOT NULL
+          AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+              IS NOT NULL
+          AND (event_id * {_SPLIT_A}) % {_SPLIT_P} % 5 = 0
+    """,
+    doc="oracle-checkable audit of the MLlib classifier (the "
+    "ann_recall_audit pattern applied to ML): a DETERMINISTIC arithmetic-"
+    "hash 20% holdout (portable to SQL, unlike randomSplit whose row "
+    "assignment depends on partition layout) is scored by the trained "
+    "RandomForest; emits the exact holdout size plus acc_ok asserting "
+    "accuracy >= 0.8 (the label is a threshold of a feature, so a "
+    "functioning pipeline scores ~1.0 and a broken one ~0.5). The oracle "
+    "recomputes n_test row-for-row and expects TRUE — the hard-signal "
+    "companion to ml_predictions' rows-only check.",
+)
+def ml_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = _labeled_events(spark, sf_dir)
+    is_test = ((F.col("event_id") * _SPLIT_A) % _SPLIT_P) % 5 == 0
+    train = labeled.filter(~is_test)
+    test = labeled.filter(is_test)
+    model, _ = train_classifier(train, label_col="high_value")
+    pred = predictions_table(
+        model, test, id_col="event_id", label_col="high_value"
+    )
+    return pred.agg(
+        F.count("*").alias("n_test"),
+        (
+            F.avg((F.col("predicted") == F.col("actual")).cast("double"))
+            >= 0.8
+        ).alias("acc_ok"),
+    )
+
+
 _FP_MIN_SUPPORT = 0.02
 
 

@@ -569,6 +569,110 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_percentile_audit",
+    oracle="""
+        SELECT t.event_type, p.p, TRUE AS rank_ok
+        FROM (SELECT DISTINCT event_type FROM events
+              WHERE value IS NOT NULL) t
+        CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE)
+                    AS p) p
+    """,
+    doc="oracle-checkable audit of approx_percentile (the "
+    "ann_recall_audit pattern applied to the sketch family): for each "
+    "(event_type, p) the GK-sketch quantile is re-ranked against the "
+    "actual data — rank_ok asserts at least (p-0.02)*n values sit at or "
+    "below the estimate and fewer than (p+0.02)*n sit strictly below, "
+    "i.e. the sketch honored its rank-error contract (1/accuracy = 1e-4, "
+    "audited at 200x slack). The oracle enumerates the (event_type, p) "
+    "grid and expects TRUE, so a sketch regression hash-fails the driver "
+    "row instead of hiding behind approx_value_percentiles' rows-only "
+    "check. Two scan-shaped passes: sketch agg, then broadcast the "
+    "20-row quantile grid back onto the scan for the rank census.",
+)
+def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (0.25, 0.5, 0.75, 0.9)
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wide = e.groupBy("event_type").agg(
+        F.approx_percentile(
+            "value", F.array(*[F.lit(p) for p in ps]), 10_000
+        ).alias("qs"),
+        F.count("*").alias("n"),
+    )
+    grid = wide.select(
+        "event_type",
+        "n",
+        F.posexplode("qs").alias("pos", "q"),
+    ).select(
+        "event_type",
+        "n",
+        F.element_at(F.array(*[F.lit(p) for p in ps]), F.col("pos") + 1)
+        .alias("p"),
+        "q",
+    )
+    ranks = (
+        e.join(F.broadcast(grid), "event_type")
+        .groupBy("event_type", "p", "n", "q")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("q"), 1).otherwise(0))
+            .alias("cnt_le"),
+            F.sum(F.when(F.col("value") < F.col("q"), 1).otherwise(0))
+            .alias("cnt_lt"),
+        )
+    )
+    tol = 0.02
+    rank_ok = (
+        F.col("cnt_le") >= F.floor((F.col("p") - tol) * F.col("n"))
+    ) & (F.col("cnt_lt") <= F.ceil((F.col("p") + tol) * F.col("n")))
+    return ranks.select("event_type", "p", rank_ok.alias("rank_ok"))
+
+
+@register(
+    "stratified_sample_audit",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+               TRUE AS rate_ok
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    """,
+    doc="oracle-checkable audit of sampleBy: per stratum, the realized "
+    "sampling rate must sit within 6 binomial standard deviations of the "
+    "requested fraction (failure probability ~1e-9 per stratum for a "
+    "correct Bernoulli sampler, certainty for a broken one). Emits the "
+    "exact stratum totals plus the boolean; the oracle recomputes the "
+    "totals and expects TRUE — converting stratified_sample_counts' "
+    "rows-only signal into a hard driver check. Both counts come from "
+    "one scan each; the 2-row comparison joins broadcast.",
+)
+def stratified_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fractions = {"click": 0.5, "purchase": 0.25}
+    e = load_table(spark, sf_dir, "events")
+    totals = (
+        e.filter(F.col("event_type").isin(*fractions))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_total"))
+    )
+    sampled = (
+        e.sampleBy("event_type", fractions, seed=42)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    frac = F.when(F.col("event_type") == "click", F.lit(0.5)).otherwise(
+        F.lit(0.25)
+    )
+    sigma = F.sqrt(frac * (1.0 - frac) / F.col("n_total"))
+    rate = F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_total")
+    return (
+        totals.join(F.broadcast(sampled), "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            (F.abs(rate - frac) <= 6.0 * sigma).alias("rate_ok"),
+        )
+    )
+
+
 _GROUPING_SETS_SQL = """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,

@@ -80,6 +80,90 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_SIGN_BITS = 8  # 2^8 = 256 buckets from the first 8 component signs
+
+
+@register(
+    "semantic_dedup_signbucket",
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT vec_id,
+                   {" + ".join(
+                       f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} "
+                       "ELSE 0 END)"
+                       for i in range(_SEMDEDUP_SIGN_BITS)
+                   )} AS bucket
+            FROM embeddings
+        ), exploded AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
+        ), cand AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bucketed a
+            JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), dots AS (
+            SELECT c.vec_a, c.vec_b, sum(ea.x * eb.x) AS dot
+            FROM cand c
+            JOIN exploded ea ON ea.vec_id = c.vec_a
+            JOIN exploded eb ON eb.vec_id = c.vec_b AND ea.i = eb.i
+            GROUP BY 1, 2
+        )
+        SELECT vec_a, vec_b,
+               round(d.dot / (na.norm * nb.norm), 4) AS cosine
+        FROM dots d
+        JOIN norms na ON d.vec_a = na.vec_id
+        JOIN norms nb ON d.vec_b = nb.vec_id
+        WHERE d.dot / (na.norm * nb.norm) >= {_NEAR_DUP_THRESHOLD}
+    """,
+    doc="SemDeDup-shaped semantic dedup (Abbas et al. 2023: bucket the "
+    "embedding space, dedup within buckets only): vectors are partitioned "
+    f"into 2^{_SEMDEDUP_SIGN_BITS} buckets by the SIGNS of their first "
+    f"{_SEMDEDUP_SIGN_BITS} components — a degenerate but fully "
+    "deterministic random-hyperplane LSH (axis-aligned planes), so the "
+    "oracle replays bucketing bit-for-bit — then exact cosine verifies "
+    "only same-bucket pairs. The equi-join on bucket replaces "
+    "embedding_cosine_near_dup's O(n^2) theta-join: expected candidate "
+    "volume falls by ~2^bits for non-dup pairs while high-cosine pairs "
+    "mostly agree on signs (cos 0.99 -> ~78% same-bucket at 8 bits; "
+    "production raises recall by unioning a few sign-bit rotations, same "
+    "plan shape). At 100 TB the bucket id is the shuffle key — no "
+    "all-pairs stage exists anywhere in the plan.",
+)
+def semantic_dedup_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    bucket = None
+    for i in range(_SEMDEDUP_SIGN_BITS):
+        bit = F.when(F.element_at("vec", i + 1) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    emb = emb.withColumn("bucket", bucket)
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= _NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
 @register(
     "cosine_topk_pandas",
     # identical semantics to cosine_topk_bruteforce → same oracle
@@ -519,14 +603,14 @@ def _pq_unit_sample(emb):
     full corpus)."""
     import numpy as np
 
-    rows = (
-        emb.select("vec_id", "vec", "norm")
+    pdf = (
+        emb.select("vec", "norm")
         .orderBy(F.xxhash64("vec_id"), "vec_id")  # deterministic "sample"
         .limit(_PQ_TRAIN_SAMPLE)
-        .collect()
+        .toPandas()  # Arrow batch transfer, not Row-object deserialization
     )
-    return np.array([r.vec for r in rows]) / np.maximum(
-        np.array([[r.norm] for r in rows]), 1e-12
+    return np.array(pdf["vec"].tolist()) / np.maximum(
+        pdf["norm"].to_numpy()[:, None], 1e-12
     )
 
 
@@ -542,9 +626,13 @@ def _lloyd(X, k, rng):
     C = X[rng.choice(len(X), k, replace=False)].copy()
     x2 = (X**2).sum(axis=1)[:, None]
     d = X.shape[1]
+    prev = None
     for _ in range(20):
         d2 = x2 + (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         a = d2.argmin(axis=1)
+        if prev is not None and np.array_equal(a, prev):
+            break  # converged: remaining iterations would be no-ops
+        prev = a
         counts = np.bincount(a, minlength=k)
         sums = np.empty((k, d))
         for j in range(d):
@@ -681,20 +769,36 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 codes[:, b] = d2.argmin(axis=1)
             # ADC: approx dist(q, x) = sum_b LUT[q, b, code_b(x)]
             adc = lut[:, np.arange(_PQ_BLOCKS)[None, :], codes].sum(axis=2)
-            nq = len(qids)
+            # per-batch shortlist prune (exact): keep each query's top
+            # _PQ_SHORTLIST neighbors under the SAME total order the global
+            # window uses — (round(adc, 6) asc, neighbor_id asc), self pair
+            # excluded. The global top-k of a union of per-batch top-ks is
+            # identical to the unpruned global top-k, so downstream results
+            # are bit-for-bit unchanged while Arrow transfer + window input
+            # shrink from n rows/query/batch to <=_PQ_SHORTLIST. At 100 TB
+            # this is the difference between shuffling n_queries x corpus
+            # and n_queries x (shortlist x n_partitions).
+            nb = pdf["vec_id"].to_numpy()
+            r6 = np.round(adc, 6)
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(qids)):
+                mask = nb != qids[qi]
+                cand_n = nb[mask]
+                order = np.lexsort((cand_n, r6[qi][mask]))[:_PQ_SHORTLIST]
+                out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+                out_n.append(cand_n[order])
+                out_d.append(adc[qi][mask][order])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids, n),
-                    "neighbor_id": np.tile(
-                        pdf["vec_id"].to_numpy(), nq
-                    ),
-                    "adc_dist": adc.reshape(nq, n).ravel(),
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_dist": np.concatenate(out_d),
                 }
             )
 
     scored = emb.select("vec_id", "vec").mapInPandas(
         score_batches, schema="query_id long, neighbor_id long, adc_dist double"
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    )
     # stage 2 (FAISS-style refine, shared with ivf_pq_topk): ADC shortlist
     # as id pairs -> exact-cosine re-rank
     return _adc_refine(spark, scored, qrows, emb)
@@ -835,11 +939,24 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for (q, c), ix in pdf.groupby(keys, sort=False).indices.items():
                 t = lut[(int(q), int(c))]
                 dists[ix] = t[block_ix[None, :], codes[ix]].sum(axis=1)
+            # per-batch shortlist prune under the global window's exact
+            # order (round(adc,6) asc, neighbor_id asc) — see pq_adc_topk's
+            # score_batches for the containment argument; input is already
+            # self-filtered by the probes join upstream.
+            qarr = pdf["query_id"].to_numpy()
+            narr = pdf["vec_id"].to_numpy()
+            r6 = np.round(dists, 6)
+            out_q, out_n, out_d = [], [], []
+            for q, ix in pdf.groupby("query_id", sort=False).indices.items():
+                order = ix[np.lexsort((narr[ix], r6[ix]))[:_PQ_SHORTLIST]]
+                out_q.append(qarr[order])
+                out_n.append(narr[order])
+                out_d.append(dists[order])
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "neighbor_id": pdf["vec_id"].to_numpy(),
-                    "adc_dist": dists,
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_dist": np.concatenate(out_d),
                 }
             )
 

@@ -435,12 +435,20 @@ def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    agg = e.agg(
+    # exact and approx in SEPARATE aggregations, 1-row cross join after:
+    # mixing countDistinct with approx_count_distinct in one agg makes
+    # Catalyst expand per distinct column and drag the full HLL register
+    # state (3k+ fields) through a per-(value, gid) group-by — gigabytes
+    # of agg state at sf0.1. Split, each side is a clean one-pass plan.
+    exact = e.agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.count_distinct("event_id").alias("exact_events"),
+    )
+    approx = e.agg(
         F.approx_count_distinct("user_id", 0.01).alias("au"),
         F.approx_count_distinct("event_id", 0.01).alias("ae"),
     )
+    agg = exact.join(F.broadcast(approx))
     # 5% tolerance = 5x the configured rsd; HLL++ error at these
     # cardinalities is far inside it, a broken sketch is far outside.
     return agg.select(

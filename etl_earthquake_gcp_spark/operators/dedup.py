@@ -416,6 +416,161 @@ def minhash_band_pairs(
     )
 
 
+def ppjoin_pairs(docs: DataFrame, threshold_num: int = 4, threshold_den: int = 5) -> DataFrame:
+    """Exact Jaccard >= num/den pairs via PPJoin-style prefix filtering
+    (Chaudhuri/Ganti/Kaushik 2006, Bayardo/Ma/Srikant 2007; implemented
+    from the published algorithm).
+
+    The third exact-similarity-join strategy beside the all-pairs bitmask
+    (jaccard_pairs_bitmask) and MinHash banding (approximate recall):
+    tokens get a global RARITY order (ascending document frequency); a
+    document's candidate probes are only its first
+    ``p = |x| - ceil(tau*|x|) + 1`` rarest tokens — any pair with
+    J >= tau provably shares a prefix token under any fixed total order,
+    so the filter is LOSSLESS and the output equals the brute-force
+    ground truth exactly (the oracle IS the naive all-pairs SQL).
+    Candidate volume is driven by rare-token collision rates instead of
+    document count squared; at 100 TB the prefix explode shuffles
+    ~p rows/doc and the verify stays broadcast-bitmask.
+
+    tau is passed as an exact rational (num/den) so the prefix length is
+    computed in integer arithmetic — an IEEE ceil(0.8*5) = ceil(4.0000…2)
+    would silently shorten prefixes and break the completeness proof.
+    """
+    tok = tokenize_distinct(docs)
+    freq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    # global rarity rank; the vocabulary is KB-scale by the <=64-token
+    # bitmask contract, so the single-partition window is free (the open-
+    # vocabulary form would use the distributed dense-rank dictionary).
+    w = Window.orderBy("df", "token")
+    vocab = freq.select("token", F.row_number().over(w).alias("rank"))
+    ranks = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("rank")).alias("ranks"))
+    )
+    size = F.size("ranks")
+    # p = s - ceil(num*s/den) + 1, all-integer: ceil(a/b) = (a + b - 1) div b
+    plen = (
+        size
+        - F.floor(
+            (F.lit(threshold_num) * size + F.lit(threshold_den - 1))
+            / F.lit(threshold_den)
+        ).cast("int")
+        + F.lit(1)
+    )
+    prefix = ranks.select(
+        "doc_id", F.explode(F.slice("ranks", F.lit(1), plen)).alias("rank")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.rank") == F.col("b.rank"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    masks = doc_bitmasks(docs)
+    x, y = masks.alias("x"), masks.alias("y")
+    inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
+    union = F.bit_count(F.col("x.mask").bitwiseOR(F.col("y.mask")))
+    jac = inter * F.lit(1.0) / union
+    threshold = threshold_num / threshold_den
+    return (
+        cand.join(F.broadcast(x), F.col("doc_a") == F.col("x.doc_id"))
+        .join(F.broadcast(y), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_incremental_pairs(
+    docs: DataFrame,
+    is_new,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental dedup: probe a NEW batch against the EXISTING corpus.
+
+    The production shape at 100 TB — a daily ingest never re-deduplicates
+    the whole corpus; the new batch's band keys probe the corpus's banded
+    index (here built in-query; in production a persisted table bucketed
+    by band key, so the probe join is exchange-free on the corpus side).
+    ``is_new`` is a boolean Column splitting docs into batch vs corpus.
+
+    Asymmetric band join (new × corpus, sides disjoint — no self-join, no
+    a<b dedup), then the same broadcast-bitmask exact verify as
+    ``minhash_band_pairs``. Emits (new_doc, dup_of, jaccard): batch docs
+    with a ≥ threshold corpus duplicate. Candidate volume is
+    |batch| × collision rate, independent of corpus-side pair counts —
+    the whole point versus rerunning the symmetric pass.
+    """
+    r = n_hashes // n_bands
+    coeffs = minhash_coeffs(n_hashes, seed)
+    tok = tokenize_distinct(docs)
+    vocab = token_dictionary(tok)
+    tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid")
+    mins = [
+        F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agg = (
+        tids.groupBy("doc_id")
+        .agg(
+            *mins,
+            F.sum(
+                F.expr(
+                    "CASE WHEN assert_true(tid < 64, 'minhash_incremental_"
+                    "pairs bitmask-verify requires a <=64-token vocabulary')"
+                    " IS NULL"
+                    " THEN shiftleft(CAST(1 AS BIGINT), CAST(tid AS INT)) END"
+                )
+            ).alias("mask"),
+        )
+        .withColumn("is_new", is_new)
+        .persist()
+    )
+    bands = agg.select(
+        "doc_id",
+        "is_new",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(i), *[F.col(f"h{i * r + j}") for j in range(r)])
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("key"),
+    )
+    cand = (
+        bands.filter("is_new")
+        .alias("a")
+        .join(bands.filter("NOT is_new").alias("b"), "key")
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    masks = agg.select("doc_id", "mask")
+    x, y = masks.alias("x"), masks.alias("y")
+    inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
+    union = F.bit_count(F.col("x.mask").bitwiseOR(F.col("y.mask")))
+    jac = inter * F.lit(1.0) / union
+    return (
+        cand.join(F.broadcast(x), F.col("new_doc") == F.col("x.doc_id"))
+        .join(F.broadcast(y), F.col("dup_of") == F.col("y.doc_id"))
+        .filter(jac >= threshold)
+        .select("new_doc", "dup_of", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 def minhash_band_pairs_grouped(
     docs: DataFrame,
     n_hashes: int = 16,

@@ -278,6 +278,47 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_bitmask(d, threshold=0.8)
 
 
+@register(
+    "ppjoin_prefix_pairs",
+    # the oracle is the NAIVE all-pairs ground truth (same SQL as
+    # jaccard_near_dup_pairs): prefix filtering is lossless, so the
+    # pruned plan must reproduce it bit-for-bit — the strongest possible
+    # check for a candidate-pruning strategy.
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(c.n_common * 1.0 / (sa.n + sb.n - c.n_common), 4) AS jaccard
+        FROM common c
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE c.n_common * 1.0 / (sa.n + sb.n - c.n_common) >= 0.8
+    """,
+    doc="PPJoin-style prefix-filtered EXACT similarity join (>= 0.8 "
+    "Jaccard): tokens ranked by global rarity; each doc probes only its "
+    "p = |x| - ceil(0.8|x|) + 1 rarest tokens, and any true pair "
+    "provably shares a prefix token — a LOSSLESS candidate filter, "
+    "unlike MinHash banding's probabilistic recall. The third exact-"
+    "sim-join strategy beside all-pairs bitmask and banded MinHash "
+    "(operators/dedup.py ppjoin_pairs); oracle = the naive all-pairs "
+    "SQL, so the pruned plan is held to the exact ground truth.",
+)
+def ppjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ppjoin_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ppjoin_pairs(d, threshold_num=4, threshold_den=5)
+
+
 from .oracle_shared import _pairs_cte  # noqa: E402
 
 
@@ -366,6 +407,43 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return minhash_band_pairs(d, n_hashes=16, n_bands=4, threshold=0.8, seed=42)
+
+
+@register(
+    "incremental_dedup_probe",
+    oracle=f"""
+        WITH {minhash_pairs_cte(n_hashes=16, n_bands=4, threshold=0.8,
+                                seed=42)}
+        SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+               CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS dup_of,
+               jaccard
+        FROM mh_pairs
+        WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+    """,
+    doc="incremental dedup — the daily-ingest shape at 100 TB: the 20% "
+    "'new batch' (doc_id % 5 = 0) probes the 80% 'existing corpus' via "
+    "the banded MinHash index instead of re-running the symmetric "
+    "all-corpus pass. Asymmetric band join (batch x corpus, sides "
+    "disjoint), broadcast-bitmask exact verify; candidate volume is "
+    "|batch| x collision rate, independent of corpus-internal pair "
+    "counts. In production the corpus side is a persisted band-key-"
+    "bucketed table, making the probe exchange-free on the corpus side. "
+    "Oracle: the proven mh_pairs CTE restricted to cross-set pairs and "
+    "oriented new_doc -> dup_of (operators/dedup.py: "
+    "minhash_incremental_pairs).",
+)
+def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_incremental_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_incremental_pairs(
+        d,
+        is_new=F.col("doc_id") % 5 == 0,
+        n_hashes=16,
+        n_bands=4,
+        threshold=0.8,
+        seed=42,
+    )
 
 
 @register(

@@ -243,6 +243,93 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cosine_topk_arrow",
+    # identical semantics to cosine_topk_bruteforce/_pandas → same oracle
+    oracle=f"""
+        WITH exploded AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
+        ), dots AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   sum(a.x * b.x) AS dot
+            FROM exploded a
+            JOIN exploded b ON a.i = b.i
+            WHERE a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               round(d.dot / (na.norm * nb.norm), 4) AS cosine
+        FROM dots d
+        JOIN norms na ON d.query_id = na.vec_id
+        JOIN norms nb ON d.neighbor_id = nb.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY round(d.dot / (na.norm * nb.norm), 6) DESC, neighbor_id
+        ) <= {_TOP_K}
+    """,
+    doc="cosine top-k via mapInArrow — the third Python-boundary API "
+    "surface beside mapInPandas (cosine_topk_pandas) and the JVM zip_with "
+    "path (cosine_topk_bruteforce): raw pyarrow RecordBatches in/out, no "
+    "pandas materialization. The fixed-width list column flattens to a "
+    "numpy view of the Arrow buffer (no per-row boxing), one BLAS gemm "
+    "per batch, RecordBatch construction straight from numpy. Shares the "
+    "brute-force oracle — the differential check certifies the Arrow-"
+    "native path bit-for-bit against both siblings.",
+)
+def cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _N_QUERIES).collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.array([r.vec for r in qrows], dtype=np.float64)
+    qnorm = np.array([r.norm for r in qrows], dtype=np.float64)
+    nq = len(qids)
+
+    def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            # flatten() honors list offsets/slicing; every vec is dim-long,
+            # so the child buffer reshapes to (n, dim) with zero copying
+            flat = np.asarray(rb.column("vec").flatten())
+            cmat = flat.reshape(n, -1)
+            norms = np.asarray(rb.column("norm"))
+            ids = np.asarray(rb.column("vec_id"))
+            cos = (cmat @ qmat.T) / np.outer(norms, qnorm)
+            yield pa.record_batch(
+                [
+                    pa.array(np.tile(qids, n), pa.int64()),
+                    pa.array(np.repeat(ids, nq), pa.int64()),
+                    pa.array(cos.ravel(), pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cos_raw"],
+            )
+
+    scored = emb.mapInArrow(
+        score, schema="query_id long, neighbor_id long, cos_raw double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
 _IVF_CELLS = 16
 _IVF_NPROBE = 4
 

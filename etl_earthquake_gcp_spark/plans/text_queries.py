@@ -202,6 +202,54 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "char_entropy_scores",
+    oracle="""
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents
+        ), c AS (
+            SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+            FROM ch GROUP BY 1, 2
+        ), e AS (
+            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_chars,
+                   sum(cnt * log2(cnt)) AS clog
+            FROM c GROUP BY 1
+        )
+        SELECT doc_id, total_chars,
+               round(log2(total_chars) - clog / total_chars, 4)
+                   AS char_entropy
+        FROM e
+    """,
+    doc="character-level Shannon entropy per document — the gibberish / "
+    "mojibake / base64-blob detector every training-data quality stack "
+    "runs (natural text sits ~4-4.5 bits/char; encoded blobs near 6, "
+    "repeated-char spam near 0). Computed from integer char counts via "
+    "H = log2(n) - (sum c*log2 c)/n, so both engines feed libm the same "
+    "integers and only the final rounded double is compared. Two "
+    "scan-shaped aggs: (doc, char) cells then per-doc fold — shuffle "
+    "volume is distinct cells, bounded by 64 x docs for any byte "
+    "alphabet.",
+)
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")  # Spark split('') emits a trailing ""
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    e = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total_chars"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("clog"),
+    )
+    return e.select(
+        "doc_id",
+        "total_chars",
+        F.round(
+            F.log2("total_chars") - F.col("clog") / F.col("total_chars"), 4
+        ).alias("char_entropy"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Language scoring — deterministic n-gram/stopword heuristic (tier-4 lang-ID)
 # --------------------------------------------------------------------------

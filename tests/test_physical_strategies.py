@@ -237,3 +237,32 @@ def test_map_ops_single_exchange(spark):
     carries the 3 key groups."""
     plan = _plan(spark, "map_ops_suite")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pagerank_no_vertex_broadcast_no_edge_sort(spark):
+    """Scale-safety pin (r3 verdict #2): the per-iteration rank joins must
+    be shuffled hash joins — never a broadcast of the vertex-sized rank
+    table (dies past broadcast limits at 100 TB) and never a per-iteration
+    sort of the edge-sized side. The only broadcasts allowed are inside
+    the jaccard pair substrate's KB-scale mask joins."""
+    plan = _plan(spark, "pagerank_3iter")
+    iter_section = plan.split("InMemoryRelation", 1)[0]  # above the caches
+    assert "ShuffledHashJoin" in iter_section
+    assert "BroadcastExchange" not in iter_section
+    assert "SortMergeJoin" not in iter_section
+
+
+def test_ppjoin_prefix_is_pruned_and_verify_broadcasts(spark):
+    """The prefix self-join must run on the pruned prefix table (an
+    Exchange on rank keys), and the exact verify must stay broadcast —
+    no edge-sized sort-merge anywhere."""
+    plan = _plan(spark, "ppjoin_prefix_pairs")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_probe_no_self_join_dedup(spark):
+    """The asymmetric batch-vs-corpus band join needs no doc_a < doc_b
+    dedup condition; both band sides read ONE cached signature table."""
+    plan = _plan(spark, "incremental_dedup_probe")
+    assert plan.count("InMemoryRelation") >= 2  # sig cache referenced twice
+    assert "doc_id < doc_id" not in plan

@@ -727,12 +727,15 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_orderkey").alias("ma"), F.max("l_partkey").alias("mb")
     )
     scale = 1 << _Z_BITS
-    ia = F.floor((F.col("l_orderkey") * scale) / (F.col("ma") + 1.0)).cast(
-        "long"
-    )
-    ib = F.floor((F.col("l_partkey") * scale) / (F.col("mb") + 1.0)).cast(
-        "long"
-    )
+    # explicit long casts: a regenerated int32 key times 4096 would hit
+    # ANSI overflow at larger scales; the small literal doesn't force
+    # promotion on its own
+    ia = F.floor(
+        (F.col("l_orderkey").cast("long") * scale) / (F.col("ma") + 1.0)
+    ).cast("long")
+    ib = F.floor(
+        (F.col("l_partkey").cast("long") * scale) / (F.col("mb") + 1.0)
+    ).cast("long")
     rows = li.join(F.broadcast(mx)).select(
         "l_orderkey", "l_partkey", ia.alias("ia"), ib.alias("ib")
     )

@@ -201,6 +201,58 @@ def frame_sample(
     )
 
 
+RESIZED_SCHEMA = "doc_id long, r int, c int, pixel long"
+
+
+def resize_nn(media: DataFrame, out_size: int = 4) -> DataFrame:
+    """Nearest-neighbor resize of the fake W×H grayscale grid to
+    ``out_size``×``out_size`` — the thumbnail/downsample stage of a real
+    image pipeline, over the same engine-portable byte math as
+    ``decode_media`` (W = floor(sqrt n), H = ceil-div).
+
+    Sample index for output cell (r, c) is
+    ``min((r·H // out)·W + (c·W // out), n-1)`` — all integer floor-div,
+    clamped because the padded last grid row can exceed the payload. Only
+    ``media_type == 'image'`` rows cross the Arrow exchange (JVM-side
+    filter), emitting out² long-form rows per image.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[int]] = {
+                "doc_id": [],
+                "r": [],
+                "c": [],
+                "pixel": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                n = int(b.size)
+                if not n:
+                    continue
+                w = int(np.floor(np.sqrt(np.float64(n))))
+                h = (n + w - 1) // w
+                for r in range(out_size):
+                    for c in range(out_size):
+                        idx = min(
+                            (r * h // out_size) * w + (c * w // out_size),
+                            n - 1,
+                        )
+                        out["doc_id"].append(doc_id)
+                        out["r"].append(r)
+                        out["c"].append(c)
+                        out["pixel"].append(int(b[idx]))
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "r": "int32", "c": "int32", "pixel": "int64"}
+            )
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("doc_id", "content")
+        .mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+    )
+
+
 # --------------------------------------------------------------------------
 # REAL codec path — binary P6 PPM (netpbm), dependency-free (r3 verdict #6)
 # --------------------------------------------------------------------------

@@ -144,6 +144,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_nn",
+    oracle=f"""
+        WITH {_MEDIA_CTE},
+        img AS (
+            SELECT doc_id, text, n_bytes,
+                   CAST(floor(sqrt(CAST(n_bytes AS DOUBLE))) AS BIGINT) AS w
+            FROM media WHERE media_type = 'image' AND n_bytes > 0
+        ), dims AS (
+            SELECT doc_id, text, n_bytes, w,
+                   (n_bytes + w - 1) // w AS h
+            FROM img
+        ), grid AS (
+            SELECT doc_id, text, n_bytes, w, h, r.r, c.c,
+                   least((r.r * h // 4) * w + (c.c * w // 4),
+                         n_bytes - 1) AS idx
+            FROM dims
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c
+        )
+        SELECT doc_id, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+               CAST(ascii(substr(text, CAST(idx + 1 AS INT), 1)) AS BIGINT)
+                   AS pixel
+        FROM grid
+    """,
+    doc="nearest-neighbor resize to a 4x4 thumbnail via mapInPandas — the "
+    "downsample stage of an image pipeline (decode / feature-extract / "
+    "RESIZE / frame-sample, completing the multimodal op set): sample "
+    "index (r*H div 4)*W + (c*W div 4) over the fake W x H grayscale "
+    "grid, clamped to the payload, all integer floor-div so the oracle "
+    "replays it from the ASCII text byte-for-byte. JVM-side media_type "
+    "filter keeps audio/video payloads out of the Arrow exchange; output "
+    "is 16 long-form (r, c, pixel) rows per image.",
+)
+def multimodal_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.media import resize_nn
+
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return resize_nn(media, out_size=4)
+
+
+@register(
     "multimodal_real_decode",
     oracle="""
         WITH dims AS (

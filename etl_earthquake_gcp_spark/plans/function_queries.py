@@ -84,6 +84,62 @@ def stats_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_ols_trend",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(hour(ts)) AS BIGINT) AS sx,
+                   CAST(sum(hour(ts) * hour(ts)) AS BIGINT) AS sxx,
+                   round(sum(value), 4) AS sy,
+                   round(sum(hour(ts) * value), 4) AS sxy
+            FROM events
+            WHERE value IS NOT NULL AND ts IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+                   AS slope,
+               round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n, 4) + 0.0 AS intercept
+        FROM m
+    """,
+    doc="per-group closed-form OLS trend (value vs hour-of-day): slope and "
+    "intercept from the normal equations over plain associative moments "
+    "(n, Sx, Sxx, Sy, Sxy) — the grouped-regression shape MLlib cannot "
+    "express without per-group model loops, done in ONE partial-agg pass "
+    "that map-side-combines at any scale. Float moments are rounded "
+    "BEFORE the closed-form arithmetic (registry determinism rule: "
+    "combine-order drift dies at the moment boundary, so the downstream "
+    "division is bit-identical across engines); integer moments stay "
+    "exact longs.",
+)
+def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    x = F.hour("ts").cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.round(F.sum("value"), 4).alias("sy"),
+        F.round(F.sum(x * F.col("value")), 4).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4) + F.lit(0.0)).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
     "string_ops_suite",
     oracle="""
         SELECT n_name,

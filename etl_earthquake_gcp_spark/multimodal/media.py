@@ -215,6 +215,11 @@ def resize_nn(media: DataFrame, out_size: int = 4) -> DataFrame:
     clamped because the padded last grid row can exceed the payload. Only
     ``media_type == 'image'`` rows cross the Arrow exchange (JVM-side
     filter), emitting out² long-form rows per image.
+
+    Oracle parity relies on the module-wide pure-ASCII corpus contract
+    (byte == code point, see module docstring): this side indexes payload
+    BYTES, the SQL twin indexes text CHARACTERS — identical only while
+    every char is one byte, as for every other decode oracle here.
     """
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

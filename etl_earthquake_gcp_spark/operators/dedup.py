@@ -340,53 +340,8 @@ def minhash_band_pairs(
     only recall is approximate. Shuffle is on (band, band-hash) keys —
     sub-quadratic, the open-vocabulary scale path.
     """
-    r = n_hashes // n_bands
-    coeffs = minhash_coeffs(n_hashes, seed)
-    tok = tokenize_distinct(docs)
-    vocab = token_dictionary(tok)
-    tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid")
-    # ONE shuffle computes the signature AND the verify bitmask together:
-    # fusing the two doc_id aggregations means the tokenize/dictionary scan
-    # runs once inside a single partial-agg exchange, and only the compact
-    # per-doc aggregate (16 longs + 1 mask per doc, ≪ raw postings) is
-    # cached for the three downstream references (banding + both verify
-    # sides — column pruning makes their subplans differ, so exchange reuse
-    # alone would re-tokenize).
-    mins = [
-        F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    agg = (
-        tids.groupBy("doc_id")
-        .agg(
-            *mins,
-            F.sum(
-                F.expr(
-                    "CASE WHEN assert_true(tid < 64, 'minhash_band_pairs"
-                    " bitmask-verify requires a <=64-token vocabulary; use"
-                    " minhash_band_pairs_open') IS NULL"
-                    " THEN shiftleft(CAST(1 AS BIGINT), CAST(tid AS INT)) END"
-                )
-            ).alias("mask"),
-        )
-        .persist()
-    )
-    # band key = xxhash64(band index, the band's r signature values): one
-    # BIGINT join key instead of an underscore-joined string — same
-    # candidate set (equal h-tuples hash equal; a 2^-64 cross-band
-    # collision could only ADD a candidate, and candidates are verified
-    # exactly), with a far smaller self-join shuffle.
-    bands = agg.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(F.lit(i), *[F.col(f"h{i * r + j}") for j in range(r)])
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("key"),
-    )
+    agg = _signature_mask_agg(docs, n_hashes, seed, "minhash_band_pairs")
+    bands = _band_keys(agg, n_hashes, n_bands)
     cand = (
         bands.alias("a")
         .join(
@@ -397,22 +352,94 @@ def minhash_band_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification via broadcast bitmask popcount: candidates can be
-    # millions of pairs on a high-similarity corpus, so re-joining the token
-    # table would reintroduce the quadratic cost. popcount(maskA & maskB)
-    # equals the token-intersection count exactly, and the doc→mask map is
-    # KB-scale → two broadcast joins, zero extra shuffles.
-    # (Open-vocabulary fallback: swap in the token-join verify.)
-    masks = agg.select("doc_id", "mask")
+    return _bitmask_verify(
+        cand, agg.select("doc_id", "mask"), "doc_a", "doc_b", threshold
+    )
+
+
+def _signature_mask_agg(
+    docs: DataFrame, n_hashes: int, seed: int, caller: str
+) -> DataFrame:
+    """Fused (doc_id → [h0..h{n-1}], bitmask) aggregate shared by every
+    banded closed-vocabulary path (symmetric, incremental).
+
+    ONE shuffle computes the signature AND the verify bitmask together:
+    fusing the two doc_id aggregations means the tokenize/dictionary scan
+    runs once inside a single partial-agg exchange, and only the compact
+    per-doc aggregate (n_hashes longs + 1 mask per doc, ≪ raw postings)
+    is persisted for the downstream references (banding + both verify
+    sides — column pruning makes their subplans differ, so exchange reuse
+    alone would re-tokenize).
+    """
+    coeffs = minhash_coeffs(n_hashes, seed)
+    tok = tokenize_distinct(docs)
+    vocab = token_dictionary(tok)
+    tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid")
+    mins = [
+        F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return (
+        tids.groupBy("doc_id")
+        .agg(
+            *mins,
+            F.sum(
+                F.expr(
+                    f"CASE WHEN assert_true(tid < 64, '{caller}"
+                    " bitmask-verify requires a <=64-token vocabulary; use"
+                    " minhash_band_pairs_open') IS NULL"
+                    " THEN shiftleft(CAST(1 AS BIGINT), CAST(tid AS INT)) END"
+                )
+            ).alias("mask"),
+        )
+        .persist()
+    )
+
+
+def _band_keys(agg: DataFrame, n_hashes: int, n_bands: int, *extra: str) -> DataFrame:
+    """(doc_id, *extra, key) band rows: key = xxhash64(band index, the
+    band's r signature values) — one BIGINT join key instead of an
+    underscore-joined string. Same candidate set (equal h-tuples hash
+    equal; a 2^-64 cross-band collision could only ADD a candidate, and
+    candidates are verified exactly), with a far smaller join shuffle."""
+    r = n_hashes // n_bands
+    return agg.select(
+        "doc_id",
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(i), *[F.col(f"h{i * r + j}") for j in range(r)])
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("key"),
+    )
+
+
+def _bitmask_verify(
+    cand: DataFrame,
+    masks: DataFrame,
+    a_col: str,
+    b_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate id pairs via broadcast
+    bitmask popcount: candidates can be millions of pairs on a
+    high-similarity corpus, so re-joining the token table would
+    reintroduce the quadratic cost. popcount(maskA & maskB) equals the
+    token-intersection count exactly, and the doc→mask map is KB-scale →
+    two broadcast joins, zero extra shuffles. (Open-vocabulary fallback:
+    the token-join verify in minhash_band_pairs_open.)"""
     x, y = masks.alias("x"), masks.alias("y")
     inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
     union = F.bit_count(F.col("x.mask").bitwiseOR(F.col("y.mask")))
     jac = inter * F.lit(1.0) / union
     return (
-        cand.join(F.broadcast(x), F.col("doc_a") == F.col("x.doc_id"))
-        .join(F.broadcast(y), F.col("doc_b") == F.col("y.doc_id"))
+        cand.join(F.broadcast(x), F.col(a_col) == F.col("x.doc_id"))
+        .join(F.broadcast(y), F.col(b_col) == F.col("y.doc_id"))
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select(a_col, b_col, F.round(jac, 4).alias("jaccard"))
     )
 
 
@@ -437,7 +464,10 @@ def ppjoin_pairs(docs: DataFrame, threshold_num: int = 4, threshold_den: int = 5
     computed in integer arithmetic — an IEEE ceil(0.8*5) = ceil(4.0000…2)
     would silently shorten prefixes and break the completeness proof.
     """
-    tok = tokenize_distinct(docs)
+    # persist the tokenized postings: they feed the frequency census AND
+    # the per-doc rank lists — without the cache the corpus is re-scanned
+    # and re-split once per consumer
+    tok = tokenize_distinct(docs).persist()
     freq = tok.groupBy("token").agg(F.count("*").alias("df"))
     # global rarity rank; the vocabulary is KB-scale by the <=64-token
     # bitmask contract, so the single-partition window is free (the open-
@@ -474,17 +504,11 @@ def ppjoin_pairs(docs: DataFrame, threshold_num: int = 4, threshold_den: int = 5
         )
         .distinct()
     )
-    masks = doc_bitmasks(docs)
-    x, y = masks.alias("x"), masks.alias("y")
-    inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
-    union = F.bit_count(F.col("x.mask").bitwiseOR(F.col("y.mask")))
-    jac = inter * F.lit(1.0) / union
-    threshold = threshold_num / threshold_den
-    return (
-        cand.join(F.broadcast(x), F.col("doc_a") == F.col("x.doc_id"))
-        .join(F.broadcast(y), F.col("doc_b") == F.col("y.doc_id"))
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    # masks persisted: the verify broadcasts the same KB-scale frame on
+    # both sides of the pair join
+    masks = doc_bitmasks(docs).persist()
+    return _bitmask_verify(
+        cand, masks, "doc_a", "doc_b", threshold_num / threshold_den
     )
 
 
@@ -511,43 +535,10 @@ def minhash_incremental_pairs(
     |batch| × collision rate, independent of corpus-side pair counts —
     the whole point versus rerunning the symmetric pass.
     """
-    r = n_hashes // n_bands
-    coeffs = minhash_coeffs(n_hashes, seed)
-    tok = tokenize_distinct(docs)
-    vocab = token_dictionary(tok)
-    tids = tok.join(F.broadcast(vocab), "token").select("doc_id", "tid")
-    mins = [
-        F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    agg = (
-        tids.groupBy("doc_id")
-        .agg(
-            *mins,
-            F.sum(
-                F.expr(
-                    "CASE WHEN assert_true(tid < 64, 'minhash_incremental_"
-                    "pairs bitmask-verify requires a <=64-token vocabulary')"
-                    " IS NULL"
-                    " THEN shiftleft(CAST(1 AS BIGINT), CAST(tid AS INT)) END"
-                )
-            ).alias("mask"),
-        )
-        .withColumn("is_new", is_new)
-        .persist()
-    )
-    bands = agg.select(
-        "doc_id",
-        "is_new",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(F.lit(i), *[F.col(f"h{i * r + j}") for j in range(r)])
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("key"),
-    )
+    agg = _signature_mask_agg(
+        docs, n_hashes, seed, "minhash_incremental_pairs"
+    ).withColumn("is_new", is_new)
+    bands = _band_keys(agg, n_hashes, n_bands, "is_new")
     cand = (
         bands.filter("is_new")
         .alias("a")
@@ -558,16 +549,8 @@ def minhash_incremental_pairs(
         )
         .distinct()
     )
-    masks = agg.select("doc_id", "mask")
-    x, y = masks.alias("x"), masks.alias("y")
-    inter = F.bit_count(F.col("x.mask").bitwiseAND(F.col("y.mask")))
-    union = F.bit_count(F.col("x.mask").bitwiseOR(F.col("y.mask")))
-    jac = inter * F.lit(1.0) / union
-    return (
-        cand.join(F.broadcast(x), F.col("new_doc") == F.col("x.doc_id"))
-        .join(F.broadcast(y), F.col("dup_of") == F.col("y.doc_id"))
-        .filter(jac >= threshold)
-        .select("new_doc", "dup_of", F.round(jac, 4).alias("jaccard"))
+    return _bitmask_verify(
+        cand, agg.select("doc_id", "mask"), "new_doc", "dup_of", threshold
     )
 
 

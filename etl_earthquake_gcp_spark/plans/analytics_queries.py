@@ -577,21 +577,23 @@ def equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "equidepth_approx_audit",
     oracle="""
-        SELECT CAST(8 AS BIGINT) AS n_buckets,
-               CAST(count(*) AS BIGINT) AS total_rows,
-               TRUE AS depth_ok
-        FROM events WHERE value IS NOT NULL
+        SELECT CAST(b.i AS BIGINT) AS octile,
+               (SELECT CAST(count(*) AS BIGINT) FROM events
+                WHERE value IS NOT NULL) AS total_rows,
+               TRUE AS rank_ok
+        FROM (SELECT unnest(range(1, 8)) AS i) b
     """,
     doc="oracle-checkable audit of the GK-sketch equi-depth path (the "
-    "ann_recall_audit pattern): buckets rows by the approx_percentile "
-    "octile boundaries exactly as equidepth_histogram_approx does, then "
-    "asserts (a) exactly 8 buckets materialize, (b) every row lands in "
-    "one (total preserved), and (c) each bucket's depth is within 2% of "
-    "n/8 — the sketch's rank-error contract at 200x slack. The oracle "
-    "recomputes n and expects TRUE, so a broken sketch or bucket fold "
-    "hash-fails the driver row instead of hiding behind the rows-only "
-    "check. Same scan-shaped plan: sketch -> broadcast bounds -> "
-    "per-partition bucket fold -> 8-row partial agg.",
+    "ann_recall_audit pattern): each approx_percentile octile boundary "
+    "b_i is re-RANKED against the data — rank_ok asserts at least "
+    "(i/8 - 0.02)*n values sit at or below b_i and fewer than "
+    "(i/8 + 0.02)*n sit strictly below, i.e. the sketch honored its "
+    "rank-error contract at 200x slack. Rank containment (not bucket "
+    "counts) is robust to tied values and duplicate boundaries, which "
+    "would legitimately merge buckets on discretized data. The oracle "
+    "enumerates the 7 octiles and expects TRUE, so a sketch regression "
+    "hash-fails the driver row. Scan-shaped: sketch agg -> broadcast the "
+    "7-row boundary grid -> one rank census pass.",
 )
 def equidepth_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
@@ -602,29 +604,30 @@ def equidepth_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", [i / 8 for i in range(1, 8)], 10000
         ).alias("bs")
     )
-    bucket = F.lit(1) + F.aggregate(
-        F.col("bs"),
-        F.lit(0),
-        lambda acc, x: acc + F.when(F.col("value") > x, 1).otherwise(0),
+    grid = bounds.select(
+        F.posexplode("bs").alias("pos", "b")
+    ).select((F.col("pos") + 1).alias("octile"), "b")
+    ranks = (
+        ev.join(F.broadcast(grid))
+        .groupBy("octile", "b")
+        .agg(
+            F.count("*").alias("total_rows"),
+            F.sum(F.when(F.col("value") <= F.col("b"), 1).otherwise(0))
+            .alias("cnt_le"),
+            F.sum(F.when(F.col("value") < F.col("b"), 1).otherwise(0))
+            .alias("cnt_lt"),
+        )
     )
-    per_bucket = (
-        ev.join(F.broadcast(bounds))
-        .select(bucket.cast("long").alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n"))
+    tol = 0.02
+    p = F.col("octile") / 8.0
+    rank_ok = (
+        F.col("cnt_le") >= F.floor((p - tol) * F.col("total_rows"))
+    ) & (F.col("cnt_lt") <= F.ceil((p + tol) * F.col("total_rows")))
+    return ranks.select(
+        F.col("octile").cast("long").alias("octile"),
+        "total_rows",
+        rank_ok.alias("rank_ok"),
     )
-    stats = per_bucket.agg(
-        F.count("*").alias("n_buckets"),
-        F.sum("n").alias("total_rows"),
-        F.max("n").alias("max_n"),
-        F.min("n").alias("min_n"),
-    )
-    tot = F.col("total_rows")
-    depth_ok = (
-        (F.col("max_n") - tot / 8.0 <= 0.02 * tot)
-        & (tot / 8.0 - F.col("min_n") <= 0.02 * tot)
-    )
-    return stats.select("n_buckets", "total_rows", depth_ok.alias("depth_ok"))
 
 
 # --------------------------------------------------------------------------

@@ -103,6 +103,7 @@ def stats_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
                      / n, 4) + 0.0 AS intercept
         FROM m
+        WHERE n * sxx - sx * sx <> 0
     """,
     doc="per-group closed-form OLS trend (value vs hour-of-day): slope and "
     "intercept from the normal equations over plain associative moments "
@@ -126,10 +127,12 @@ def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("sy"),
         F.round(F.sum(x * F.col("value")), 4).alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    return m.select(
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    # zero x-variance groups (single row, or all events in one hour) have
+    # no defined slope — dropped on BOTH sides rather than letting ANSI
+    # mode raise DIVIDE_BY_ZERO while DuckDB returns inf
+    return m.filter(den != 0).select(
         "event_type",
         "n",
         (F.round(slope, 6) + F.lit(0.0)).alias("slope"),

@@ -627,13 +627,16 @@ def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("event_type", "p", rank_ok.alias("rank_ok"))
 
 
+_STRATA_FRACTIONS = {"click": 0.5, "purchase": 0.25}
+
+
 @register(
     "stratified_sample_audit",
-    oracle="""
+    oracle=f"""
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
                TRUE AS rate_ok
         FROM events
-        WHERE event_type IN ('click', 'purchase')
+        WHERE event_type IN ({", ".join(repr(k) for k in _STRATA_FRACTIONS)})
         GROUP BY 1
     """,
     doc="oracle-checkable audit of sampleBy: per stratum, the realized "
@@ -646,7 +649,7 @@ def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one scan each; the 2-row comparison joins broadcast.",
 )
 def stratified_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fractions = {"click": 0.5, "purchase": 0.25}
+    fractions = _STRATA_FRACTIONS
     e = load_table(spark, sf_dir, "events")
     totals = (
         e.filter(F.col("event_type").isin(*fractions))
@@ -658,8 +661,13 @@ def stratified_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_sampled"))
     )
-    frac = F.when(F.col("event_type") == "click", F.lit(0.5)).otherwise(
-        F.lit(0.25)
+    # requested rate looked up from the SAME dict sampleBy used — one
+    # source of truth, so editing fractions can't desync the audit
+    frac = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in fractions.items() for x in kv]
+        ),
+        F.col("event_type"),
     )
     sigma = F.sqrt(frac * (1.0 - frac) / F.col("n_total"))
     rate = F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_total")

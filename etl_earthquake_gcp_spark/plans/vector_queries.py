@@ -734,8 +734,14 @@ def _adc_refine(spark, scored, qrows, emb):
     ADC top-``_PQ_SHORTLIST`` shortlist (id pairs only) -> exact-cosine
     re-rank -> top-``_TOP_K``. The query side is rebuilt from the
     already-collected ``qrows`` (no second table scan)."""
+    # RAW adc_dist, not round(.., 6): each row's ADC distance is a pure
+    # function of (its codes, the query LUT) — independent of batch/
+    # partition layout, so the raw double is already deterministic — and
+    # the per-batch numpy prune must share this exact total order (numpy
+    # and Spark ROUND HALF_UP disagree on boundary doubles, which would
+    # break the prune's containment argument).
     w_adc = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("adc_dist"), 6), F.col("neighbor_id")
+        F.col("adc_dist"), F.col("neighbor_id")
     )
     shortlist = (
         scored.withColumn("rn", F.row_number().over(w_adc))
@@ -858,20 +864,21 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             adc = lut[:, np.arange(_PQ_BLOCKS)[None, :], codes].sum(axis=2)
             # per-batch shortlist prune (exact): keep each query's top
             # _PQ_SHORTLIST neighbors under the SAME total order the global
-            # window uses — (round(adc, 6) asc, neighbor_id asc), self pair
-            # excluded. The global top-k of a union of per-batch top-ks is
-            # identical to the unpruned global top-k, so downstream results
-            # are bit-for-bit unchanged while Arrow transfer + window input
-            # shrink from n rows/query/batch to <=_PQ_SHORTLIST. At 100 TB
-            # this is the difference between shuffling n_queries x corpus
-            # and n_queries x (shortlist x n_partitions).
+            # window uses — (RAW adc asc, neighbor_id asc; raw doubles on
+            # both sides so numpy and Spark can't disagree on rounding),
+            # self pair excluded. The global top-k of a union of per-batch
+            # top-ks is identical to the unpruned global top-k, so
+            # downstream results are bit-for-bit unchanged while Arrow
+            # transfer + window input shrink from n rows/query/batch to
+            # <=_PQ_SHORTLIST. At 100 TB this is the difference between
+            # shuffling n_queries x corpus and n_queries x (shortlist x
+            # n_partitions).
             nb = pdf["vec_id"].to_numpy()
-            r6 = np.round(adc, 6)
             out_q, out_n, out_d = [], [], []
             for qi in range(len(qids)):
                 mask = nb != qids[qi]
                 cand_n = nb[mask]
-                order = np.lexsort((cand_n, r6[qi][mask]))[:_PQ_SHORTLIST]
+                order = np.lexsort((cand_n, adc[qi][mask]))[:_PQ_SHORTLIST]
                 out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
                 out_n.append(cand_n[order])
                 out_d.append(adc[qi][mask][order])
@@ -1027,15 +1034,15 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t = lut[(int(q), int(c))]
                 dists[ix] = t[block_ix[None, :], codes[ix]].sum(axis=1)
             # per-batch shortlist prune under the global window's exact
-            # order (round(adc,6) asc, neighbor_id asc) — see pq_adc_topk's
-            # score_batches for the containment argument; input is already
-            # self-filtered by the probes join upstream.
+            # order (RAW adc asc, neighbor_id asc — raw doubles on both
+            # sides, see pq_adc_topk's score_batches for the containment
+            # argument); input is already self-filtered by the probes join
+            # upstream.
             qarr = pdf["query_id"].to_numpy()
             narr = pdf["vec_id"].to_numpy()
-            r6 = np.round(dists, 6)
             out_q, out_n, out_d = [], [], []
             for q, ix in pdf.groupby("query_id", sort=False).indices.items():
-                order = ix[np.lexsort((narr[ix], r6[ix]))[:_PQ_SHORTLIST]]
+                order = ix[np.lexsort((narr[ix], dists[ix]))[:_PQ_SHORTLIST]]
                 out_q.append(qarr[order])
                 out_n.append(narr[order])
                 out_d.append(dists[order])

@@ -253,11 +253,16 @@ def test_pagerank_no_vertex_broadcast_no_edge_sort(spark):
 
 
 def test_ppjoin_prefix_is_pruned_and_verify_broadcasts(spark):
-    """The prefix self-join must run on the pruned prefix table (an
-    Exchange on rank keys), and the exact verify must stay broadcast —
-    no edge-sized sort-merge anywhere."""
+    """The exact verify must stay broadcast-hash (KB-scale mask sides) and
+    the plan must contain NO all-pairs stage — a regression that drops the
+    prefix filter would surface as a BroadcastNestedLoopJoin (the theta-
+    join fallback jaccard_pairs_bitmask's mask path legitimately uses, but
+    this prefix-equi-join path never should) — and the prefix slice must
+    actually reach the plan."""
     plan = _plan(spark, "ppjoin_prefix_pairs")
     assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "slice(" in plan  # the prefix prune expression survived
 
 
 def test_incremental_probe_no_self_join_dedup(spark):

@@ -231,12 +231,20 @@ def minhash_coeffs(n_hashes: int, seed: int) -> list[tuple[int, int]]:
 
 
 def minhash_pairs_cte(
-    n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.8, seed: int = 42
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.8,
+    seed: int = 42,
+    source: str = "documents",
 ) -> str:
     """CTE body replaying ``minhash_band_pairs`` in DuckDB — same dictionary,
     same (a·x+b) mod p hashes, same banding, exact-Jaccard verify — ending
     in ``mh_pairs (doc_a, doc_b, jaccard)``. Composable: downstream oracles
-    (components, canonical selection) chain further CTEs onto it."""
+    (components, canonical selection) chain further CTEs onto it;
+    ``source`` lets a caller run the replay over a prior CTE (e.g. a
+    quality-filtered subset) instead of the raw table — the dictionary is
+    then built over exactly that subset, matching a Spark-side
+    ``minhash_band_pairs(filtered_df)``."""
     r = n_hashes // n_bands
     coeffs = minhash_coeffs(n_hashes, seed)
     hash_exprs = ",\n               ".join(
@@ -252,7 +260,7 @@ def minhash_pairs_cte(
     return f"""
         tok AS (
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
-            FROM documents
+            FROM {source}
         ), vocab AS (
             SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS tid
             FROM (SELECT DISTINCT token FROM tok)

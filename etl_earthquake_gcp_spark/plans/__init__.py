@@ -34,7 +34,7 @@ _DRIVER_PRIORITY = [
     "ml_accuracy_audit", "semantic_dedup_signbucket",
     "incremental_dedup_probe", "ppjoin_prefix_pairs", "cosine_topk_arrow",
     "char_entropy_scores", "zorder_layout_stats", "multimodal_resize_nn",
-    "grouped_ols_trend",
+    "grouped_ols_trend", "corpus_curation_pipeline",
     # -- changed semantics/schema this round: need rows under the new defs -
     "dedup_keep_canonical", "triangle_count_user_graph",
     "hll_mergeable_rollup", "skyline_pareto_orders", "pagerank_3iter",

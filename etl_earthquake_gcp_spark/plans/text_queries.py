@@ -159,6 +159,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _STOPWORDS = ("the", "a", "of", "and", "in")
+_DECON_N = 5  # n-gram width for decontamination overlap (corpus docs are short)
 
 
 @register(
@@ -199,6 +200,168 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.length("text") * F.lit(1.0) / F.size(toks), 2).alias("avg_token_len"),
         n_stop.cast("long").alias("n_stopwords"),
         F.round(n_stop * F.lit(1.0) / F.size(toks), 4).alias("stopword_ratio"),
+    )
+
+
+_CURATION_KEEP_SQL = f"""
+            NOT (len(string_split(text, ' ')) < 20)
+            AND NOT (length(text) * 1.0
+                     / len(string_split(text, ' ')) > 9.0)
+            AND NOT (len(list_filter(string_split(text, ' '),
+                         x -> x IN {_STOPWORDS!r})) * 1.0
+                     / len(string_split(text, ' ')) < 0.02)
+"""
+
+_CURATION_GRAMS_SQL = """
+            unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(string_split(text, ' '))
+                                            - {w}, 1)),
+                i -> array_to_string(
+                    list_slice(string_split(text, ' '), i, i + {w}), ' ')
+            ))) AS gram
+"""
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+        WITH RECURSIVE kept AS (
+            SELECT doc_id, source, text, n_chars FROM documents
+            WHERE {_CURATION_KEEP_SQL}
+        ), {minhash_pairs_cte(n_hashes=16, n_bands=4, threshold=0.8,
+                              seed=42, source="kept")}
+        , dedup_edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM mh_pairs
+        ), reach(id, r) AS (
+            SELECT doc_id, doc_id FROM kept
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN dedup_edges e ON e.a = reach.id
+        ), components AS (
+            SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        ), ranked AS (
+            SELECT k.doc_id, k.source, k.text,
+                   row_number() OVER (PARTITION BY c.component
+                                      ORDER BY k.n_chars DESC, k.doc_id) AS rn
+            FROM components c JOIN kept k USING (doc_id)
+        ), canon AS (
+            SELECT doc_id, source, text FROM ranked WHERE rn = 1
+        ), bgrams AS (
+            SELECT DISTINCT {_CURATION_GRAMS_SQL.format(w=_DECON_N - 1)}
+            FROM documents WHERE doc_id % 50 = 0
+        ), cgrams AS (
+            SELECT doc_id, {_CURATION_GRAMS_SQL.format(w=_DECON_N - 1)}
+            FROM canon WHERE doc_id % 50 <> 0
+        ), contaminated AS (
+            SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (gram)
+        ), clean AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM canon
+            WHERE doc_id % 50 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        )
+        SELECT r.source, r.n_raw,
+               coalesce(k.n_kept, 0) AS n_kept,
+               coalesce(cn.n_canonical, 0) AS n_canonical,
+               coalesce(cl.n_clean, 0) AS n_clean,
+               coalesce(cl.clean_tokens, 0) AS clean_tokens
+        FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+              FROM documents GROUP BY 1) r
+        LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+                   FROM kept GROUP BY 1) k USING (source)
+        LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_canonical
+                   FROM canon GROUP BY 1) cn USING (source)
+        LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_clean,
+                          CAST(sum(n_tok) AS BIGINT) AS clean_tokens
+                   FROM clean GROUP BY 1) cl USING (source)
+    """,
+    doc="the END-TO-END curation pipeline as ONE lazy plan — the stages "
+    "every training-data run chains, composed from this repo's proven "
+    "pieces: C4/Gopher-style quality KEEP filter -> banded-MinHash "
+    "near-dup components over the kept subset (signature dictionary "
+    "built on exactly that subset) -> longest-doc canonical selection "
+    "per cluster -> n-gram decontamination of the canonical set against "
+    "the held-out benchmark -> per-source funnel counts + surviving "
+    "token budget. The oracle replays the whole chain (keep ladder, "
+    "mh_pairs CTE over the filtered CTE, recursive reachability, "
+    "canonical window, gram semi-join) bit-for-bit. Scale shape: every "
+    "stage is the certified operator's plan — scan-shaped filter, "
+    "band-key shuffles, component iterations on the pair graph, "
+    "broadcast benchmark grams; nothing quadratic, nothing collected.",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_band_pairs
+    from ..operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    keep = (
+        ~(F.size(toks) < 20)
+        & ~(F.length("text") * F.lit(1.0) / F.size(toks) > 9.0)
+        & ~(n_stop * F.lit(1.0) / F.size(toks) < 0.02)
+    )
+    kept = d.filter(keep).persist()
+
+    pairs = minhash_band_pairs(kept, n_hashes=16, n_bands=4, threshold=0.8, seed=42)
+    comp = connected_components(
+        vertices=kept.select(F.col("doc_id").alias("id")),
+        edges=pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    canon = (
+        comp.join(kept, comp.id == kept.doc_id)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+        .persist()
+    )
+
+    gen = (
+        f"array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - {_DECON_N - 1}, 1)),"
+        f" i -> array_join(slice(split(text, ' '), i, {_DECON_N}), ' ')))"
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(F.expr(gen)).alias("gram"))
+        .distinct()
+    )
+    cgrams = (
+        canon.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", F.explode(F.expr(gen)).alias("gram"))
+    )
+    contaminated = (
+        cgrams.join(F.broadcast(bench), "gram").select("doc_id").distinct()
+    )
+    clean = (
+        canon.filter(F.col("doc_id") % 50 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("source", F.size(F.split("text", " ")).alias("n_tok"))
+    )
+
+    s_raw = d.groupBy("source").agg(F.count("*").alias("n_raw"))
+    s_kept = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    s_canon = canon.groupBy("source").agg(F.count("*").alias("n_canonical"))
+    s_clean = clean.groupBy("source").agg(
+        F.count("*").alias("n_clean"), F.sum("n_tok").alias("clean_tokens")
+    )
+    return (
+        s_raw.join(F.broadcast(s_kept), "source", "left")
+        .join(F.broadcast(s_canon), "source", "left")
+        .join(F.broadcast(s_clean), "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_canonical", F.lit(0)).alias("n_canonical"),
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+            F.coalesce("clean_tokens", F.lit(0)).alias("clean_tokens"),
+        )
     )
 
 
@@ -964,9 +1127,6 @@ def pack_sequences_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("bin_tokens"),
         )
     )
-
-
-_DECON_N = 5  # n-gram width for decontamination overlap (corpus docs are short)
 
 
 @register(

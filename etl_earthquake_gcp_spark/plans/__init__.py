@@ -26,7 +26,12 @@ from . import function_queries  # noqa: E402,F401
 # different physical types between rounds, so old greens decay. The
 # remaining r1 suites + all r2-rowed queries rotate into round 5.
 _DRIVER_PRIORITY = [
-    # -- round-4 additions -------------------------------------------------
+    # -- round-4 additions (second wave) -----------------------------------
+    "segment_dedup_rewrite", "decontaminate_by_embedding",
+    "mmr_diversified_topk", "heavy_hitters_mergeable",
+    "interpolate_linear_gaps", "group_shuffle_split",
+    "streaming_topk_state",
+    # -- round-4 additions (first wave) ------------------------------------
     "ann_recall_audit", "multimodal_real_decode",
     "doc_chunks_udtf", "doc_chunks_catalyst", "chunk_fixed_context",
     "approx_distinct_audit", "approx_percentile_audit",

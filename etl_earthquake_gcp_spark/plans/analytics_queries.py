@@ -14,7 +14,7 @@ compared frames are NULL-free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import jaccard_pairs_bitmask
@@ -1153,4 +1153,236 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_type.unionByName(merged)
         .join(exact, ["grp", "is_total"])
         .select("grp", "is_total", "est_distinct", "true_distinct")
+    )
+
+
+_INTERP_USER_MOD = 7  # user_id % 7 == 0 keeps output representative+bounded
+
+
+@register(
+    "interpolate_linear_gaps",
+    oracle=f"""
+        WITH obs AS (
+            SELECT user_id, CAST(ts AS DATE) AS d, round(avg(value), 6) AS v
+            FROM events
+            WHERE user_id % {_INTERP_USER_MOD} = 0
+            GROUP BY 1, 2
+        ), span AS (
+            SELECT user_id, min(d) AS lo, max(d) AS hi FROM obs GROUP BY 1
+        ), grid AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                        AS DATE) AS d
+            FROM span
+        ), j AS (
+            SELECT g.user_id, g.d, o.v
+            FROM grid g LEFT JOIN obs o USING (user_id, d)
+        ), w AS (
+            SELECT user_id, d, v,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                       OVER (
+                       PARTITION BY user_id ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pd,
+                   first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY d
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                       OVER (
+                       PARTITION BY user_id ORDER BY d
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nd
+            FROM j
+        )
+        SELECT user_id, CAST(d AS TIMESTAMP) AS day,
+               round(CASE WHEN v IS NOT NULL THEN v
+                     ELSE pv + (nv - pv)
+                          * (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+                     END, 4) + 0.0 AS value_filled,
+               (v IS NULL) AS is_interpolated
+        FROM w
+    """,
+    doc="time-series LINEAR interpolation of missing daily values (the "
+    "imputation sibling of gap_fill_user_daily, which fills zeros): per "
+    "user, each absent day on the dense observed-range grid gets "
+    "pv + (nv-pv)*(gap_position/gap_length) from its nearest observed "
+    "neighbors via IGNORE NULLS last/first window frames. Grid edges are "
+    "observed by construction (span = min..max of that user's own days) so "
+    "every gap is interior. Daily means are rounded BEFORE interpolation "
+    "(moments-first convention) making the downstream arithmetic "
+    "bit-identical across engines. Scale shape: one groupBy(user,day) agg, "
+    "a per-user generated sequence (no user x day cross join), and two "
+    "linear window passes over user-partitioned data — single exchange on "
+    "user_id, no self-joins.",
+)
+def interpolate_linear_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % _INTERP_USER_MOD == 0
+    )
+    obs = e.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            "user_id", F.explode(F.sequence("lo", "hi")).alias("d")
+        )
+    )
+    j = grid.join(obs, ["user_id", "d"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("d"))
+    w = j.select(
+        "user_id",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    frac = F.datediff("d", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    return w.select(
+        "user_id",
+        F.col("d").cast("timestamp").alias("day"),
+        (
+            F.round(
+                F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("value_filled"),
+        F.col("v").isNull().alias("is_interpolated"),
+    )
+
+
+_HH_K = 50  # sketch capacity per shard (Misra-Gries "k counters")
+_HH_SHARDS = 32  # summary units; stands in for executor-local combiners
+_HH_TOP = 10  # audited head
+
+
+@register(
+    "heavy_hitters_mergeable",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), sharded AS (
+            SELECT (doc_id * 2654435761) % 2147483647 % {_HH_SHARDS} AS shard,
+                   token
+            FROM tok
+        ), c AS (
+            SELECT shard, token, count(*) AS cnt
+            FROM sharded GROUP BY shard, token
+        ), ranked AS (
+            SELECT shard, token, cnt,
+                   row_number() OVER (
+                       PARTITION BY shard ORDER BY cnt DESC, token
+                   ) AS rn
+            FROM c
+        ), thr AS (
+            SELECT r.shard,
+                   coalesce(max(CASE WHEN rn = {_HH_K + 1} THEN cnt END), 0)
+                       AS t
+            FROM ranked r GROUP BY r.shard
+        ), kept AS (
+            SELECT r.shard, r.token, r.cnt - th.t AS est
+            FROM ranked r JOIN thr th ON r.shard = th.shard
+            WHERE r.rn <= {_HH_K} AND r.cnt - th.t > 0
+        ), merged AS (
+            SELECT token, sum(est) AS est FROM kept GROUP BY token
+        ), bound AS (
+            SELECT sum(t) AS e FROM thr
+        ), truth AS (
+            SELECT token, count(*) AS true_count FROM tok GROUP BY token
+        )
+        SELECT CAST(row_number() OVER (ORDER BY m.est DESC, m.token)
+                    AS BIGINT) AS rank,
+               m.token,
+               CAST(m.est AS BIGINT) AS est,
+               CAST(t.true_count AS BIGINT) AS true_count,
+               CAST(b.e AS BIGINT) AS err_bound,
+               (t.true_count - m.est) <= b.e AS err_le_bound,
+               m.est <= t.true_count AS is_underestimate
+        FROM merged m
+        JOIN truth t ON m.token = t.token
+        CROSS JOIN bound b
+        QUALIFY row_number() OVER (ORDER BY m.est DESC, m.token) <= {_HH_TOP}
+    """,
+    doc="mergeable heavy-hitter summary (Misra-Gries / Space-Saving family "
+    "in the offset representation of Agarwal et al. 2012, 'Mergeable "
+    f"Summaries'): each of {_HH_SHARDS} shards keeps its top-{_HH_K} token "
+    "counts offset by the (k+1)-th count — a valid MG summary with error "
+    "<= n_shard/(k+1) — and shard summaries MERGE by plain estimate "
+    "summation with additive error Sigma t_s <= n/(k+1). Shards come from "
+    "a portable doc_id hash (not spark_partition_id), so unlike classic "
+    "stream-order-dependent MG the whole sketch is DETERMINISTIC and the "
+    "oracle replays estimates bit-for-bit — estimates, error bound, and "
+    "the top-10 head are all hash-compared, not just rows-only. The audit "
+    "joins exact truth (underestimate + bound theorems checked per row); "
+    "production would ship only the kept-set, "
+    f"<= {_HH_SHARDS}x{_HH_K} rows per merge level regardless of corpus "
+    "size — the 100 TB path never materializes the full token histogram.",
+)
+def heavy_hitters_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    sharded = tok.select(
+        ((F.col("doc_id") * 2654435761) % 2147483647 % _HH_SHARDS).alias(
+            "shard"
+        ),
+        "token",
+    )
+    c = sharded.groupBy("shard", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("shard").orderBy(F.col("cnt").desc(), "token")
+    ranked = c.withColumn("rn", F.row_number().over(w))
+    thr = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _HH_K + 1, F.col("cnt"))), F.lit(0)
+        ).alias("t")
+    )
+    kept = (
+        ranked.join(thr, "shard")
+        .filter((F.col("rn") <= _HH_K) & (F.col("cnt") - F.col("t") > 0))
+        .select("token", (F.col("cnt") - F.col("t")).alias("est"))
+    )
+    merged = kept.groupBy("token").agg(F.sum("est").alias("est"))
+    bound = thr.agg(F.sum("t").alias("e"))
+    truth = tok.groupBy("token").agg(F.count("*").alias("true_count"))
+    w_top = Window.orderBy(F.col("est").desc(), "token")
+    return (
+        merged.join(truth, "token")
+        .crossJoin(F.broadcast(bound))
+        .withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= _HH_TOP)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("est").cast("long").alias("est"),
+            F.col("true_count").cast("long").alias("true_count"),
+            F.col("e").cast("long").alias("err_bound"),
+            ((F.col("true_count") - F.col("est")) <= F.col("e")).alias(
+                "err_le_bound"
+            ),
+            (F.col("est") <= F.col("true_count")).alias("is_underestimate"),
+        )
     )

@@ -175,3 +175,67 @@ def fpgrowth_brand_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("freq").cast("long").alias("freq"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# group-aware deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+_SPLIT_VAL_PCT = 20  # hash buckets 0-19 -> val
+_SPLIT_TEST_PCT = 20  # hash buckets 20-39 -> test
+
+
+@register(
+    "group_shuffle_split",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars, source,
+                   CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)
+                       % 100 AS bucket
+            FROM documents
+        ), tagged AS (
+            SELECT *,
+                   CASE WHEN bucket < {_SPLIT_VAL_PCT} THEN 'val'
+                        WHEN bucket < {_SPLIT_VAL_PCT + _SPLIT_TEST_PCT}
+                            THEN 'test'
+                        ELSE 'train' END AS split
+            FROM keyed
+        )
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM tagged GROUP BY split
+    """,
+    doc="GroupShuffleSplit (scikit-learn semantics, distributed): every doc "
+    "of a source lands in exactly ONE of train/val/test — the split that "
+    "prevents within-group leakage between train and eval (the standard "
+    "requirement for web-crawl corpora where near-dups cluster by site). "
+    "Assignment = first 8 hex digits of md5(source) mod 100: deterministic, "
+    "engine-portable (no rand()), stable under corpus growth — adding docs "
+    "never moves an existing group across splits. Scale shape: one scan, "
+    "a map-side hash per row, one small agg; the split column would "
+    "normally feed partitionBy() at write time — no shuffle at all before "
+    "the final 3-row summary.",
+)
+def group_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < _SPLIT_VAL_PCT, "val")
+        .when(bucket < _SPLIT_VAL_PCT + _SPLIT_TEST_PCT, "test")
+        .otherwise("train")
+    )
+    return (
+        docs.select("doc_id", "n_chars", "source", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_groups"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )

@@ -177,3 +177,36 @@ def streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_ewma_state
 
     return stream_ewma_state(spark, sf_dir, alpha=_EWMA_A)
+
+
+_TOPK_STATE_K = 5
+
+
+@register(
+    "streaming_topk_state",
+    oracle=f"""
+        SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id,
+               round(value, 2) + 0.0 AS value
+        FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC, event_id
+                   ) AS rank
+            FROM events
+        )
+        WHERE rank <= {_TOPK_STATE_K}
+    """,
+    doc="stateful streaming top-k leaderboard (applyInPandasWithState with "
+    "ARRAY-typed state): per event_type the running top-"
+    f"{_TOPK_STATE_K} (value, event_id) pairs carried across micro-batches "
+    "in O(groups*k) state — the live-leaderboard shape (hottest keys, top "
+    "offenders) that windowed aggs can't express. Pure selection (no float "
+    "arithmetic) so the drained snapshot is bit-exact vs the batch window "
+    "oracle; emissions are versioned by rows-seen and the final snapshot "
+    "per group wins.",
+)
+def streaming_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import stream_topk_state
+
+    return stream_topk_state(spark, sf_dir, k=_TOPK_STATE_K)

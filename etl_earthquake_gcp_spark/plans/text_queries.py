@@ -2083,3 +2083,93 @@ def chunk_fixed_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         last.alias("last_window"),
         (last - first + 1).alias("n_windows_spanned"),
     )
+
+
+# --------------------------------------------------------------------------
+# cross-document duplicated-span REMOVAL (the rewrite stage CCNet/Lee et al.
+# run after detection; boilerplate_ngrams only *detects*)
+# --------------------------------------------------------------------------
+
+_SEG_W = 3  # non-overlapping 3-token segments (corpus vocab is tiny, so
+# short spans genuinely recur across documents; real corpora use lines)
+_SEG_REACH = 3  # a segment present in >= 3 DISTINCT docs is boilerplate
+
+
+@register(
+    "segment_dedup_rewrite",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), segs AS (
+            SELECT doc_id, s.s AS seg_idx,
+                   array_to_string(t[(s.s * {_SEG_W} + 1):(s.s * {_SEG_W} + {_SEG_W})], ' ') AS seg
+            FROM toks,
+                 LATERAL (
+                    SELECT unnest(range(0,
+                        CAST(ceil(len(t) / {_SEG_W}.0) AS INT))) AS s
+                 ) s
+        ), reach AS (
+            SELECT seg, count(DISTINCT doc_id) AS reach FROM segs GROUP BY seg
+        ), j AS (
+            SELECT sg.doc_id, sg.seg_idx, sg.seg, r.reach
+            FROM segs sg JOIN reach r USING (seg)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_segs,
+               CAST(count(*) FILTER (reach >= {_SEG_REACH}) AS BIGINT)
+                   AS n_dropped,
+               md5(coalesce(array_to_string(
+                   list(seg ORDER BY seg_idx)
+                       FILTER (reach < {_SEG_REACH}),
+                   ' '), '')) AS rewrite_md5,
+               CAST(length(coalesce(array_to_string(
+                   list(seg ORDER BY seg_idx)
+                       FILTER (reach < {_SEG_REACH}),
+                   ' '), '')) AS BIGINT) AS new_len
+        FROM j
+        GROUP BY doc_id
+    """,
+    doc="duplicated-span REMOVAL with corpus rewrite (the action stage of "
+    "CCNet line-dedup / Lee et al. 2022 substring dedup; boilerplate_ngrams "
+    f"is the detection-only cousin): documents split into non-overlapping "
+    f"{_SEG_W}-token segments; any segment appearing in >= {_SEG_REACH} "
+    "DISTINCT documents is boilerplate and is cut; each document is "
+    "reassembled from its surviving segments in original order (md5 of the "
+    "rewritten text certifies byte-exact reassembly against the oracle). "
+    "Scale shape: segment strings are the only shuffle key (at 100 TB, "
+    "xxhash64 them to BIGINTs first — same plan), reach is one "
+    "count-distinct agg, reassembly is one groupBy(doc_id) with an ordered "
+    "collect_list — everything linear in corpus size, no pairwise stage "
+    "anywhere. This is THE production-shaped rewrite: dedup families here "
+    "emit pair/cluster REPORTS; this emits the cleaned corpus itself.",
+)
+def segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(_SEG_W))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda s: F.array_join(F.slice(toks, s * _SEG_W + 1, _SEG_W), " "),
+    )
+    seg_rows = docs.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
+    )
+    reach = seg_rows.groupBy("seg").agg(
+        F.count_distinct("doc_id").alias("reach")
+    )
+    joined = seg_rows.join(reach, "seg")
+    kept_struct = F.when(
+        F.col("reach") < _SEG_REACH, F.struct("seg_idx", "seg")
+    )  # no otherwise(): collect_list drops the NULLs for boilerplate segs
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]
+        ),
+        " ",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segs"),
+        F.sum((F.col("reach") >= _SEG_REACH).cast("long")).alias("n_dropped"),
+        F.md5(rebuilt).alias("rewrite_md5"),
+        F.length(rebuilt).cast("long").alias("new_len"),
+    )

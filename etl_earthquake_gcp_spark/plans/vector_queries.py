@@ -1187,3 +1187,289 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
+
+
+_DECON_EVAL_MOD = 97  # vec_id % 97 == 0 stands in for the held-out benchmark
+_DECON_THRESHOLD = 0.30  # corpus is near-random; 0.30 flags the top ~1% tail
+
+
+@register(
+    "decontaminate_by_embedding",
+    oracle=f"""
+        WITH exploded AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
+        ), dots AS (
+            SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+                   sum(t.x * e.x) AS dot
+            FROM exploded t
+            JOIN exploded e ON t.i = e.i
+            WHERE t.vec_id % {_DECON_EVAL_MOD} <> 0
+              AND e.vec_id % {_DECON_EVAL_MOD} = 0
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT d.train_id, d.eval_id,
+                   d.dot / (nt.norm * ne.norm) AS cos_raw
+            FROM dots d
+            JOIN norms nt ON d.train_id = nt.vec_id
+            JOIN norms ne ON d.eval_id = ne.vec_id
+        )
+        SELECT train_id, eval_id AS matched_eval_id,
+               round(cos_raw, 4) AS cosine
+        FROM scored
+        WHERE cos_raw >= {_DECON_THRESHOLD}
+        QUALIFY row_number() OVER (
+            PARTITION BY train_id
+            ORDER BY round(cos_raw, 6) DESC, eval_id
+        ) = 1
+    """,
+    doc="embedding-space benchmark decontamination (the semantic sibling of "
+    "decontaminate_ngram_overlap): every training vector whose cosine to ANY "
+    f"held-out benchmark vector (vec_id % {_DECON_EVAL_MOD} == 0 stands in) "
+    f"reaches {_DECON_THRESHOLD} is flagged, with its closest benchmark "
+    "match. EXACT by design, and exact is also the right 100 TB shape: "
+    "benchmark/eval sets are dimension-sized (thousands of vectors), so the "
+    "eval side broadcasts and the plan is one linear scan of the training "
+    "corpus with a broadcast nested-loop score — no shuffle of the big side, "
+    "no ANN recall risk in a correctness-critical filter. Contrast "
+    "ann_lsh_bucketed, where BOTH sides are corpus-sized and approximation "
+    "is the only viable route.",
+)
+def decontaminate_by_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    train = emb.filter(F.col("vec_id") % _DECON_EVAL_MOD != 0)
+    ev = emb.filter(F.col("vec_id") % _DECON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("vec").alias("evec"),
+        F.col("norm").alias("enorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("evec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        train.join(F.broadcast(ev))  # eval side is dim-sized: broadcast NLJ
+        .select(
+            F.col("vec_id").alias("train_id"),
+            "eval_id",
+            (dot / (F.col("norm") * F.col("enorm"))).alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= _DECON_THRESHOLD)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("eval_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "train_id",
+            F.col("eval_id").alias("matched_eval_id"),
+            F.round("cos_raw", 4).alias("cosine"),
+        )
+    )
+
+
+_MMR_SHORTLIST = 20  # relevance top-M per query fed to the greedy re-rank
+_MMR_K = 5  # diversified results returned per query
+_MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes similarity to selected
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in ANSI SQL: k-1 chained CTE steps, no recursion.
+
+    Each step scores every unselected shortlist candidate as
+    round(λ·rel6 − (1−λ)·max_sim_to_selected6, 6) and picks the arg-max
+    (ties → smaller vec_id), exactly mirroring the pandas greedy loop.
+    """
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        prev = f"selu{i - 1}"
+        steps.append(f"""
+        cand{i} AS (
+            SELECT r.query_id, r.cand_id, r.rel6,
+                   round({_MMR_LAMBDA} * r.rel6
+                         - {1 - _MMR_LAMBDA:.1f} * mx.msim, 6) + 0.0 AS mmr
+            FROM rel r
+            JOIN (
+                SELECT p.query_id, p.a AS cand_id, max(p.sim6) AS msim
+                FROM pairsim p
+                JOIN {prev} s ON p.query_id = s.query_id AND p.b = s.cand_id
+                GROUP BY 1, 2
+            ) mx ON mx.query_id = r.query_id AND mx.cand_id = r.cand_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM {prev} s2
+                WHERE s2.query_id = r.query_id AND s2.cand_id = r.cand_id
+            )
+        ), sel{i} AS (
+            SELECT query_id, cand_id, rel6, CAST({i} AS BIGINT) AS rank, mmr
+            FROM cand{i}
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY mmr DESC, cand_id
+            ) = 1
+        ), selu{i} AS (
+            SELECT * FROM selu{i - 1} UNION ALL SELECT * FROM sel{i}
+        )""")
+    chained = ",".join(steps)
+    return f"""
+        WITH exploded AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
+        ), rel AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   round(sum(q.x * c.x) / (nq.norm * nc.norm), 6) AS rel6
+            FROM exploded q
+            JOIN exploded c ON q.i = c.i
+            JOIN norms nq ON q.vec_id = nq.vec_id
+            JOIN norms nc ON c.vec_id = nc.vec_id
+            WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+            GROUP BY 1, 2, nq.norm, nc.norm
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY rel6 DESC, cand_id
+            ) <= {_MMR_SHORTLIST}
+        ), pairsim AS (
+            SELECT r1.query_id, r1.cand_id AS a, r2.cand_id AS b,
+                   round(sum(ea.x * eb.x) / (na.norm * nb.norm), 6) AS sim6
+            FROM rel r1
+            JOIN rel r2
+              ON r1.query_id = r2.query_id AND r1.cand_id <> r2.cand_id
+            JOIN exploded ea ON ea.vec_id = r1.cand_id
+            JOIN exploded eb ON eb.vec_id = r2.cand_id AND ea.i = eb.i
+            JOIN norms na ON na.vec_id = r1.cand_id
+            JOIN norms nb ON nb.vec_id = r2.cand_id
+            GROUP BY 1, 2, 3, na.norm, nb.norm
+        ), sel1 AS (
+            SELECT query_id, cand_id, rel6, CAST(1 AS BIGINT) AS rank,
+                   round({_MMR_LAMBDA} * rel6, 6) + 0.0 AS mmr
+            FROM rel
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY rel6 DESC, cand_id
+            ) = 1
+        ), selu1 AS (
+            SELECT * FROM sel1
+        ),{chained}
+        SELECT query_id, rank, cand_id AS vec_id,
+               round(mmr, 4) + 0.0 AS mmr_score
+        FROM selu{_MMR_K}
+    """
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    doc="Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) "
+    "— the standard RAG/retrieval diversification step: per query, a "
+    f"relevance top-{_MMR_SHORTLIST} shortlist is greedily re-ranked by "
+    f"score = λ·rel − (1−λ)·max_sim_to_already_selected (λ={_MMR_LAMBDA}), "
+    f"emitting {_MMR_K} diverse results. Two-phase scale shape: phase 1 is "
+    "the embarrassingly parallel corpus scan (same plan as "
+    "cosine_topk_pandas — at 100 TB swap in the ANN shortlist, identical "
+    "downstream); phase 2 is applyInPandas per query group over a "
+    f"BOUNDED {_MMR_SHORTLIST}-row shortlist — O(k·M + M²) numpy per group, "
+    "groups distribute across executors, no driver loop, no cross-group "
+    "traffic. All sims rounded to 6dp BEFORE every greedy comparison so the "
+    "arg-max sequence is bit-identical to the SQL oracle's unrolled-CTE "
+    "replay (ties break on vec_id).",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _N_QUERIES).collect(),
+        key=lambda r: r.vec_id,
+    )
+    qmat = np.array([r.vec for r in qrows], dtype=np.float64)
+    qnorm = np.array([r.norm for r in qrows], dtype=np.float64)
+    qids = [r.vec_id for r in qrows]
+
+    # phase 1: exact relevance shortlist (JVM-side, same shape as topk)
+    b_q = spark.createDataFrame(
+        [(int(i),) for i in qids], "query_id long"
+    ).join(
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+        ),
+        "query_id",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.join(F.broadcast(b_q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(dot / (F.col("norm") * F.col("qnorm")), 6).alias("rel6"),
+            "vec",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel6").desc(), F.col("cand_id")
+    )
+    shortlist = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _MMR_SHORTLIST
+    )
+
+    # phase 2: greedy MMR per query over the bounded shortlist; the 4dp
+    # output rounding happens Spark-side (F.round, house convention) so the
+    # decimal-rounding rule matches the oracle's round() exactly
+    out_schema = "query_id long, rank long, vec_id long, mmr_score6 double"
+
+    def mmr_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cand_id").reset_index(drop=True)
+        V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        sims = np.round(V @ V.T / np.outer(nrm, nrm), 6)
+        rel = pdf["rel6"].to_numpy()
+        ids = pdf["cand_id"].to_numpy()
+        m = len(pdf)
+        selected: list[int] = []
+        out = []
+        for rank in range(1, min(_MMR_K, m) + 1):
+            if not selected:
+                score = np.round(_MMR_LAMBDA * rel, 6)
+            else:
+                msim = sims[:, selected].max(axis=1)
+                score = np.round(
+                    _MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * msim, 6
+                )
+            score[selected] = -np.inf  # already taken
+            # arg-max with ties to the smaller cand_id (ids are sorted asc)
+            best = int(np.argmax(score))
+            selected.append(best)
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    rank,
+                    int(ids[best]),
+                    float(score[best]),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "vec_id", "mmr_score6"]
+        )
+
+    return (
+        shortlist.groupBy("query_id")
+        .applyInPandas(mmr_group, out_schema)
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            (F.round("mmr_score6", 4) + F.lit(0.0)).alias("mmr_score"),
+        )
+    )

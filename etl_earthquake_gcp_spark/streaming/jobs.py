@@ -475,3 +475,84 @@ def stream_ewma_state(
             (F.round("ewma_raw", 4) + F.lit(0.0)).alias("ewma"),
         )
     )
+
+
+def stream_topk_state(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Streaming per-group top-k via ``applyInPandasWithState`` — bounded
+    ARRAY state (the leaderboard shape: top offenders / hottest keys while
+    the stream runs).
+
+    State per event_type = the current top-k (value, event_id) pairs +
+    rows-seen counter: O(groups * k) bytes total, independent of stream
+    length. Each micro-batch concatenates its rows onto the carried
+    leaderboard, re-sorts by (value DESC, event_id ASC) and truncates to k
+    — pure selection, no float arithmetic, so the drained result is
+    bit-exact vs the batch window oracle. Emissions are cumulative
+    (one leaderboard snapshot per batch, versioned by n_seen); the final
+    snapshot per group is the one with max n_seen.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold_topk(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            vals, ids, n = state.get
+            vals, ids = list(vals), list(ids)
+        else:
+            vals, ids, n = [], [], 0
+        for pdf in batches:
+            n += len(pdf)
+            vals.extend(float(v) for v in pdf["value"])
+            ids.extend(int(i) for i in pdf["event_id"])
+        order = sorted(range(len(vals)), key=lambda i: (-vals[i], ids[i]))[:k]
+        vals = [vals[i] for i in order]
+        ids = [ids[i] for i in order]
+        state.update((vals, ids, n))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype] * len(ids),
+                "n_seen": [n] * len(ids),
+                "rank": list(range(1, len(ids) + 1)),
+                "event_id": ids,
+                "value_raw": vals,
+            }
+        )
+
+    cumulative = (
+        _events_stream_multibatch(spark, sf_dir)
+        .select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fold_topk,
+            outputStructType=(
+                "event_type string, n_seen long, rank long, "
+                "event_id long, value_raw double"
+            ),
+            stateStructType="vals array<double>, ids array<long>, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = _run_to_memory(cumulative, "append")
+    # final snapshot per group via a window (a groupBy+self-join on the
+    # memory sink trips Spark's conflicting-attribute check)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    return (
+        drained.withColumn("mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("mx"))
+        .select(
+            "event_type",
+            "rank",
+            "event_id",
+            (F.round("value_raw", 2) + F.lit(0.0)).alias("value"),
+        )
+    )

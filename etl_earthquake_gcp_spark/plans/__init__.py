@@ -30,7 +30,8 @@ _DRIVER_PRIORITY = [
     "segment_dedup_rewrite", "decontaminate_by_embedding",
     "mmr_diversified_topk", "heavy_hitters_mergeable",
     "interpolate_linear_gaps", "group_shuffle_split",
-    "streaming_topk_state",
+    "streaming_topk_state", "quantile_summary_mergeable",
+    "holt_linear_state", "random_projection_reduce",
     # -- round-4 additions (first wave) ------------------------------------
     "ann_recall_audit", "multimodal_real_decode",
     "doc_chunks_udtf", "doc_chunks_catalyst", "chunk_fixed_context",

@@ -1386,3 +1386,83 @@ def heavy_hitters_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") <= F.col("true_count")).alias("is_underestimate"),
         )
     )
+
+
+_HOLT_A = 0.3  # level smoothing
+_HOLT_G = 0.1  # trend smoothing
+
+
+@register(
+    "holt_linear_state",
+    oracle=f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), rec(user_id, rn, l, b) AS (
+            SELECT user_id, rn, value, CAST(0.0 AS DOUBLE)
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.rn,
+                   {_HOLT_A} * s.value + {1 - _HOLT_A} * (r.l + r.b),
+                   {_HOLT_G} * (({_HOLT_A} * s.value
+                                 + {1 - _HOLT_A} * (r.l + r.b)) - r.l)
+                       + {1 - _HOLT_G} * r.b
+            FROM rec r JOIN seq s
+              ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        ), last AS (
+            SELECT user_id, max(rn) AS mx FROM rec GROUP BY 1
+        )
+        SELECT r.user_id, CAST(r.rn AS BIGINT) AS n_events,
+               round(r.l, 4) + 0.0 AS level,
+               round(r.b, 4) + 0.0 AS trend,
+               round(r.l + r.b, 4) + 0.0 AS forecast_1
+        FROM rec r JOIN last la ON r.user_id = la.user_id AND r.rn = la.mx
+    """,
+    doc="Holt double-exponential smoothing (level + trend — the "
+    "forecasting step up from ewma_user_values' single recurrence): "
+    f"l_t = {_HOLT_A}x_t + {1 - _HOLT_A}(l+b), "
+    f"b_t = {_HOLT_G}(l_t - l) + {1 - _HOLT_G}b, folded per user in "
+    "(ts, event_id) order via grouped applyInPandas, emitting each "
+    "user's final state + 1-step forecast. Two COUPLED recurrences the "
+    "window/aggregate surface cannot express; the Python fold applies "
+    "the IEEE op sequence the recursive-CTE oracle writes out, so even "
+    "this is hash-compared. One user_id exchange; O(1) state per "
+    "group, linear fold — the same scale shape as EWMA.",
+)
+def holt_linear_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = (
+        "user_id long, n_events long, level double, trend double, "
+        "forecast_1 double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        l = b = None
+        for x in pdf["value"]:
+            x = float(x)
+            if l is None:
+                l, b = x, 0.0
+            else:
+                l_new = _HOLT_A * x + (1 - _HOLT_A) * (l + b)
+                b = _HOLT_G * (l_new - l) + (1 - _HOLT_G) * b
+                l = l_new
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "level": [round(l, 4) + 0.0],
+                "trend": [round(b, 4) + 0.0],
+                "forecast_1": [round(l + b, 4) + 0.0],
+            }
+        )
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, schema)
+    )

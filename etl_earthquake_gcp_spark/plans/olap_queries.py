@@ -1191,3 +1191,155 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_ARES_K)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+_QSUM_SHARDS = 32  # summary units (stand-in for executor-local combiners)
+_QSUM_B = 64  # kept points per shard -> rank error <= n_shard/B per shard
+_QSUM_QS = (10, 25, 50, 75, 90, 99)  # percent targets
+
+
+@register(
+    "quantile_summary_mergeable",
+    oracle=f"""
+        WITH v AS (
+            SELECT o_orderkey AS k, o_totalprice AS val,
+                   (o_orderkey * 2654435761) % 2147483647 % {_QSUM_SHARDS}
+                       AS shard
+            FROM orders
+        ), ranked AS (
+            SELECT shard, k, val,
+                   row_number() OVER (
+                       PARTITION BY shard ORDER BY val, k
+                   ) AS r,
+                   count(*) OVER (PARTITION BY shard) AS ns
+            FROM v
+        ), kept AS (
+            SELECT shard, val, r, ns,
+                   CAST(ceil(ns * 1.0 / {_QSUM_B}) AS BIGINT) AS step
+            FROM ranked
+            WHERE r % CAST(ceil(ns * 1.0 / {_QSUM_B}) AS BIGINT) = 0
+               OR r = ns
+        ), weighted AS (
+            SELECT shard, val, r,
+                   r - coalesce(lag(r) OVER (
+                       PARTITION BY shard ORDER BY r
+                   ), 0) AS w
+            FROM kept
+        ), cum AS (
+            SELECT val, shard, r,
+                   sum(w) OVER (
+                       ORDER BY val, shard, r
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cw
+            FROM weighted
+        ), n AS (
+            SELECT count(*) AS n FROM v
+        ), targets AS (
+            SELECT q, CAST(ceil(n.n * q / 100.0) AS BIGINT) AS target_rank,
+                   n.n AS n
+            FROM (SELECT unnest([{", ".join(str(q) for q in _QSUM_QS)}]) AS q),
+                 n
+        ), est AS (
+            SELECT t.q, t.target_rank, t.n,
+                   min(c.val) FILTER (c.cw >= t.target_rank) AS est_val
+            FROM targets t CROSS JOIN cum c
+            GROUP BY 1, 2, 3
+        )
+        SELECT e.q, round(e.est_val, 2) AS est_val,
+               CAST(e.target_rank AS BIGINT) AS target_rank,
+               CAST((SELECT count(*) FROM v WHERE v.val <= e.est_val)
+                    AS BIGINT) AS true_rank,
+               abs((SELECT count(*) FROM v WHERE v.val <= e.est_val)
+                   - e.target_rank) <= 2 * e.n / {_QSUM_B} AS rank_err_ok
+        FROM est e
+    """,
+    doc="mergeable QUANTILE summary (the GK/KLL shape in the deterministic "
+    "offset form, completing the mergeable-sketch family beside "
+    "hll_mergeable_rollup and heavy_hitters_mergeable): each of "
+    f"{_QSUM_SHARDS} portable-hash shards keeps every ceil(n_s/{_QSUM_B})-th "
+    "order statistic weighted by the ranks it summarizes — per-shard rank "
+    f"error <= n_s/{_QSUM_B}; merging = union the weighted points and walk "
+    "cumulative weight, total error <= n/B by summation. Quantile estimate "
+    "for target rank t = first merged point with cumweight >= t. The audit "
+    "joins the EXACT rank of each estimate (one conditional count) and "
+    "asserts containment within 2x the theoretical bound (slack absorbs "
+    "value ties). Everything — shard ranks, kept points, merge walk, "
+    "estimates — is deterministic and replayed bit-for-bit by the oracle, "
+    "unlike stream-order-dependent GK. At 100 TB the kept-set is "
+    f"{_QSUM_SHARDS}x{_QSUM_B} rows per merge level regardless of data "
+    "size; only the audit's exact-rank count scans the data twice.",
+)
+def quantile_summary_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("val"),
+        ((F.col("o_orderkey") * 2654435761) % 2147483647 % _QSUM_SHARDS).alias(
+            "shard"
+        ),
+    )
+    w_rank = Window.partitionBy("shard").orderBy("val", "k")
+    ranked = o.select(
+        "shard",
+        "val",
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*").over(Window.partitionBy("shard")).alias("ns"),
+    )
+    step = F.ceil(F.col("ns") / F.lit(float(_QSUM_B))).cast("long")
+    kept = ranked.filter(
+        (F.col("r") % step == 0) | (F.col("r") == F.col("ns"))
+    )
+    w_lag = Window.partitionBy("shard").orderBy("r")
+    weighted = kept.select(
+        "shard",
+        "val",
+        "r",
+        (F.col("r") - F.coalesce(F.lag("r").over(w_lag), F.lit(0))).alias("w"),
+    )
+    w_cum = (
+        Window.orderBy("val", "shard", "r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = weighted.select(
+        "val", F.sum("w").over(w_cum).alias("cw")
+    )  # <= SHARDS*(B+1) rows: the bounded merge walk
+    n_df = o.agg(F.count("*").alias("n"))
+    targets = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(q) for q in _QSUM_QS])).alias("q")
+        )
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "q",
+            F.ceil(F.col("n") * F.col("q") / 100.0).cast("long").alias(
+                "target_rank"
+            ),
+            "n",
+        )
+    )
+    est = (
+        targets.join(F.broadcast(cum), F.col("cw") >= F.col("target_rank"))
+        .groupBy("q", "target_rank", "n")
+        .agg(F.min("val").alias("est_val"))
+    )
+    # audit: exact rank of each estimate via one conditional count over v
+    est_b = F.broadcast(est.select("q", "target_rank", "n", "est_val"))
+    true_ranks = (
+        o.crossJoin(est_b)
+        .groupBy("q", "target_rank", "n", "est_val")
+        .agg(
+            F.sum((F.col("val") <= F.col("est_val")).cast("long")).alias(
+                "true_rank"
+            )
+        )
+    )
+    return true_ranks.select(
+        "q",
+        F.round("est_val", 2).alias("est_val"),
+        F.col("target_rank").cast("long").alias("target_rank"),
+        F.col("true_rank").cast("long").alias("true_rank"),
+        (
+            F.abs(F.col("true_rank") - F.col("target_rank"))
+            <= 2 * F.col("n") / _QSUM_B
+        ).alias("rank_err_ok"),
+    )

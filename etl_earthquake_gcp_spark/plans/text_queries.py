@@ -2142,6 +2142,7 @@ _SEG_REACH = 3  # a segment present in >= 3 DISTINCT docs is boilerplate
     "collect_list — everything linear in corpus size, no pairwise stage "
     "anywhere. This is THE production-shaped rewrite: dedup families here "
     "emit pair/cluster REPORTS; this emits the cleaned corpus itself.",
+    bench=True,
 )
 def segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2154,10 +2155,13 @@ def segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_rows = docs.select(
         "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
     )
-    reach = seg_rows.groupBy("seg").agg(
-        F.count_distinct("doc_id").alias("reach")
+    # reach as a window over seg (docs-per-seg is small) rather than a
+    # groupBy+self-join: the tokenize/slice subtree is evaluated ONCE and
+    # the plan is exactly two exchanges (seg, then doc_id)
+    joined = seg_rows.withColumn(
+        "reach",
+        F.size(F.collect_set("doc_id").over(Window.partitionBy("seg"))),
     )
-    joined = seg_rows.join(reach, "seg")
     kept_struct = F.when(
         F.col("reach") < _SEG_REACH, F.struct("seg_idx", "seg")
     )  # no otherwise(): collect_list drops the NULLs for boilerplate segs

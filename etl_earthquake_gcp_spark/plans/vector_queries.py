@@ -1473,3 +1473,67 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("mmr_score6", 4) + F.lit(0.0)).alias("mmr_score"),
         )
     )
+
+
+_RP_DIMS = 16  # 64 -> 16 Johnson-Lindenstrauss sign projection
+
+
+@register(
+    "random_projection_reduce",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ), d AS (
+            SELECT unnest(range(1, {_RP_DIMS + 1})) AS j
+        ), p AS (
+            SELECT e.vec_id, d.j,
+                   sum(e.x * (CASE WHEN (e.i * 2654435761 + d.j * 40503)
+                                        % 2147483647 % 2 = 0
+                              THEN 1.0 ELSE -1.0 END))
+                       / sqrt({_RP_DIMS}.0) AS y
+            FROM e CROSS JOIN d
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, CAST(j AS BIGINT) AS dim,
+               round(y, 6) + 0.0 AS y
+        FROM p
+    """,
+    doc="Johnson-Lindenstrauss dimensionality reduction 64 -> "
+    f"{_RP_DIMS} via a DETERMINISTIC Rademacher (+/-1) sign matrix "
+    "derived from a portable integer hash of (input_dim, output_dim) — "
+    "no materialized projection matrix, no RNG state to ship: every "
+    "executor recomputes s_ij in-register, which is exactly how one "
+    "projects 100 TB of embeddings without broadcasting anything. "
+    "Pure Catalyst (index-aware transform + aggregate higher-order "
+    "functions, whole-stage codegen); the oracle replays the identical "
+    "sign arithmetic. Downstream ANN/cluster stages consume the reduced "
+    "vectors at 4x less memory/shuffle; JL guarantees pairwise-distance "
+    "distortion O(sqrt(log n / k)).",
+)
+def random_projection_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "vec"
+        ),
+        F.explode(F.sequence(F.lit(1), F.lit(_RP_DIMS))).alias("j"),
+    )
+    sign = lambda i: F.when(  # noqa: E731 — 1-based input index i
+        ((i * 2654435761) + F.col("j") * 40503) % 2147483647 % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    y = (
+        F.aggregate(
+            F.transform(F.col("vec"), lambda x, i: x * sign(i + 1)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.sqrt(F.lit(float(_RP_DIMS)))
+    )
+    return emb.select(
+        "vec_id",
+        F.col("j").cast("long").alias("dim"),
+        (F.round(y, 6) + F.lit(0.0)).alias("y"),
+    )

@@ -32,6 +32,8 @@ _DRIVER_PRIORITY = [
     "interpolate_linear_gaps", "group_shuffle_split",
     "streaming_topk_state", "quantile_summary_mergeable",
     "holt_linear_state", "random_projection_reduce",
+    "trimmed_mean_grouped_agg", "bfs_hops_user_graph",
+    "moving_median_7", "funnel_3step_strict", "rag_index_pipeline",
     # -- round-4 additions (first wave) ------------------------------------
     "ann_recall_audit", "multimodal_real_decode",
     "doc_chunks_udtf", "doc_chunks_catalyst", "chunk_fixed_context",

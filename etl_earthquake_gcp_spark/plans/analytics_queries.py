@@ -1009,6 +1009,51 @@ _TRIANGLE_EDGES_SQL = f"""
 """
 
 
+def _capped_user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degree-capped co-activity graph shared by the triangle and BFS
+    queries (edge semantics documented on triangle_count_user_graph;
+    replayed in SQL by _TRIANGLE_EDGES_SQL). Returned persisted — both
+    consumers traverse it multiple times."""
+    e = load_table(spark, sf_dir, "events")
+    # persist: both self-join branches read this frame — without the cache
+    # the events scan + distinct runs twice (measured 4× slower at sf0.1)
+    cells = e.select(
+        "user_id", "event_type", F.col("ts").cast("date").alias("day")
+    ).distinct().persist()
+    a, b = cells.alias("a"), cells.alias("b")
+    edges0 = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 25)
+    )
+    directed = edges0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "shared"
+    ).unionByName(
+        edges0.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), "shared"
+        )
+    )
+    w_deg = Window.partitionBy("src").orderBy(F.desc("shared"), "dst")
+    return (
+        directed.withColumn("rn", F.row_number().over(w_deg))
+        .filter(F.col("rn") <= _TRIANGLE_DEGREE_CAP)
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+
+
 @register(
     "triangle_count_user_graph",
     oracle=f"""
@@ -1038,45 +1083,7 @@ _TRIANGLE_EDGES_SQL = f"""
 )
 def triangle_count_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    # persist: both self-join branches read this frame — without the cache
-    # the events scan + distinct runs twice (measured 4× slower at sf0.1)
-    cells = e.select(
-        "user_id", "event_type", F.col("ts").cast("date").alias("day")
-    ).distinct().persist()
-    a, b = cells.alias("a"), cells.alias("b")
-    edges0 = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.day") == F.col("b.day"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
-        )
-        .agg(F.count("*").alias("shared"))
-        .filter(F.col("shared") >= 25)
-    )
-    directed = edges0.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), "shared"
-    ).unionByName(
-        edges0.select(
-            F.col("v").alias("src"), F.col("u").alias("dst"), "shared"
-        )
-    )
-    from pyspark.sql import Window
-
-    w_deg = Window.partitionBy("src").orderBy(F.desc("shared"), "dst")
-    edges = (
-        directed.withColumn("rn", F.row_number().over(w_deg))
-        .filter(F.col("rn") <= _TRIANGLE_DEGREE_CAP)
-        .select(
-            F.least("src", "dst").alias("u"),
-            F.greatest("src", "dst").alias("v"),
-        )
-        .distinct()
-        .persist()
-    )
+    edges = _capped_user_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -1465,4 +1472,164 @@ def holt_linear_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandas(fold, schema)
+    )
+
+
+_BFS_MAX_HOP = 3
+
+
+@register(
+    "bfs_hops_user_graph",
+    oracle=f"""
+        WITH RECURSIVE {_TRIANGLE_EDGES_SQL}
+        , undir AS (
+            SELECT u AS s, v AS d FROM edges
+            UNION ALL
+            SELECT v, u FROM edges
+        ), srcv AS (
+            SELECT min(u) AS s FROM edges
+        ), walk(v, hop) AS (
+            SELECT s, 0 FROM srcv
+            UNION ALL
+            SELECT un.d, w.hop + 1
+            FROM walk w JOIN undir un ON un.s = w.v
+            WHERE w.hop < {_BFS_MAX_HOP}
+        ), dist AS (
+            SELECT v, min(hop) AS hop FROM walk GROUP BY v
+        )
+        SELECT CAST(hop AS BIGINT) AS hop,
+               CAST(count(*) AS BIGINT) AS n_vertices
+        FROM dist GROUP BY hop
+    """,
+    doc="BFS hop-distance histogram from the minimum-id vertex of the "
+    "degree-capped co-activity graph (graph-traversal class beside "
+    "components/pagerank/triangles): "
+    f"{_BFS_MAX_HOP} frontier expansions, each one equi-join of the "
+    "CURRENT FRONTIER (not the full vertex set) against the edge list "
+    "plus an anti-join against the visited set — the standard distributed "
+    "BFS where per-iteration work is frontier-sized and the bounded-degree "
+    "graph caps frontier growth at degree^hop. Oracle: recursive-CTE walk "
+    "reduced by min(hop) — true BFS distance on both sides.",
+)
+def bfs_hops_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _capped_user_edges(spark, sf_dir)
+    # localCheckpoint (not persist) per iteration: lazy persist chains leave
+    # each anti-join's lineage referencing every earlier level, and the
+    # accumulated plan re-analyzes/re-executes per level (measured 12.7 s →
+    # 1.8 s warm at sf0.01). Checkpointing truncates lineage to the
+    # materialized partitions — the standard shape for iterative frontier
+    # algorithms.
+    undir = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(edges.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .localCheckpoint()
+    )
+    src = edges.agg(F.min("u").alias("v"))
+    visited = src.select("v", F.lit(0).alias("hop")).localCheckpoint()
+    frontier = visited.select("v")
+    for hop in range(1, _BFS_MAX_HOP + 1):
+        nxt = (
+            frontier.join(undir, frontier["v"] == undir["s"])
+            .select(F.col("d").alias("v"))
+            .distinct()
+            .join(visited.select("v"), "v", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(
+            nxt.select("v", F.lit(hop).alias("hop"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited.groupBy(F.col("hop").cast("long").alias("hop")).agg(
+        F.count("*").alias("n_vertices")
+    )
+
+
+@register(
+    "funnel_3step_strict",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s1.t1
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+            GROUP BY e.user_id
+        ), counts AS (
+            SELECT 1 AS stage, 'view' AS step,
+                   CAST(count(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL
+            SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM s3
+        )
+        SELECT CAST(stage AS BIGINT) AS stage, step, n_users,
+               round(n_users * 1.0 / first_value(n_users) OVER (
+                   ORDER BY stage), 4) AS rate_vs_top
+        FROM counts
+    """,
+    doc="three-step STRICT-ORDER funnel (view -> click-after-view -> "
+    "purchase-after-that-click), the product-analytics generalization of "
+    "conversion_funnel's two steps: each stage anchors on the previous "
+    "stage's first-touch timestamp, so out-of-order events never count. "
+    "Three user-keyed partial aggs chained by co-partitioned joins — "
+    "every exchange is on user_id, so AQE collapses the chain into one "
+    "partitioning; the 3-row result carries top-of-funnel conversion "
+    "rates.",
+)
+def funnel_3step_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count("*").alias("n_users")).select(
+            F.lit(1).cast("long").alias("stage"),
+            F.lit("view").alias("step"),
+            "n_users",
+        )
+        .unionByName(
+            s2.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).cast("long").alias("stage"),
+                F.lit("view>click").alias("step"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            s3.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).cast("long").alias("stage"),
+                F.lit("view>click>purchase").alias("step"),
+                "n_users",
+            )
+        )
+    )
+    w = Window.orderBy("stage")
+    return counts.select(
+        "stage",
+        "step",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.first("n_users").over(w), 4
+        ).alias("rate_vs_top"),
     )

@@ -356,3 +356,71 @@ def map_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("v"), 4).alias("max_v"),
         )
     )
+
+
+_TRIM_FRAC = 0.1  # drop lowest/highest 10% by rank before the mean
+
+
+@register(
+    "trimmed_mean_grouped_agg",
+    oracle=f"""
+        WITH r AS (
+            SELECT event_type, value,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_type,
+               CAST(max(n) - 2 * floor(max(n) * {_TRIM_FRAC}) AS BIGINT)
+                   AS n_kept,
+               round(avg(value) FILTER (
+                   rn > floor(n * {_TRIM_FRAC})
+                   AND rn <= n - floor(n * {_TRIM_FRAC})
+               ), 4) AS trimmed_mean
+        FROM r
+        GROUP BY event_type
+    """,
+    doc="robust trimmed mean per group via a GROUPED_AGG pandas_udf — the "
+    "one Arrow-batched Python API the surface didn't yet exercise "
+    "(mapInPandas, applyInPandas[WithState], mapInArrow, UDTF are all "
+    "certified elsewhere): the UDF receives each group's value+id Series, "
+    "rank-trims 10% per tail with the (value, event_id) total order the "
+    "oracle's window replays, and returns one scalar per group — Spark "
+    "runs it as a real partial-agg-style exchange on event_type. Trimmed "
+    "mean is the robust-location estimator the pure-SQL surface can't "
+    "express without a double window pass; here it's ONE grouped exchange. "
+    "The Catalyst twin lives in the oracle (rank window + FILTER avg), so "
+    "the Python aggregation path is hash-certified against the "
+    "whole-stage-codegen formulation.",
+)
+def trimmed_mean_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the type-hint path can't resolve pd.Series
+    # under `from __future__ import annotations` with a local pandas import
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v, eid):
+        df = pd.DataFrame({"v": v, "e": eid}).sort_values(["v", "e"])
+        k = math.floor(len(df) * _TRIM_FRAC)
+        kept = df["v"].iloc[k : len(df) - k]
+        return float(kept.sum() / len(kept))
+
+    ev = load_table(spark, sf_dir, "events")
+    # Spark rejects mixing a GROUPED_AGG pandas UDF with JVM aggregates in
+    # one agg; two group-count-sized aggs + a join on the tiny key set
+    means = ev.groupBy("event_type").agg(
+        F.round(trimmed_mean("value", "event_id"), 4).alias("trimmed_mean")
+    )
+    counts = ev.groupBy("event_type").agg(
+        (F.count("*") - 2 * F.floor(F.count("*") * F.lit(_TRIM_FRAC)))
+        .cast("long")
+        .alias("n_kept")
+    )
+    return counts.join(means, "event_type").select(
+        "event_type", "n_kept", "trimmed_mean"
+    )

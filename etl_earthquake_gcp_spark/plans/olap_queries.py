@@ -1343,3 +1343,37 @@ def quantile_summary_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 2 * F.col("n") / _QSUM_B
         ).alias("rank_err_ok"),
     )
+
+
+@register(
+    "moving_median_7",
+    oracle="""
+        SELECT user_id, event_id,
+               round(quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ), 4) AS med7
+        FROM events
+    """,
+    doc="exact moving MEDIAN over a 7-row trailing frame per user — the "
+    "robust smoother beside moving_average's mean (order statistics "
+    "ignore spikes a mean absorbs). Spark's percentile() as a WINDOW "
+    "aggregate vs DuckDB quantile_cont: both sort the <= 7 frame values "
+    "and linearly interpolate the even-count midpoint, so the medians "
+    "are bit-identical — no combine-order hazard because order "
+    "statistics, unlike sums, are permutation-invariant. One user_id "
+    "exchange + per-partition sort; the frame never materializes beyond "
+    "7 rows per position.",
+)
+def moving_median_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med7"),
+    )

@@ -2177,3 +2177,150 @@ def segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(rebuilt).alias("rewrite_md5"),
         F.length(rebuilt).cast("long").alias("new_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# end-to-end RAG indexing pipeline (chunk -> feature-hash -> bucket -> stats)
+# --------------------------------------------------------------------------
+
+_RAG_DIMS = 16  # feature-hashing output dims (Weinberger et al. 2009)
+_RAG_SIGN_BITS = 4  # first 4 dims' signs -> 16 index buckets
+_RAG_TOP = 2  # postings sample per bucket
+
+
+@register(
+    "rag_index_pipeline",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(
+                       0, CAST(ceil(len(toks) / {_CHUNK_TOKENS}.0)
+                               AS BIGINT) - 1)) AS chunk_idx
+            FROM t
+        ), chunk_tok AS (
+            SELECT doc_id, chunk_idx,
+                   unnest(toks[chunk_idx * {_CHUNK_TOKENS} + 1
+                               : chunk_idx * {_CHUNK_TOKENS}
+                                 + {_CHUNK_TOKENS}]) AS token
+            FROM idx
+        ), hashed AS (
+            SELECT doc_id, chunk_idx,
+                   CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+            FROM chunk_tok
+        ), cells AS (
+            SELECT doc_id, chunk_idx, h % {_RAG_DIMS} AS dim,
+                   sum(CASE WHEN (h // {_RAG_DIMS}) % 2 = 0
+                            THEN 1 ELSE -1 END) AS val
+            FROM hashed GROUP BY 1, 2, 3
+        ), per_chunk AS (
+            SELECT doc_id, chunk_idx,
+                   sum(val * val) AS e,
+                   {" + ".join(
+                       f"(CASE WHEN coalesce(sum(CASE WHEN dim = {j} "
+                       f"THEN val END), 0) >= 0 THEN {1 << j} ELSE 0 END)"
+                       for j in range(_RAG_SIGN_BITS)
+                   )} AS bucket
+            FROM cells GROUP BY 1, 2
+        ), stats AS (
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(sum(e) AS BIGINT) AS total_energy
+            FROM per_chunk GROUP BY bucket
+        ), top AS (
+            SELECT bucket, doc_id, chunk_idx, e,
+                   row_number() OVER (
+                       PARTITION BY bucket
+                       ORDER BY e DESC, doc_id, chunk_idx
+                   ) AS rank
+            FROM per_chunk
+        )
+        SELECT CAST(s.bucket AS BIGINT) AS bucket,
+               CAST(t2.rank AS BIGINT) AS rank,
+               s.n_chunks, s.n_docs, s.total_energy,
+               t2.doc_id, CAST(t2.chunk_idx AS BIGINT) AS chunk_idx,
+               round(sqrt(CAST(t2.e AS DOUBLE)), 4) AS chunk_norm
+        FROM stats s
+        JOIN top t2 ON t2.bucket = s.bucket AND t2.rank <= {_RAG_TOP}
+    """,
+    doc="end-to-end RAG INDEXING pipeline as one lazy plan (the retrieval "
+    "twin of corpus_curation_pipeline's cleaning chain): documents -> "
+    f"{_CHUNK_TOKENS}-token chunks (doc_chunks_catalyst logic) -> "
+    f"{_RAG_DIMS}-dim FEATURE-HASHED chunk vectors (the hashing trick, "
+    "Weinberger et al. 2009: dim = md5(token) mod d, sign from the next "
+    "hash bit — the embedding stand-in every dependency-free indexer "
+    "ships) -> sign-bucket partitioning of the index "
+    f"(first {_RAG_SIGN_BITS} dims -> {1 << _RAG_SIGN_BITS} buckets, "
+    "SemDeDup-style) -> per-bucket index stats + a postings head. Every "
+    "stage is integer-exact (vector cells are signed token counts, "
+    "energies are integer sums) so the full chain replays bit-for-bit in "
+    "SQL — no float drift anywhere until the final display norm. Scale "
+    "shape: explode -> one (chunk, dim) partial agg -> one chunk agg -> "
+    "one bucket agg; shuffle keys shrink at every stage, no pairwise "
+    "joins, and the bucket id is exactly the partition key a sharded "
+    "vector index would write by.",
+)
+def rag_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nc = F.ceil(F.size(toks) / F.lit(float(_CHUNK_TOKENS))).cast("int")
+    chunks = d.select(
+        "doc_id", toks.alias("toks"), F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_idx")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.explode(
+            F.slice(
+                F.col("toks"),
+                F.col("chunk_idx") * _CHUNK_TOKENS + 1,
+                _CHUNK_TOKENS,
+            )
+        ).alias("token"),
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    cells = (
+        chunks.select(
+            "doc_id",
+            "chunk_idx",
+            (h % _RAG_DIMS).alias("dim"),
+            F.when((h / _RAG_DIMS).cast("long") % 2 == 0, 1)
+            .otherwise(-1)
+            .alias("sign"),
+        )
+        .groupBy("doc_id", "chunk_idx", "dim")
+        .agg(F.sum("sign").alias("val"))
+    )
+    bucket = None
+    for j in range(_RAG_SIGN_BITS):
+        f_j = F.coalesce(
+            F.sum(F.when(F.col("dim") == j, F.col("val"))), F.lit(0)
+        )
+        bit = F.when(f_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    per_chunk = cells.groupBy("doc_id", "chunk_idx").agg(
+        F.sum(F.col("val") * F.col("val")).alias("e"),
+        bucket.alias("bucket"),
+    )
+    stats = per_chunk.groupBy("bucket").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("e").cast("long").alias("total_energy"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("e").desc(), "doc_id", "chunk_idx"
+    )
+    top = per_chunk.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _RAG_TOP
+    )
+    return top.join(stats, "bucket").select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("rank").cast("long").alias("rank"),
+        "n_chunks",
+        "n_docs",
+        "total_energy",
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.round(F.sqrt(F.col("e").cast("double")), 4).alias("chunk_norm"),
+    )

@@ -34,6 +34,7 @@ _DRIVER_PRIORITY = [
     "holt_linear_state", "random_projection_reduce",
     "trimmed_mean_grouped_agg", "bfs_hops_user_graph",
     "moving_median_7", "funnel_3step_strict", "rag_index_pipeline",
+    "skipgram_pairs", "distribution_drift_metrics", "grouped_bootstrap_ci",
     # -- round-4 additions (first wave) ------------------------------------
     "ann_recall_audit", "multimodal_real_decode",
     "doc_chunks_udtf", "doc_chunks_catalyst", "chunk_fixed_context",

@@ -1633,3 +1633,210 @@ def funnel_3step_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users") / F.first("n_users").over(w), 4
         ).alias("rate_vs_top"),
     )
+
+
+_DRIFT_BINS = 10
+
+
+@register(
+    "distribution_drift_metrics",
+    oracle=f"""
+        WITH e AS (
+            SELECT value, epoch_ms(ts) AS tms FROM events
+        ), bounds AS (
+            SELECT min(tms) AS t0, max(tms) AS t1 FROM e
+        ), tagged AS (
+            SELECT value, tms < t0 + (t1 - t0) // 2 AS is_ref
+            FROM e CROSS JOIN bounds
+        ), refm AS (
+            SELECT round(min(value), 6) AS lo, round(max(value), 6) AS hi
+            FROM tagged WHERE is_ref
+        ), binned AS (
+            SELECT least({_DRIFT_BINS - 1}, greatest(0,
+                       CAST(floor((value - lo) / ((hi - lo) / {_DRIFT_BINS}))
+                            AS INT))) AS bin,
+                   is_ref
+            FROM tagged CROSS JOIN refm
+        ), counts AS (
+            SELECT b.bin,
+                   count(*) FILTER (is_ref) AS n_ref,
+                   count(*) FILTER (NOT is_ref) AS n_cur
+            FROM binned b GROUP BY b.bin
+        ), tot AS (
+            SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts
+        ), frac AS (
+            SELECT bin, n_ref, n_cur,
+                   (n_ref + 0.5) / (tr + {_DRIFT_BINS} * 0.5) AS p,
+                   (n_cur + 0.5) / (tc + {_DRIFT_BINS} * 0.5) AS q
+            FROM counts CROSS JOIN tot
+        ), terms AS (
+            SELECT bin, n_ref, n_cur,
+                   round((q - p) * ln(q / p), 6) + 0.0 AS psi_term,
+                   round(abs(sum(p) OVER (ORDER BY bin)
+                             - sum(q) OVER (ORDER BY bin)), 6) AS cum_absdiff
+            FROM frac
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               psi_term, cum_absdiff,
+               round(sum(psi_term) OVER (), 6) + 0.0 AS psi_total,
+               round(max(cum_absdiff) OVER (), 6) AS ks_binned
+        FROM terms
+    """,
+    doc="distribution drift report between the first and second half of "
+    "the event timeline — the ML-ops monitoring pair: PSI (population "
+    "stability index, the banking-standard drift score) and a binned "
+    "two-sample KS statistic, over "
+    f"{_DRIFT_BINS} equi-width bins anchored on the REFERENCE window's "
+    "(rounded, moments-first) min/max. Laplace-smoothed fractions keep "
+    "ln(q/p) defined for empty bins with zero ANSI-division risk. Scale "
+    "shape: one scan to tag+bin (map-side), one 10-group agg, then "
+    "10-row window arithmetic — the binned forms are exactly what "
+    "monitoring computes at 100 TB because exact KS needs a global "
+    "sorted ECDF walk.",
+)
+def distribution_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "value", F.unix_millis("ts").alias("tms")
+    )
+    bounds = e.agg(F.min("tms").alias("t0"), F.max("tms").alias("t1"))
+    tagged = e.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        (
+            F.col("tms")
+            < F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2)
+        ).alias("is_ref"),
+    )
+    refm = tagged.filter("is_ref").agg(
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / _DRIFT_BINS
+    binned = tagged.crossJoin(F.broadcast(refm)).select(
+        F.least(
+            F.lit(_DRIFT_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            ),
+        ).alias("bin"),
+        "is_ref",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    frac = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 0.5) / (F.col("tr") + _DRIFT_BINS * 0.5)).alias("p"),
+        ((F.col("n_cur") + 0.5) / (F.col("tc") + _DRIFT_BINS * 0.5)).alias("q"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    terms = frac.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (
+            F.round((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")), 6)
+            + F.lit(0.0)
+        ).alias("psi_term"),
+        F.round(
+            F.abs(F.sum("p").over(w_cum) - F.sum("q").over(w_cum)), 6
+        ).alias("cum_absdiff"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return terms.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_ref",
+        "n_cur",
+        "psi_term",
+        "cum_absdiff",
+        (F.round(F.sum("psi_term").over(w_all), 6) + F.lit(0.0)).alias(
+            "psi_total"
+        ),
+        F.round(F.max("cum_absdiff").over(w_all), 6).alias("ks_binned"),
+    )
+
+
+_BOOT_B = 50  # bootstrap replicas
+
+
+@register(
+    "grouped_bootstrap_ci",
+    oracle=f"""
+        WITH reps AS (
+            SELECT unnest(range(1, {_BOOT_B + 1})) AS r
+        ), weighted AS (
+            SELECT e.event_type, rp.r, e.value,
+                   CASE WHEN (e.event_id * 2654435761 + rp.r * 97003)
+                             % 2147483647 % 16 < 6 THEN 0
+                        WHEN (e.event_id * 2654435761 + rp.r * 97003)
+                             % 2147483647 % 16 < 12 THEN 1
+                        WHEN (e.event_id * 2654435761 + rp.r * 97003)
+                             % 2147483647 % 16 < 15 THEN 2
+                        ELSE 3 END AS w
+            FROM events e CROSS JOIN reps rp
+        ), rep_means AS (
+            SELECT event_type, r,
+                   round(sum(w * value) / sum(w), 6) AS m
+            FROM weighted
+            GROUP BY event_type, r
+            HAVING sum(w) > 0
+        )
+        SELECT event_type,
+               round(quantile_cont(m, 0.025), 4) AS ci_lo,
+               round(quantile_cont(m, 0.5), 4) AS ci_mid,
+               round(quantile_cont(m, 0.975), 4) AS ci_hi
+        FROM rep_means
+        GROUP BY event_type
+    """,
+    doc="bootstrap confidence intervals for per-group means via "
+    f"DETERMINISTIC hash-resampling: each of {_BOOT_B} replicas assigns "
+    "every row a portable-hash multiplicity in {{0,1,2,3}} (an integer "
+    "surrogate for the Poisson(1) bootstrap — the resampling scheme used "
+    "at scale because true with-replacement sampling needs a global row "
+    "index), replica means are quantiled into a 95% interval. No rand() "
+    "anywhere: both engines replay the identical replicas, so even the "
+    "CI bounds hash-match. Scale shape: one map-side explode x B, "
+    "partial-agg to (group x replica) cells, "
+    f"then {_BOOT_B}-value quantiles per group — the classic "
+    "two-level-agg bootstrap that never shuffles raw rows twice. "
+    "Replica means are rounded before quantiling (moments-first rule).",
+)
+def grouped_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    reps = F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("r")
+    h = (
+        F.col("event_id") * 2654435761 + F.col("r") * 97003
+    ) % 2147483647 % 16
+    w = (
+        F.when(h < 6, 0).when(h < 12, 1).when(h < 15, 2).otherwise(3)
+    )
+    weighted = e.select("event_type", "event_id", "value", reps).select(
+        "event_type", "r", "value", w.alias("w")
+    )
+    rep_means = (
+        weighted.groupBy("event_type", "r")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6
+            ).alias("m"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    return rep_means.groupBy("event_type").agg(
+        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.5)"), 4).alias("ci_mid"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+    )

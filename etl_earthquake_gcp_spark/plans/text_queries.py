@@ -2324,3 +2324,68 @@ def rag_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.round(F.sqrt(F.col("e").cast("double")), 4).alias("chunk_norm"),
     )
+
+
+_SKIP_WINDOW = 2  # context radius (word2vec-style +/-2 skip-grams)
+
+
+@register(
+    "skipgram_pairs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), pos AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks))) AS i
+            FROM t
+        ), pairs AS (
+            SELECT toks[i] AS center, toks[j] AS context
+            FROM pos, LATERAL (
+                SELECT unnest(generate_series(
+                    greatest(1, i - {_SKIP_WINDOW}),
+                    least(len(toks), i + {_SKIP_WINDOW}))) AS j
+            ) off
+            WHERE j <> i
+        )
+        SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs
+        GROUP BY center, context
+        HAVING count(*) >= 5
+    """,
+    doc="skip-gram (center, context) pair counts with a +/-"
+    f"{_SKIP_WINDOW} window — the word2vec/GloVe training-pair generator "
+    "(the positional cousin of token_pmi's doc-level co-occurrence): "
+    "every token emits its <= 2w neighbors via an index-window explode, "
+    "aggregated to pair counts with a min-support floor. Pure Catalyst "
+    "array expressions; at 100 TB the only shuffle carries (center, "
+    "context) keys whose cardinality is bounded by vocab² — the "
+    "co-occurrence matrix every embedding trainer streams from. The "
+    "explode is positional (sequence over indices), so boundary windows "
+    "clip exactly like the oracle's greatest/least bounds.",
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pos = d.select(
+        toks.alias("toks"),
+        F.posexplode(toks).alias("i0", "center"),
+    )
+    # context via slice around i (0-based i0; slice is 1-based)
+    lo = F.greatest(F.lit(1), F.col("i0") + 1 - _SKIP_WINDOW)
+    hi = F.least(F.size("toks"), F.col("i0") + 1 + _SKIP_WINDOW)
+    ctx = F.filter(
+        F.transform(
+            F.sequence(lo, hi), lambda j: F.struct(
+                j.alias("j"), F.element_at(F.col("toks"), j).alias("tok")
+            )
+        ),
+        lambda s: s["j"] != F.col("i0") + 1,
+    )
+    pairs = pos.select(
+        "center", F.explode(ctx).alias("c")
+    ).select("center", F.col("c.tok").alias("context"))
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= 5)
+    )

@@ -35,6 +35,9 @@ _DRIVER_PRIORITY = [
     "trimmed_mean_grouped_agg", "bfs_hops_user_graph",
     "moving_median_7", "funnel_3step_strict", "rag_index_pipeline",
     "skipgram_pairs", "distribution_drift_metrics", "grouped_bootstrap_ci",
+    "passjoin_edit_pairs", "time_weighted_avg_user",
+    "incremental_rollup_merge", "cumulative_unique_users",
+    "pareto_revenue_share",
     # -- round-4 additions (first wave) ------------------------------------
     "ann_recall_audit", "multimodal_real_decode",
     "doc_chunks_udtf", "doc_chunks_catalyst", "chunk_fixed_context",

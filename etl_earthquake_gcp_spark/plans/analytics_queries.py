@@ -1840,3 +1840,119 @@ def grouped_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(m, 0.5)"), 4).alias("ci_mid"),
         F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
     )
+
+
+@register(
+    "cumulative_unique_users",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+            FROM events GROUP BY user_id
+        ), per_day AS (
+            SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+            FROM firsts GROUP BY first_day
+        )
+        SELECT CAST(first_day AS TIMESTAMP) AS day, new_users,
+               CAST(sum(new_users) OVER (
+                   ORDER BY first_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cumulative_users
+        FROM per_day
+    """,
+    doc="cumulative distinct-user growth curve: each user collapses to a "
+    "first-seen day (one user_id partial agg), daily new-user counts, "
+    "then a running sum over the DAY-SIZED series — the only ordered "
+    "walk touches |days| rows, never facts, which is why first-seen "
+    "reduction (not windowed count-distinct) is the 100 TB growth-curve "
+    "shape.",
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day")
+    )
+    per_day = firsts.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("first_day").cast("timestamp").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+_PARETO_TIERS = (10, 20, 50)  # top-% customer tiers
+
+
+@register(
+    "pareto_revenue_share",
+    oracle=f"""
+        WITH rev AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS r
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT r,
+                   row_number() OVER (ORDER BY r DESC, o_custkey) AS rn,
+                   count(*) OVER () AS n,
+                   round(sum(r) OVER (), 2) AS total
+            FROM rev
+        ), tiers AS (
+            SELECT unnest([{", ".join(str(t) for t in _PARETO_TIERS)}]) AS pct
+        )
+        SELECT CAST(t.pct AS BIGINT) AS top_pct,
+               CAST(ceil(max(rk.n) * t.pct / 100.0) AS BIGINT) AS n_customers,
+               round(sum(rk.r), 2) AS tier_revenue,
+               round(sum(rk.r) / max(rk.total), 4) AS revenue_share
+        FROM tiers t
+        JOIN ranked rk ON rk.rn <= ceil(rk.n * t.pct / 100.0)
+        GROUP BY t.pct
+    """,
+    doc="Pareto (80/20) revenue-concentration analysis: per-customer "
+    "revenue (rounded BEFORE ranking — moments-first, so the rank order "
+    "is engine-identical), ranked desc with id tie-break, cumulative "
+    "share of each top-N% tier. The ordered walk runs over CUSTOMER "
+    "aggregates, not order facts — |customers| rows after one partial "
+    "agg — the concentration-curve shape at any scale. Tie-broken "
+    "row_number (not rank) keeps tier boundaries deterministic under "
+    "equal revenues.",
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("r")
+    )
+    w_rank = Window.orderBy(F.col("r").desc(), "o_custkey")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+        F.round(F.sum("r").over(w_all), 2).alias("total"),
+    )
+    tiers = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _PARETO_TIERS])).alias("pct")
+    )
+    cut = F.ceil(F.col("n") * F.col("pct") / 100.0)
+    return (
+        F.broadcast(tiers)
+        .join(ranked, F.col("rn") <= cut)
+        .groupBy("pct")
+        .agg(
+            F.ceil(F.max("n") * F.col("pct") / 100.0)
+            .cast("long")
+            .alias("n_customers"),
+            F.round(F.sum("r"), 2).alias("tier_revenue"),
+            F.round(F.sum("r") / F.max("total"), 4).alias("revenue_share"),
+        )
+        .select(
+            F.col("pct").cast("long").alias("top_pct"),
+            "n_customers",
+            "tier_revenue",
+            "revenue_share",
+        )
+    )

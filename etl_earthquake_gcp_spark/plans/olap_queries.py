@@ -1377,3 +1377,172 @@ def moving_median_7(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med7"),
     )
+
+
+@register(
+    "time_weighted_avg_user",
+    oracle="""
+        WITH w AS (
+            SELECT user_id, value,
+                   epoch_ms(lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) - epoch_ms(ts) AS w_ms
+            FROM events
+        ), s AS (
+            SELECT user_id,
+                   round(sum(w_ms * value), 6) AS swx,
+                   sum(w_ms) AS sw,
+                   CAST(count(w_ms) AS BIGINT) AS n_intervals
+            FROM w
+            WHERE w_ms IS NOT NULL
+            GROUP BY user_id
+            HAVING sum(w_ms) > 0
+        )
+        SELECT user_id, n_intervals,
+               CAST(sw AS BIGINT) AS total_ms,
+               round(swx / sw, 4) + 0.0 AS twap
+        FROM s
+    """,
+    doc="time-weighted average price/value per user (TWAP — the "
+    "financial/IoT estimator that weights each observation by how long "
+    "it REMAINED the current value, vs the naive mean that overweights "
+    "bursts): interval weights from one lead() pass, then "
+    "sum(w*x)/sum(w). Weight sums are exact integer milliseconds "
+    "(BIGINT), the float numerator is rounded before the division "
+    "(moments-first rule), so the ratio is bit-identical across "
+    "engines. One user_id exchange total — window and aggregation "
+    "share the same partitioning.",
+)
+def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weighted = ev.select(
+        "user_id",
+        "value",
+        (F.unix_millis(F.lead("ts").over(w)) - F.unix_millis("ts")).alias(
+            "w_ms"
+        ),
+    ).filter(F.col("w_ms").isNotNull())
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("w_ms") * F.col("value")), 6).alias("swx"),
+            F.sum("w_ms").alias("sw"),
+            F.count("w_ms").alias("n_intervals"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            F.col("sw").cast("long").alias("total_ms"),
+            (F.round(F.col("swx") / F.col("sw"), 4) + F.lit(0.0)).alias(
+                "twap"
+            ),
+        )
+    )
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, value, epoch_ms(ts) AS tms FROM events
+        ), bounds AS (
+            SELECT min(tms) AS t0, max(tms) AS t1 FROM e
+        ), state AS (  -- "yesterday's" stored partial-agg state
+            SELECT event_type, count(*) AS n, sum(value) AS s,
+                   min(value) AS mn, max(value) AS mx
+            FROM e CROSS JOIN bounds
+            WHERE tms < t0 + (t1 - t0) // 2
+            GROUP BY event_type
+        ), delta AS (  -- today's new rows
+            SELECT event_type, count(*) AS n, sum(value) AS s,
+                   min(value) AS mn, max(value) AS mx
+            FROM e CROSS JOIN bounds
+            WHERE tms >= t0 + (t1 - t0) // 2
+            GROUP BY event_type
+        ), unioned AS (
+            SELECT * FROM state UNION ALL SELECT * FROM delta
+        ), merged AS (
+            SELECT event_type, sum(n) AS n, sum(s) AS s,
+                   min(mn) AS mn, max(mx) AS mx
+            FROM unioned GROUP BY event_type
+        ), full_rec AS (
+            SELECT event_type, count(*) AS n, sum(value) AS s,
+                   min(value) AS mn, max(value) AS mx
+            FROM e GROUP BY event_type
+        )
+        SELECT m.event_type,
+               CAST(m.n AS BIGINT) AS n_rows,
+               round(m.s, 2) AS total,
+               round(m.mn, 2) AS min_v,
+               round(m.mx, 2) AS max_v,
+               round(m.s / m.n, 4) AS mean_v,
+               m.n = f.n AND m.mn = f.mn AND m.mx = f.mx
+                   AND round(m.s, 2) = round(f.s, 2) AS matches_full_recompute
+        FROM merged m JOIN full_rec f ON m.event_type = f.event_type
+    """,
+    doc="incremental materialized-view maintenance: 'yesterday's' stored "
+    "partial-agg state (count/sum/min/max over the first half of the "
+    "timeline) MERGED with today's delta by pure state algebra — "
+    "sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes — with the "
+    "derived mean computed from merged state, never from raw history. "
+    "The audit column proves merged state == full recompute per group "
+    "(counts/min/max exactly; sums at display rounding — float "
+    "summation order differs by construction, which is exactly why "
+    "production incremental rollups store compensated or decimal sums). "
+    "This is the algebraic-aggregate contract that lets a 100 TB rollup "
+    "process only the daily delta: the history is never rescanned, only "
+    "its O(groups) state vector is.",
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_millis("ts").alias("tms")
+    )
+    bounds = e.agg(F.min("tms").alias("t0"), F.max("tms").alias("t1"))
+    tagged = e.crossJoin(F.broadcast(bounds)).withColumn(
+        "is_state",
+        F.col("tms") < F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2),
+    )
+
+    def _partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    state = _partial(tagged.filter("is_state"))
+    delta = _partial(tagged.filter("NOT is_state"))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    full_rec = _partial(e).select(
+        F.col("event_type"),
+        F.col("n").alias("fn"),
+        F.col("s").alias("fs"),
+        F.col("mn").alias("fmn"),
+        F.col("mx").alias("fmx"),
+    )
+    return merged.join(full_rec, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round("s", 2).alias("total"),
+        F.round("mn", 2).alias("min_v"),
+        F.round("mx", 2).alias("max_v"),
+        F.round(F.col("s") / F.col("n"), 4).alias("mean_v"),
+        (
+            (F.col("n") == F.col("fn"))
+            & (F.col("mn") == F.col("fmn"))
+            & (F.col("mx") == F.col("fmx"))
+            & (F.round("s", 2) == F.round("fs", 2))
+        ).alias("matches_full_recompute"),
+    )

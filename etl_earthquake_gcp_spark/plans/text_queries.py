@@ -2389,3 +2389,106 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .filter(F.col("n_pairs") >= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# PassJoin: LOSSLESS edit-distance similarity join via pigeonhole segments
+# --------------------------------------------------------------------------
+
+_PASS_TAU = 2  # edit-distance threshold
+_PASS_LEN = 20  # fixed prefix length compared
+# tau+1 = 3 segments (1-based start, length): any string within tau edits
+# must contain one segment EXACTLY, shifted by at most tau
+_PASS_SEGS = ((1, 1, 7), (2, 8, 7), (3, 15, 6))
+
+
+def _passjoin_probe_starts(start: int, length: int) -> list[int]:
+    lo = max(1, start - _PASS_TAU)
+    hi = min(_PASS_LEN - length + 1, start + _PASS_TAU)
+    return list(range(lo, hi + 1))
+
+
+@register(
+    "passjoin_edit_pairs",
+    # oracle = the NAIVE all-pairs join: the segment-filtered plan must
+    # reproduce the ground truth bit-for-bit, certifying losslessness
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, substring(text, 1, {_PASS_LEN}) AS p
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+               CAST(levenshtein(a.p, c.p) AS BIGINT) AS edit_dist
+        FROM b a
+        JOIN b c ON a.doc_id < c.doc_id
+        WHERE levenshtein(a.p, c.p) <= {_PASS_TAU}
+    """,
+    doc="PassJoin (Li et al. 2011): LOSSLESS edit-distance similarity "
+    f"join at tau={_PASS_TAU} via pigeonhole segmentation — each "
+    f"{_PASS_LEN}-char key splits into tau+1 segments; any pair within "
+    "tau edits must share one segment EXACTLY at a start shifted by at "
+    "most tau, so the equi-join on (segment_idx, substring) is a "
+    "complete candidate filter and the verify step reproduces the NAIVE "
+    "all-pairs oracle bit-for-bit. Completes the exact-sim-join trio: "
+    "all-pairs bitmask (certified baseline), PPJoin prefix filter "
+    "(token overlap), PassJoin segments (edit distance). Scale shape: "
+    f"{sum(len(_passjoin_probe_starts(s, n)) for _, s, n in _PASS_SEGS)} "
+    "probe keys + 3 index keys per row, shuffled on short substring "
+    "keys — candidate volume tracks true near-pairs, never n²/2; the "
+    "quadratic stage is gone exactly like the MinHash/PPJoin paths.",
+)
+def passjoin_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _PASS_LEN).alias("p")
+    )
+    seg_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.substring("p", start, length).alias("seg"),
+            )
+            for i, start, length in _PASS_SEGS
+        ]
+    )
+    index = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("p").alias("pa"),
+        F.explode(seg_arr).alias("s"),
+    ).select("id_a", "pa", F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
+    probe_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.substring("p", st, length).alias("seg"),
+            )
+            for i, start, length in _PASS_SEGS
+            for st in _passjoin_probe_starts(start, length)
+        ]
+    )
+    probe = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("p").alias("pb"),
+        F.explode(probe_arr).alias("s"),
+    ).select("id_b", "pb", F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
+    cand = (
+        index.join(probe, ["i", "seg"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("pa"))
+            .otherwise(F.col("pb"))
+            .alias("sa"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("pb"))
+            .otherwise(F.col("pa"))
+            .alias("sb"),
+        )
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein("sa", "sb") <= _PASS_TAU
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("sa", "sb").cast("long").alias("edit_dist"),
+    )

@@ -271,3 +271,31 @@ def test_incremental_probe_no_self_join_dedup(spark):
     plan = _plan(spark, "incremental_dedup_probe")
     assert plan.count("InMemoryRelation") >= 2  # sig cache referenced twice
     assert "doc_id < doc_id" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval set is dimension-sized: the plan must score via a broadcast
+    nested-loop (train side never shuffles for the join)."""
+    plan = _plan(spark, "decontaminate_by_embedding")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_segment_rewrite_exactly_two_exchanges(spark):
+    """Tokenize subtree evaluates once: exchange on seg (window), then
+    exchange on doc_id (reassembly agg) — nothing else."""
+    plan = _plan(spark, "segment_dedup_rewrite")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_twap_single_user_exchange(spark):
+    """lead() window and final agg share one user_id partitioning."""
+    plan = _plan(spark, "time_weighted_avg_user")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_interpolate_single_user_exchange_family(spark):
+    """Grid generation, join, and both window passes stay inside
+    user_id-compatible partitionings — no single-partition stage."""
+    plan = _plan(spark, "interpolate_linear_gaps")
+    assert "SinglePartition" not in plan, plan

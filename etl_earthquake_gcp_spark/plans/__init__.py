@@ -37,7 +37,7 @@ _DRIVER_PRIORITY = [
     "skipgram_pairs", "distribution_drift_metrics", "grouped_bootstrap_ci",
     "passjoin_edit_pairs", "time_weighted_avg_user",
     "incremental_rollup_merge", "cumulative_unique_users",
-    "pareto_revenue_share",
+    "pareto_revenue_share", "seasonal_decompose_dow", "rfm_segmentation",
     # -- round-4 additions (first wave) ------------------------------------
     "ann_recall_audit", "multimodal_real_decode",
     "doc_chunks_udtf", "doc_chunks_catalyst", "chunk_fixed_context",

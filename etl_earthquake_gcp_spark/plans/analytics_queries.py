@@ -1956,3 +1956,170 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share",
         )
     )
+
+
+@register(
+    "seasonal_decompose_dow",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, round(avg(value), 6) AS v
+            FROM events GROUP BY 1
+        ), trended AS (
+            SELECT d, v,
+                   round(avg(v) OVER (
+                       ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                   ), 6) AS trend
+            FROM daily
+        ), seasonal AS (
+            SELECT dayofweek(d) AS dow,
+                   round(avg(v - trend), 6) AS s
+            FROM trended GROUP BY 1
+        ), resid AS (
+            SELECT t.d, t.v, t.trend, se.s,
+                   round(t.v - t.trend - se.s, 6) AS r
+            FROM trended t JOIN seasonal se ON dayofweek(t.d) = se.dow
+        ), sigma AS (
+            SELECT round(stddev_samp(r), 6) AS sd FROM resid
+        )
+        SELECT CAST(d AS TIMESTAMP) AS day,
+               round(v, 4) AS daily_value,
+               round(trend, 4) AS trend,
+               round(s, 4) + 0.0 AS seasonal_dow,
+               round(r, 4) + 0.0 AS residual,
+               abs(r) > 2 * sd AS is_anomaly
+        FROM resid CROSS JOIN sigma
+        WHERE sd > 0
+    """,
+    doc="STL-lite seasonal decomposition of the daily series: 7-day "
+    "centered moving-average TREND, day-of-week SEASONAL means of the "
+    "detrended series, RESIDUAL anomaly flags at 2 sigma — the classic "
+    "additive decomposition every monitoring stack runs before alerting "
+    "on raw values. Every intermediate is rounded (moments-first) so the "
+    "chain of window avg -> group avg -> residual -> stddev is "
+    "bit-identical across engines; the zero-variance ANSI guard filters "
+    "on sd > 0 both sides. Ordered walks touch the DAY-sized series "
+    "only; facts are reduced by one (day) partial agg up front.",
+)
+def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    w_trend = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d", "v", F.round(F.avg("v").over(w_trend), 6).alias("trend")
+    )
+    seasonal = trended.groupBy(F.dayofweek("d").alias("dow")).agg(
+        F.round(F.avg(F.col("v") - F.col("trend")), 6).alias("s")
+    )
+    resid = (
+        trended.withColumn("dow", F.dayofweek("d"))
+        .join(F.broadcast(seasonal), "dow")
+        .select(
+            "d",
+            "v",
+            "trend",
+            "s",
+            F.round(
+                F.col("v") - F.col("trend") - F.col("s"), 6
+            ).alias("r"),
+        )
+    )
+    sigma = resid.agg(F.round(F.stddev_samp("r"), 6).alias("sd"))
+    return (
+        resid.crossJoin(F.broadcast(sigma))
+        .filter(F.col("sd") > 0)
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            F.round("v", 4).alias("daily_value"),
+            F.round("trend", 4).alias("trend"),
+            (F.round("s", 4) + F.lit(0.0)).alias("seasonal_dow"),
+            (F.round("r", 4) + F.lit(0.0)).alias("residual"),
+            (F.abs("r") > 2 * F.col("sd")).alias("is_anomaly"),
+        )
+    )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey,
+                   max(epoch_ms(o_orderdate_ts)) AS last_ms,
+                   count(*) AS freq,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM (
+                SELECT o_custkey, o_totalprice,
+                       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate_ts
+                FROM orders
+            ) GROUP BY o_custkey
+        ), scored AS (
+            SELECT o_custkey,
+                   ntile(5) OVER (ORDER BY last_ms DESC, o_custkey) AS r_score,
+                   ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+                   ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+                       AS m_score
+            FROM base
+        )
+        SELECT CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CASE WHEN r_score = 1 AND f_score <= 2 AND m_score <= 2
+                    THEN 'champion'
+                    WHEN r_score >= 4 AND f_score >= 4 THEN 'lapsed'
+                    ELSE 'regular' END AS segment
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+    """,
+    doc="RFM customer segmentation (recency/frequency/monetary quintiles "
+    "— the standard CRM scoring): one customer-level partial agg, three "
+    "ntile(5) rankings with (metric, custkey) total orders so quintile "
+    "boundaries are deterministic under ties, then segment labels and "
+    "cell counts. The ordered walks rank CUSTOMER aggregates (one row "
+    "per customer), not order facts.",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max(F.unix_millis(F.col("o_orderdate").cast("timestamp"))).alias(
+            "last_ms"
+        ),
+        F.count("*").alias("freq"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = base.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("last_ms").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") == 1)
+            & (F.col("f_score") <= 2)
+            & (F.col("m_score") <= 2),
+            "champion",
+        )
+        .when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "lapsed"
+        )
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+            "n_customers",
+            segment.alias("segment"),
+        )
+    )

@@ -2123,3 +2123,103 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             segment.alias("segment"),
         )
     )
+
+
+_CUSUM_K = 0.5  # slack (in sigma units) — standard one-sided CUSUM tuning
+_CUSUM_H = 4.0  # decision threshold (in sigma units)
+
+
+@register(
+    "cusum_changepoints",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   round(avg(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type, round(avg(v), 6) AS mu,
+                   round(stddev_samp(v), 6) AS sigma
+            FROM daily GROUP BY 1 HAVING stddev_samp(v) > 0
+        ), seq AS (
+            SELECT d.event_type, d.d, d.v, m.mu, m.sigma,
+                   row_number() OVER (PARTITION BY d.event_type
+                                      ORDER BY d.d) AS rn
+            FROM daily d JOIN m ON d.event_type = m.event_type
+        ), rec(event_type, rn, d, s_hi, s_lo) AS (
+            SELECT event_type, rn, d,
+                   greatest(0.0, (v - mu) / sigma - {_CUSUM_K}),
+                   greatest(0.0, (mu - v) / sigma - {_CUSUM_K})
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.event_type, s.rn, s.d,
+                   greatest(0.0, r.s_hi + (s.v - s.mu) / s.sigma
+                                 - {_CUSUM_K}),
+                   greatest(0.0, r.s_lo + (s.mu - s.v) / s.sigma
+                                 - {_CUSUM_K})
+            FROM rec r JOIN seq s
+              ON s.event_type = r.event_type AND s.rn = r.rn + 1
+        )
+        SELECT event_type, CAST(d AS TIMESTAMP) AS day,
+               round(s_hi, 4) AS cusum_hi,
+               round(s_lo, 4) AS cusum_lo,
+               s_hi > {_CUSUM_H} OR s_lo > {_CUSUM_H} AS is_changepoint
+        FROM rec
+    """,
+    doc="one-sided CUSUM control charts (Page 1954) per event_type over "
+    "the daily series — the changepoint detector monitoring stacks run "
+    f"on KPIs: S_hi = max(0, S + z - {_CUSUM_K}), mirrored low side, "
+    f"alarm at {_CUSUM_H} sigma. The max(0,·) recurrence is another "
+    "window-inexpressible sequential fold: grouped applyInPandas applies "
+    "the recursive-CTE oracle's exact op order (moments rounded first), "
+    "so every cumulative value hash-matches. Facts reduce to the daily "
+    "series before any sequential work.",
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    m = (
+        daily.groupBy("event_type")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mu"),
+            F.round(F.stddev_samp("v"), 6).alias("sigma"),
+        )
+        .filter(F.col("sigma") > 0)
+    )
+    seq = daily.join(m, "event_type")
+    schema = (
+        "event_type string, day timestamp, cusum_hi double, "
+        "cusum_lo double, is_changepoint boolean"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        mu, sigma = float(pdf["mu"].iloc[0]), float(pdf["sigma"].iloc[0])
+        s_hi = s_lo = 0.0
+        out = []
+        for _, row in pdf.iterrows():
+            z = (float(row["v"]) - mu) / sigma
+            s_hi = max(0.0, s_hi + z - _CUSUM_K)
+            s_lo = max(0.0, s_lo + (-z) - _CUSUM_K)
+            out.append(
+                (
+                    row["event_type"],
+                    row["d"],
+                    round(s_hi, 4),
+                    round(s_lo, 4),
+                    s_hi > _CUSUM_H or s_lo > _CUSUM_H,
+                )
+            )
+        df = pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "day", "cusum_hi", "cusum_lo", "is_changepoint"
+            ],
+        )
+        df["day"] = pd.to_datetime(df["day"])
+        return df
+
+    return seq.groupBy("event_type").applyInPandas(fold, schema)

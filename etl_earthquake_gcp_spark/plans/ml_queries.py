@@ -239,3 +239,78 @@ def group_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
+
+
+@register(
+    "ml_lag_features",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   round(avg(value), 6) AS v,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), feat AS (
+            SELECT user_id, d, v, n,
+                   row_number() OVER w AS rn,
+                   lag(v, 1) OVER w AS lag1,
+                   lag(v, 7) OVER w AS lag7,
+                   round(avg(v) OVER (
+                       w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+                   ), 4) AS trail7_mean,
+                   max(v) OVER (
+                       w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+                   ) AS trail7_max
+            FROM daily
+            WINDOW w AS (PARTITION BY user_id ORDER BY d)
+        )
+        SELECT user_id, CAST(d AS TIMESTAMP) AS day,
+               round(v, 4) AS target,
+               round(lag1, 4) AS lag1,
+               round(lag7, 4) AS lag7,
+               trail7_mean,
+               round(trail7_max, 4) AS trail7_max,
+               n AS n_events
+        FROM feat
+        WHERE rn > 7
+    """,
+    doc="feature-store lag features for forecasting models: per (user, "
+    "day) target plus lag-1, lag-7, and LEAKAGE-SAFE 7-day trailing "
+    "mean/max (frame ends at 1 PRECEDING — the current day never leaks "
+    "into its own features; rows without a full history are dropped, "
+    "the standard training-matrix hygiene). Facts reduce to the daily "
+    "grid first; all windows share one user_id exchange. Daily means "
+    "rounded before derived features (moments-first).",
+)
+def ml_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v"),
+        F.count("*").alias("n"),
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    w_trail = w.rowsBetween(-7, -1)
+    feat = daily.select(
+        "user_id",
+        "d",
+        "v",
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.lag("v", 1).over(w).alias("lag1"),
+        F.lag("v", 7).over(w).alias("lag7"),
+        # single 4dp rounding: a 6dp intermediate quantizes onto the 4dp
+        # tie grid and ulp drift then flips the final digit across engines
+        F.round(F.avg("v").over(w_trail), 4).alias("trail7_mean"),
+        F.max("v").over(w_trail).alias("trail7_max"),
+    )
+    return feat.filter(F.col("rn") > 7).select(
+        "user_id",
+        F.col("d").cast("timestamp").alias("day"),
+        F.round("v", 4).alias("target"),
+        F.round("lag1", 4).alias("lag1"),
+        F.round("lag7", 4).alias("lag7"),
+        "trail7_mean",
+        F.round("trail7_max", 4).alias("trail7_max"),
+        F.col("n").alias("n_events"),
+    )

@@ -7,7 +7,7 @@ streaming oracle excludes each user's still-open final session).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.sessions import (
@@ -108,4 +108,97 @@ def streaming_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end_ms",
         "n_events",
         F.round("total_value", 2).alias("total_value"),
+    )
+
+
+_PATH_GAP_MS = 12 * 3600 * 1000  # 12h gap (matches SESSION_GAP_MS — the
+# synthetic stream is ~1 event/user/day, so web-style 30-min sessions
+# would be singletons)
+_PATH_MIN_COUNT = 3
+
+
+@register(
+    "session_path_trigrams",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            >= {_PATH_GAP_MS}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ), sess AS (
+            SELECT user_id, event_type, ts, event_id,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_no
+            FROM seq
+        ), paths AS (
+            SELECT user_id, session_no,
+                   list(event_type ORDER BY ts, event_id) AS path
+            FROM sess GROUP BY 1, 2
+        ), tri AS (
+            SELECT array_to_string(path[s.s : s.s + 2], '>') AS trigram
+            FROM paths, LATERAL (
+                SELECT unnest(range(1, len(path) - 1)) AS s
+            ) s
+            WHERE len(path) >= 3
+        )
+        SELECT trigram, CAST(count(*) AS BIGINT) AS n
+        FROM tri GROUP BY trigram
+        HAVING count(*) >= {_PATH_MIN_COUNT}
+    """,
+    doc="session path mining: 12h-gap sessionization (lag + running "
+    "sum — one user_id exchange), per-session ordered event_type paths, "
+    "sliding TRIGRAM extraction and global counts — the 'what do users "
+    "do in a session' sequence-mining staple (the session-scoped cousin "
+    "of event_type_bigrams' user-lifetime transitions). Path collection "
+    "is an ordered collect_list per session (bounded by session length); "
+    "trigram counts shuffle short path-string keys only.",
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tms = F.unix_millis("ts")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            tms - F.lag(tms).over(w) >= _PATH_GAP_MS, 1
+        ).otherwise(0).alias("is_new"),
+    )
+    sess = seq.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("is_new").over(w_run).alias("session_no"),
+    )
+    paths = sess.groupBy("user_id", "session_no").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("path")
+    )
+    tri = (
+        paths.filter(F.size("path") >= 3)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("path") - 2),
+                    lambda s: F.array_join(F.slice(F.col("path"), s, 3), ">"),
+                )
+            ).alias("trigram")
+        )
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _PATH_MIN_COUNT)
     )

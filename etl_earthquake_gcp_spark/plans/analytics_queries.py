@@ -1082,7 +1082,6 @@ def _capped_user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verbatim by the oracle.",
 )
 def triangle_count_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
     edges = _capped_user_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -1100,7 +1099,7 @@ def triangle_count_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
-    return e.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         [(n_edges, n_vertices, tri)],
         "n_edges long, n_vertices long, n_triangles long",
     )
@@ -1462,16 +1461,26 @@ def holt_linear_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
                 "n_events": [len(pdf)],
-                "level": [round(l, 4) + 0.0],
-                "trend": [round(b, 4) + 0.0],
-                "forecast_1": [round(l + b, 4) + 0.0],
+                "level": [l],
+                "trend": [b],
+                "forecast_1": [l + b],
             }
         )
 
+    # rounding happens Spark-side (F.round, house convention — Python
+    # round() is half-even, the oracle's round() half-away); +0.0 folds
+    # IEEE -0.0 like the oracle
     return (
         ev.select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandas(fold, schema)
+        .select(
+            "user_id",
+            "n_events",
+            (F.round("level", 4) + F.lit(0.0)).alias("level"),
+            (F.round("trend", 4) + F.lit(0.0)).alias("trend"),
+            (F.round("forecast_1", 4) + F.lit(0.0)).alias("forecast_1"),
+        )
     )
 
 
@@ -1657,6 +1666,7 @@ _DRIFT_BINS = 10
                             AS INT))) AS bin,
                    is_ref
             FROM tagged CROSS JOIN refm
+            WHERE hi > lo  -- constant reference window -> empty (both sides)
         ), counts AS (
             SELECT b.bin,
                    count(*) FILTER (is_ref) AS n_ref,
@@ -1713,7 +1723,9 @@ def distribution_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("hi"),
     )
     width = (F.col("hi") - F.col("lo")) / _DRIFT_BINS
-    binned = tagged.crossJoin(F.broadcast(refm)).select(
+    binned = tagged.crossJoin(F.broadcast(refm)).filter(
+        F.col("hi") > F.col("lo")  # ANSI div-by-zero guard, both sides
+    ).select(
         F.least(
             F.lit(_DRIFT_BINS - 1),
             F.greatest(
@@ -1792,12 +1804,22 @@ _BOOT_B = 50  # bootstrap replicas
             FROM weighted
             GROUP BY event_type, r
             HAVING sum(w) > 0
+        ), ranked AS (
+            SELECT event_type, m,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY m, r
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM rep_means
         )
         SELECT event_type,
-               round(quantile_cont(m, 0.025), 4) AS ci_lo,
-               round(quantile_cont(m, 0.5), 4) AS ci_mid,
-               round(quantile_cont(m, 0.975), 4) AS ci_hi
-        FROM rep_means
+               round(max(CASE WHEN rn = ceil(0.025 * n) THEN m END), 4)
+                   AS ci_lo,
+               round(max(CASE WHEN rn = ceil(0.5 * n) THEN m END), 4)
+                   AS ci_mid,
+               round(max(CASE WHEN rn = ceil(0.975 * n) THEN m END), 4)
+                   AS ci_hi
+        FROM ranked
         GROUP BY event_type
     """,
     doc="bootstrap confidence intervals for per-group means via "
@@ -1805,7 +1827,7 @@ _BOOT_B = 50  # bootstrap replicas
     "every row a portable-hash multiplicity in {{0,1,2,3}} (an integer "
     "surrogate for the Poisson(1) bootstrap — the resampling scheme used "
     "at scale because true with-replacement sampling needs a global row "
-    "index), replica means are quantiled into a 95% interval. No rand() "
+    "index), replica means are rank-selected (pure order statistics, no interpolation) into a 95% interval. No rand() "
     "anywhere: both engines replay the identical replicas, so even the "
     "CI bounds hash-match. Scale shape: one map-side explode x B, "
     "partial-agg to (group x replica) cells, "
@@ -1835,10 +1857,32 @@ def grouped_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sw") > 0)
     )
-    return rep_means.groupBy("event_type").agg(
-        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
-        F.round(F.expr("percentile(m, 0.5)"), 4).alias("ci_mid"),
-        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+    # CI bounds as pure ORDER STATISTICS (rank selection, replica-id
+    # tie-break) — interpolating percentiles differ between engines in
+    # the last ulp on even counts; a selected element cannot
+    w_rank = Window.partitionBy("event_type").orderBy("m", "r")
+    w_n = Window.partitionBy("event_type")
+    ranked = rep_means.select(
+        "event_type",
+        "m",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+
+    def _at(q: float):
+        return F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("m")
+                )
+            ),
+            4,
+        )
+
+    return ranked.groupBy("event_type").agg(
+        _at(0.025).alias("ci_lo"),
+        _at(0.5).alias("ci_mid"),
+        _at(0.975).alias("ci_hi"),
     )
 
 
@@ -2139,7 +2183,7 @@ _CUSUM_H = 4.0  # decision threshold (in sigma units)
         ), m AS (
             SELECT event_type, round(avg(v), 6) AS mu,
                    round(stddev_samp(v), 6) AS sigma
-            FROM daily GROUP BY 1 HAVING stddev_samp(v) > 0
+            FROM daily GROUP BY 1 HAVING round(stddev_samp(v), 6) > 0
         ), seq AS (
             SELECT d.event_type, d.d, d.v, m.mu, m.sigma,
                    row_number() OVER (PARTITION BY d.event_type
@@ -2208,8 +2252,8 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     row["event_type"],
                     row["d"],
-                    round(s_hi, 4),
-                    round(s_lo, 4),
+                    s_hi,
+                    s_lo,
                     s_hi > _CUSUM_H or s_lo > _CUSUM_H,
                 )
             )
@@ -2222,4 +2266,16 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         df["day"] = pd.to_datetime(df["day"])
         return df
 
-    return seq.groupBy("event_type").applyInPandas(fold, schema)
+    # 4dp rounding Spark-side (F.round, house convention): Python round()
+    # is half-even, the oracle's round() is half-away
+    return (
+        seq.groupBy("event_type")
+        .applyInPandas(fold, schema)
+        .select(
+            "event_type",
+            "day",
+            F.round("cusum_hi", 4).alias("cusum_hi"),
+            F.round("cusum_lo", 4).alias("cusum_lo"),
+            "is_changepoint",
+        )
+    )

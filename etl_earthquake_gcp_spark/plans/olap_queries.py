@@ -1348,34 +1348,44 @@ def quantile_summary_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "moving_median_7",
     oracle="""
-        SELECT user_id, event_id,
-               round(quantile_cont(value, 0.5) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-               ), 4) AS med7
-        FROM events
+        SELECT user_id, event_id, med7 FROM (
+            SELECT user_id, event_id,
+                   round(quantile_cont(value, 0.5) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ), 4) AS med7,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ) WHERE rn >= 7
     """,
     doc="exact moving MEDIAN over a 7-row trailing frame per user — the "
     "robust smoother beside moving_average's mean (order statistics "
-    "ignore spikes a mean absorbs). Spark's percentile() as a WINDOW "
-    "aggregate vs DuckDB quantile_cont: both sort the <= 7 frame values "
-    "and linearly interpolate the even-count midpoint, so the medians "
-    "are bit-identical — no combine-order hazard because order "
-    "statistics, unlike sums, are permutation-invariant. One user_id "
-    "exchange + per-partition sort; the frame never materializes beyond "
-    "7 rows per position.",
+    "ignore spikes a mean absorbs). Output is restricted to FULL frames "
+    "(rn >= 7): a 7-value median is a pure order statistic — "
+    "permutation-invariant, no interpolation — so the engines agree "
+    "bit-for-bit; partial even-count frames would interpolate, and "
+    "Spark's lower+(upper-lower)*frac vs DuckDB's convex form differ in "
+    "the last ulp (measured ~13% of random 2-value frames). One user_id "
+    "exchange + per-partition sort shared by the frame and the "
+    "row_number.",
 )
 def moving_median_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-6, Window.currentRow)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med7"),
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = w_ord.rowsBetween(-6, Window.currentRow)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias(
+                "med7"
+            ),
+            F.row_number().over(w_ord).alias("rn"),
+        )
+        .filter(F.col("rn") >= 7)
+        .drop("rn")
     )
 
 

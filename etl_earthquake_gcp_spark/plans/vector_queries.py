@@ -1282,21 +1282,21 @@ _MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes similarity to selected
 def _mmr_oracle() -> str:
     """Unrolled greedy MMR in ANSI SQL: k-1 chained CTE steps, no recursion.
 
-    Each step scores every unselected shortlist candidate as
-    round(λ·rel6 − (1−λ)·max_sim_to_selected6, 6) and picks the arg-max
-    (ties → smaller vec_id), exactly mirroring the pandas greedy loop.
+    All scores are EXACT INTEGERS in 1e-7 units: rel/sim are quantized to
+    1e-6 (rel_u/sim_u BIGINT), and with λ=0.7 the MMR score is
+    7·rel_u − 3·sim_u — no float rounding anywhere in the greedy, so the
+    arg-max sequence (ties → smaller vec_id) is exactly the pandas loop's.
     """
     steps = []
     for i in range(2, _MMR_K + 1):
         prev = f"selu{i - 1}"
         steps.append(f"""
         cand{i} AS (
-            SELECT r.query_id, r.cand_id, r.rel6,
-                   round({_MMR_LAMBDA} * r.rel6
-                         - {1 - _MMR_LAMBDA:.1f} * mx.msim, 6) + 0.0 AS mmr
+            SELECT r.query_id, r.cand_id, r.rel_u,
+                   7 * r.rel_u - 3 * mx.msim_u AS mmr_u
             FROM rel r
             JOIN (
-                SELECT p.query_id, p.a AS cand_id, max(p.sim6) AS msim
+                SELECT p.query_id, p.a AS cand_id, max(p.sim_u) AS msim_u
                 FROM pairsim p
                 JOIN {prev} s ON p.query_id = s.query_id AND p.b = s.cand_id
                 GROUP BY 1, 2
@@ -1306,10 +1306,11 @@ def _mmr_oracle() -> str:
                 WHERE s2.query_id = r.query_id AND s2.cand_id = r.cand_id
             )
         ), sel{i} AS (
-            SELECT query_id, cand_id, rel6, CAST({i} AS BIGINT) AS rank, mmr
+            SELECT query_id, cand_id, rel_u, CAST({i} AS BIGINT) AS rank,
+                   mmr_u
             FROM cand{i}
             QUALIFY row_number() OVER (
-                PARTITION BY query_id ORDER BY mmr DESC, cand_id
+                PARTITION BY query_id ORDER BY mmr_u DESC, cand_id
             ) = 1
         ), selu{i} AS (
             SELECT * FROM selu{i - 1} UNION ALL SELECT * FROM sel{i}
@@ -1323,20 +1324,25 @@ def _mmr_oracle() -> str:
         ), norms AS (
             SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
         ), rel AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                   round(sum(q.x * c.x) / (nq.norm * nc.norm), 6) AS rel6
-            FROM exploded q
-            JOIN exploded c ON q.i = c.i
-            JOIN norms nq ON q.vec_id = nq.vec_id
-            JOIN norms nc ON c.vec_id = nc.vec_id
-            WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
-            GROUP BY 1, 2, nq.norm, nc.norm
-            QUALIFY row_number() OVER (
-                PARTITION BY query_id ORDER BY rel6 DESC, cand_id
-            ) <= {_MMR_SHORTLIST}
+            SELECT query_id, cand_id,
+                   CAST(round(rel6 * 1000000) AS BIGINT) AS rel_u
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       round(sum(q.x * c.x) / (nq.norm * nc.norm), 6) AS rel6
+                FROM exploded q
+                JOIN exploded c ON q.i = c.i
+                JOIN norms nq ON q.vec_id = nq.vec_id
+                JOIN norms nc ON c.vec_id = nc.vec_id
+                WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+                GROUP BY 1, 2, nq.norm, nc.norm
+                QUALIFY row_number() OVER (
+                    PARTITION BY query_id ORDER BY rel6 DESC, cand_id
+                ) <= {_MMR_SHORTLIST}
+            )
         ), pairsim AS (
             SELECT r1.query_id, r1.cand_id AS a, r2.cand_id AS b,
-                   round(sum(ea.x * eb.x) / (na.norm * nb.norm), 6) AS sim6
+                   CAST(round(sum(ea.x * eb.x) / (na.norm * nb.norm)
+                              * 1000000) AS BIGINT) AS sim_u
             FROM rel r1
             JOIN rel r2
               ON r1.query_id = r2.query_id AND r1.cand_id <> r2.cand_id
@@ -1346,17 +1352,17 @@ def _mmr_oracle() -> str:
             JOIN norms nb ON nb.vec_id = r2.cand_id
             GROUP BY 1, 2, 3, na.norm, nb.norm
         ), sel1 AS (
-            SELECT query_id, cand_id, rel6, CAST(1 AS BIGINT) AS rank,
-                   round({_MMR_LAMBDA} * rel6, 6) + 0.0 AS mmr
+            SELECT query_id, cand_id, rel_u, CAST(1 AS BIGINT) AS rank,
+                   7 * rel_u AS mmr_u
             FROM rel
             QUALIFY row_number() OVER (
-                PARTITION BY query_id ORDER BY rel6 DESC, cand_id
+                PARTITION BY query_id ORDER BY 7 * rel_u DESC, cand_id
             ) = 1
         ), selu1 AS (
             SELECT * FROM sel1
         ),{chained}
         SELECT query_id, rank, cand_id AS vec_id,
-               round(mmr, 4) + 0.0 AS mmr_score
+               round(mmr_u / 10000000.0, 4) + 0.0 AS mmr_score
         FROM selu{_MMR_K}
     """
 
@@ -1374,33 +1380,23 @@ def _mmr_oracle() -> str:
     "downstream); phase 2 is applyInPandas per query group over a "
     f"BOUNDED {_MMR_SHORTLIST}-row shortlist — O(k·M + M²) numpy per group, "
     "groups distribute across executors, no driver loop, no cross-group "
-    "traffic. All sims rounded to 6dp BEFORE every greedy comparison so the "
-    "arg-max sequence is bit-identical to the SQL oracle's unrolled-CTE "
-    "replay (ties break on vec_id).",
+    "traffic. The greedy runs on EXACT INTEGER scores (cosines quantized "
+    "to 1e-6 units; λ=0.7 makes the score 7·rel_u − 3·msim_u in 1e-7 "
+    "units) so the arg-max sequence is bit-identical to the SQL oracle's "
+    "unrolled-CTE replay with NO float rounding anywhere in the loop "
+    "(ties break on vec_id).",
 )
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    qrows = sorted(
-        emb.filter(F.col("vec_id") < _N_QUERIES).collect(),
-        key=lambda r: r.vec_id,
-    )
-    qmat = np.array([r.vec for r in qrows], dtype=np.float64)
-    qnorm = np.array([r.norm for r in qrows], dtype=np.float64)
-    qids = [r.vec_id for r in qrows]
 
     # phase 1: exact relevance shortlist (JVM-side, same shape as topk)
-    b_q = spark.createDataFrame(
-        [(int(i),) for i in qids], "query_id long"
-    ).join(
-        emb.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("vec").alias("qvec"),
-            F.col("norm").alias("qnorm"),
-        ),
-        "query_id",
+    b_q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
     )
     dot = F.aggregate(
         F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
@@ -1420,47 +1416,51 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("rel6").desc(), F.col("cand_id")
     )
-    shortlist = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= _MMR_SHORTLIST
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_SHORTLIST)
+        .withColumn("rel_u", F.round(F.col("rel6") * 1e6).cast("long"))
     )
 
-    # phase 2: greedy MMR per query over the bounded shortlist; the 4dp
-    # output rounding happens Spark-side (F.round, house convention) so the
-    # decimal-rounding rule matches the oracle's round() exactly
-    out_schema = "query_id long, rank long, vec_id long, mmr_score6 double"
+    # phase 2: greedy MMR per query over the bounded shortlist. Scores are
+    # EXACT INTEGERS in 1e-7 units (λ=0.7 → score_u = 7·rel_u − 3·msim_u):
+    # no float rounding inside the greedy, so the arg-max sequence is
+    # bit-identical to the oracle's unrolled-CTE replay, and the only
+    # engine-drift surface left is the 1e-6 quantization of raw cosines —
+    # the same collapse window every cosine query in this module uses.
+    out_schema = "query_id long, rank long, vec_id long, mmr_u long"
 
     def mmr_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("cand_id").reset_index(drop=True)
         V = np.array(pdf["vec"].tolist(), dtype=np.float64)
         nrm = np.linalg.norm(V, axis=1)
-        sims = np.round(V @ V.T / np.outer(nrm, nrm), 6)
-        rel = pdf["rel6"].to_numpy()
+        sim_u = np.rint(V @ V.T / np.outer(nrm, nrm) * 1e6).astype(np.int64)
+        rel_u = pdf["rel_u"].to_numpy(dtype=np.int64)
         ids = pdf["cand_id"].to_numpy()
         m = len(pdf)
         selected: list[int] = []
         out = []
         for rank in range(1, min(_MMR_K, m) + 1):
             if not selected:
-                score = np.round(_MMR_LAMBDA * rel, 6)
+                score_u = 7 * rel_u
             else:
-                msim = sims[:, selected].max(axis=1)
-                score = np.round(
-                    _MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * msim, 6
-                )
-            score[selected] = -np.inf  # already taken
+                msim_u = sim_u[:, selected].max(axis=1)
+                score_u = 7 * rel_u - 3 * msim_u
+            score_u = score_u.copy()
+            score_u[selected] = np.iinfo(np.int64).min  # already taken
             # arg-max with ties to the smaller cand_id (ids are sorted asc)
-            best = int(np.argmax(score))
+            best = int(np.argmax(score_u))
             selected.append(best)
             out.append(
                 (
                     int(pdf["query_id"].iloc[0]),
                     rank,
                     int(ids[best]),
-                    float(score[best]),
+                    int(score_u[best]),
                 )
             )
         return pd.DataFrame(
-            out, columns=["query_id", "rank", "vec_id", "mmr_score6"]
+            out, columns=["query_id", "rank", "vec_id", "mmr_u"]
         )
 
     return (
@@ -1470,9 +1470,12 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "rank",
             "vec_id",
-            (F.round("mmr_score6", 4) + F.lit(0.0)).alias("mmr_score"),
+            (F.round(F.col("mmr_u") / 1e7, 4) + F.lit(0.0)).alias(
+                "mmr_score"
+            ),
         )
     )
+
 
 
 _RP_DIMS = 16  # 64 -> 16 Johnson-Lindenstrauss sign projection

@@ -420,3 +420,64 @@ def hll_rollup_oracle_sql(table: str, key_col: str, group_col: str) -> str:
               UNION ALL SELECT * FROM mest) u
         JOIN exact USING (grp, is_total)
     """
+
+
+def hll_sliding_oracle_sql(
+    table: str, key_col: str, ts_col: str, window_days: int
+) -> str:
+    """DuckDB SQL for the sliding-window register merge: per-day register
+    tables max-merged over a trailing date range, estimated per day, with
+    the exact windowed distinct beside it — identical hash/rank/merge/
+    correction arithmetic to the Spark plan."""
+    a, b = minhash_coeffs(1, HLL_SEED)[0]
+    h1 = f"(({key_col} * {a} + {b}) % {_MERSENNE_P})"
+    h = f"(({h1} * {h1}) % {_MERSENNE_P})"
+    rho = _rho_case_sql(f"({h} // {HLL_M})")
+    w = window_days - 1
+    return f"""
+        WITH day_regs AS (
+            SELECT CAST({ts_col} AS DATE) AS d, ({h} % {HLL_M}) AS bucket,
+                   max({rho}) AS m_j
+            FROM {table} GROUP BY 1, 2
+        ), days AS (
+            SELECT DISTINCT CAST({ts_col} AS DATE) AS d FROM {table}
+        ), grid AS (
+            SELECT days.d, t.bucket
+            FROM days CROSS JOIN range({HLL_M}) t(bucket)
+        ), filled AS (
+            SELECT g.d, g.bucket, coalesce(r.m_j, 0) AS m_j
+            FROM grid g LEFT JOIN day_regs r
+              ON r.d = g.d AND r.bucket = g.bucket
+        ), merged AS (
+            SELECT d, bucket,
+                   max(m_j) OVER (
+                       PARTITION BY bucket ORDER BY d
+                       RANGE BETWEEN INTERVAL {w} DAY PRECEDING
+                             AND CURRENT ROW
+                   ) AS mm
+            FROM filled
+        ), agg AS (
+            SELECT d, sum(pow(2.0, -mm)) AS s,
+                   count(*) FILTER (WHERE mm = 0) AS v
+            FROM merged GROUP BY d
+        ), est AS (
+            SELECT d, round(CASE
+                WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / s <= {2.5 * HLL_M}
+                     AND v > 0
+                THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+                ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / s END, 4)
+                AS est_distinct
+            FROM agg
+        ), exact AS (
+            SELECT days.d,
+                   CAST(count(DISTINCT e.{key_col}) AS BIGINT)
+                       AS exact_distinct
+            FROM days JOIN {table} e
+              ON CAST(e.{ts_col} AS DATE) BETWEEN
+                 days.d - INTERVAL {w} DAY AND days.d
+            GROUP BY days.d
+        )
+        SELECT CAST(est.d AS TIMESTAMP) AS day, est.est_distinct,
+               exact.exact_distinct
+        FROM est JOIN exact ON est.d = exact.d
+    """

@@ -39,6 +39,7 @@ _DRIVER_PRIORITY = [
     "incremental_rollup_merge", "cumulative_unique_users",
     "pareto_revenue_share", "seasonal_decompose_dow", "rfm_segmentation",
     "cusum_changepoints", "session_path_trigrams", "ml_lag_features",
+    "hll_sliding_7d_users",
     # -- round-4 additions (first wave) ------------------------------------
     "ann_recall_audit", "multimodal_real_decode",
     "doc_chunks_udtf", "doc_chunks_catalyst", "chunk_fixed_context",

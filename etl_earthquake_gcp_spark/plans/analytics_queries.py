@@ -2279,3 +2279,78 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_changepoint",
         )
     )
+
+
+_HLL_SLIDE_DAYS = 7
+
+
+def _hll_sliding_oracle() -> str:
+    from ..operators.sketch import hll_sliding_oracle_sql
+
+    return hll_sliding_oracle_sql("events", "user_id", "ts", _HLL_SLIDE_DAYS)
+
+
+@register(
+    "hll_sliding_7d_users",
+    oracle=_hll_sliding_oracle(),
+    doc="SLIDING-WINDOW sketch merge — the window form of HLL "
+    "mergeability (hll_mergeable_rollup is the group form): per-day "
+    "64-cell register tables, max-merged per bucket over a trailing "
+    f"{_HLL_SLIDE_DAYS}-day RANGE frame, estimated per day, exact "
+    "windowed distinct joined beside for the error budget. This is how "
+    "a 100 TB rolling-uniques dashboard works: the window walk touches "
+    "|days|x64 register cells — facts are scanned ONCE to build day "
+    "registers, never per window position (contrast "
+    "rolling_7d_active_users, which re-expands the (day,user) set). "
+    "Register merge, harmonic sum (exact powers of two), and the "
+    "small-range correction replay bit-for-bit in SQL.",
+)
+def hll_sliding_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import HLL_ALPHA, HLL_M, hll_registers_by
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(F.to_date("ts").alias("d"), "user_id")
+    day_regs = hll_registers_by(keys, "user_id", "d")  # (grp=d, bucket, m_j)
+    days = keys.select("d").distinct()
+    buckets = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    grid = days.crossJoin(F.broadcast(buckets))
+    filled = grid.join(
+        day_regs,
+        (grid["d"] == day_regs["grp"]) & (grid["bucket"] == day_regs["bucket"]),
+        "left",
+    ).select(
+        grid["d"], grid["bucket"], F.coalesce("m_j", F.lit(0)).alias("m_j")
+    )
+    w_merge = (
+        Window.partitionBy("bucket")
+        .orderBy(F.datediff("d", F.lit("1970-01-01")))
+        .rangeBetween(-(_HLL_SLIDE_DAYS - 1), 0)
+    )
+    merged = filled.select(
+        "d", "bucket", F.max("m_j").over(w_merge).alias("mm")
+    )
+    agg = merged.groupBy("d").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mm"))).alias("s"),
+        F.count_if(F.col("mm") == 0).alias("v"),
+    )
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    ests = agg.select("d", F.round(est, 4).alias("est_distinct"))
+    exact = (
+        F.broadcast(days.select(F.col("d").alias("ed")))
+        .join(
+            ev.select(F.to_date("ts").alias("d"), "user_id"),
+            (F.col("d") >= F.expr(f"ed - INTERVAL {_HLL_SLIDE_DAYS - 1} DAYS"))
+            & (F.col("d") <= F.col("ed")),
+        )
+        .groupBy("ed")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return ests.join(exact, ests["d"] == exact["ed"]).select(
+        F.col("d").cast("timestamp").alias("day"),
+        "est_distinct",
+        "exact_distinct",
+    )

@@ -40,6 +40,20 @@ def materialize(df: DataFrame) -> None:
     ).collect()
 
 
+# Never-touched control queries with their round-1 recorded times
+# (BENCH_r01.json, same sf0.1 harness): the box has noisy co-tenants
+# (documented 1.2-4x round-to-round swings on identical plans), so each
+# run publishes box_factor = mean(control_now / control_r1) and a
+# normalized total (value / box_factor). Cross-round comparisons should
+# read value_normalized; the controls' code and plans must stay frozen.
+_CONTROLS_R1 = {
+    "flagship_events_by_region": 0.835,
+    "join_broadcast_hint": 0.430,
+    "latest_event_dedup": 0.327,
+    "pricing_summary": 0.308,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -69,14 +83,26 @@ def main() -> None:
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    ratios = [
+        timings[name] / r1
+        for name, r1 in _CONTROLS_R1.items()
+        if name in timings
+    ]
+    box_factor = round(sum(ratios) / len(ratios), 3) if ratios else None
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "harness": "r3: spark_fn inside timed region (eager prep measured)",
+                "harness": "r5: spark_fn inside timed region; box_factor = "
+                "mean(control/r1) over 4 frozen controls, "
+                "value_normalized = value/box_factor",
                 "queries": timings,
+                "box_factor": box_factor,
+                "value_normalized": (
+                    round(total / box_factor, 3) if box_factor else None
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

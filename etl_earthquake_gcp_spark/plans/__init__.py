@@ -16,42 +16,27 @@ from . import core_queries  # noqa: E402,F401
 from . import function_queries  # noqa: E402,F401
 
 # The external correctness driver checks the first 50 queries in dict
-# order per round. All 139 round-3 queries have cumulatively green rows
-# (r1∪r2∪r3), so round 4's head is: (1) the five NEW queries, (2) the five
-# whose SEMANTICS or output schema changed this round and therefore need
-# fresh rows (banded-substrate canonical dedup, degree-capped triangles,
-# is_total-flagged HLL rollup, value-bucketed skyline, shuffle-join
-# pagerank), then (3) the 40 stalest re-confirmations — queries whose
-# last driver row is from round 1; the driver regenerates testdata with
-# different physical types between rounds, so old greens decay. The
-# remaining r1 suites + all r2-rowed queries rotate into round 5.
+# order per round. Round-5 head, per the r4 verdict: (1) the three
+# queries whose r4 rework/schema change postdated their last driver row
+# (the verdict's #1 ask — pagerank's shuffle-hash plan, the HLL rollup's
+# is_total column, skyline's quantile buckets), (2) the queries NEW or
+# CHANGED in round 5 (streaming_dedup_audit closes the last rows-only
+# family member; holt_linear_state now folds the daily series and emits
+# n_days; incremental_rollup_merge / funnel_3step_strict /
+# decontaminate_by_embedding carry the r4 ADVICE determinism fixes;
+# ann_recall_audit's floors tightened to 3-flip slack), then (3) the
+# stalest re-confirmations — the 41 oldest queries whose last driver row
+# is from round 1 (testdata regenerates between rounds, so old greens
+# decay). tumbling_daily_counts + window_distribution_suite (positions
+# 51-52) + the r2-rowed set rotate into round 6.
 _DRIVER_PRIORITY = [
-    # -- round-4 additions (second wave) -----------------------------------
-    "segment_dedup_rewrite", "decontaminate_by_embedding",
-    "mmr_diversified_topk", "heavy_hitters_mergeable",
-    "interpolate_linear_gaps", "group_shuffle_split",
-    "streaming_topk_state", "quantile_summary_mergeable",
-    "holt_linear_state", "random_projection_reduce",
-    "trimmed_mean_grouped_agg", "bfs_hops_user_graph",
-    "moving_median_7", "funnel_3step_strict", "rag_index_pipeline",
-    "skipgram_pairs", "distribution_drift_metrics", "grouped_bootstrap_ci",
-    "passjoin_edit_pairs", "time_weighted_avg_user",
-    "incremental_rollup_merge", "cumulative_unique_users",
-    "pareto_revenue_share", "seasonal_decompose_dow", "rfm_segmentation",
-    "cusum_changepoints", "session_path_trigrams", "ml_lag_features",
-    "hll_sliding_7d_users",
-    # -- round-4 additions (first wave) ------------------------------------
-    "ann_recall_audit", "multimodal_real_decode",
-    "doc_chunks_udtf", "doc_chunks_catalyst", "chunk_fixed_context",
-    "approx_distinct_audit", "approx_percentile_audit",
-    "stratified_sample_audit", "equidepth_approx_audit",
-    "ml_accuracy_audit", "semantic_dedup_signbucket",
-    "incremental_dedup_probe", "ppjoin_prefix_pairs", "cosine_topk_arrow",
-    "char_entropy_scores", "zorder_layout_stats", "multimodal_resize_nn",
-    "grouped_ols_trend", "corpus_curation_pipeline",
-    # -- changed semantics/schema this round: need rows under the new defs -
-    "dedup_keep_canonical", "triangle_count_user_graph",
-    "hll_mergeable_rollup", "skyline_pareto_orders", "pagerank_3iter",
+    # -- r4-changed queries whose driver rows predate the change -----------
+    "pagerank_3iter", "hll_mergeable_rollup", "skyline_pareto_orders",
+    # -- new in round 5 ----------------------------------------------------
+    "streaming_dedup_audit",
+    # -- changed in round 5 (rework / determinism fixes) -------------------
+    "holt_linear_state", "incremental_rollup_merge", "funnel_3step_strict",
+    "decontaminate_by_embedding", "ann_recall_audit",
     # -- stalest re-confirmations (last row = round 1) ---------------------
     "cosine_topk_bruteforce", "embedding_norm_stats", "explode_token_counts",
     "bpe_token_counts", "countmin_token_freq", "array_access_first_last",

@@ -1401,18 +1401,22 @@ _HOLT_G = 0.1  # trend smoothing
 @register(
     "holt_linear_state",
     oracle=f"""
-        WITH RECURSIVE seq AS (
-            SELECT user_id, event_id, ts, value,
+        WITH RECURSIVE daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   round(avg(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        ), seq AS (
+            SELECT user_id, d, v,
                    row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS rn
-            FROM events
+                                      ORDER BY d) AS rn
+            FROM daily
         ), rec(user_id, rn, l, b) AS (
-            SELECT user_id, rn, value, CAST(0.0 AS DOUBLE)
+            SELECT user_id, rn, v, CAST(0.0 AS DOUBLE)
             FROM seq WHERE rn = 1
             UNION ALL
             SELECT s.user_id, s.rn,
-                   {_HOLT_A} * s.value + {1 - _HOLT_A} * (r.l + r.b),
-                   {_HOLT_G} * (({_HOLT_A} * s.value
+                   {_HOLT_A} * s.v + {1 - _HOLT_A} * (r.l + r.b),
+                   {_HOLT_G} * (({_HOLT_A} * s.v
                                  + {1 - _HOLT_A} * (r.l + r.b)) - r.l)
                        + {1 - _HOLT_G} * r.b
             FROM rec r JOIN seq s
@@ -1420,7 +1424,7 @@ _HOLT_G = 0.1  # trend smoothing
         ), last AS (
             SELECT user_id, max(rn) AS mx FROM rec GROUP BY 1
         )
-        SELECT r.user_id, CAST(r.rn AS BIGINT) AS n_events,
+        SELECT r.user_id, CAST(r.rn AS BIGINT) AS n_days,
                round(r.l, 4) + 0.0 AS level,
                round(r.b, 4) + 0.0 AS trend,
                round(r.l + r.b, 4) + 0.0 AS forecast_1
@@ -1429,54 +1433,63 @@ _HOLT_G = 0.1  # trend smoothing
     doc="Holt double-exponential smoothing (level + trend — the "
     "forecasting step up from ewma_user_values' single recurrence): "
     f"l_t = {_HOLT_A}x_t + {1 - _HOLT_A}(l+b), "
-    f"b_t = {_HOLT_G}(l_t - l) + {1 - _HOLT_G}b, folded per user in "
-    "(ts, event_id) order via grouped applyInPandas, emitting each "
-    "user's final state + 1-step forecast. Two COUPLED recurrences the "
-    "window/aggregate surface cannot express; the Python fold applies "
-    "the IEEE op sequence the recursive-CTE oracle writes out, so even "
-    "this is hash-compared. One user_id exchange; O(1) state per "
-    "group, linear fold — the same scale shape as EWMA.",
+    f"b_t = {_HOLT_G}(l_t - l) + {1 - _HOLT_G}b over each user's DAILY "
+    "mean series (facts reduce to |user-days| rows JVM-side before any "
+    "sequential work — the cusum_changepoints shape; round-4 folded raw "
+    "event rows, the repo's worst decade ratio). The coupled recurrences "
+    "have no window/aggregate form; the numpy-array fold applies the "
+    "exact IEEE op sequence the recursive-CTE oracle writes out, so "
+    "every final state + 1-step forecast is hash-compared. One user_id "
+    "exchange; O(1) state per group; the Python loop walks the bounded "
+    "calendar series, not the unbounded fact stream.",
 )
 def holt_linear_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
     schema = (
-        "user_id long, n_events long, level double, trend double, "
+        "user_id long, n_days long, level double, trend double, "
         "forecast_1 double"
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        l = b = None
-        for x in pdf["value"]:
-            x = float(x)
-            if l is None:
-                l, b = x, 0.0
-            else:
-                l_new = _HOLT_A * x + (1 - _HOLT_A) * (l + b)
-                b = _HOLT_G * (l_new - l) + (1 - _HOLT_G) * b
-                l = l_new
+    def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "d"])
+        rows = []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            l = b = None
+            for x in g["v"].to_numpy():
+                x = float(x)
+                if l is None:
+                    l, b = x, 0.0
+                else:
+                    l_new = _HOLT_A * x + (1 - _HOLT_A) * (l + b)
+                    b = _HOLT_G * (l_new - l) + (1 - _HOLT_G) * b
+                    l = l_new
+            rows.append((int(uid), len(g), l, b, l + b))
         return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "level": [l],
-                "trend": [b],
-                "forecast_1": [l + b],
-            }
+            rows,
+            columns=["user_id", "n_days", "level", "trend", "forecast_1"],
         )
 
-    # rounding happens Spark-side (F.round, house convention — Python
-    # round() is half-even, the oracle's round() half-away); +0.0 folds
-    # IEEE -0.0 like the oracle
+    # grouped by a SALT BUCKET, not user_id: per-group applyInPandas pays
+    # a pandas frame per group, and |users| tiny frames dominated the r4
+    # runtime (the Python fold itself is microseconds per user). One
+    # bucket per shuffle partition keeps full parallelism while the
+    # per-user fold happens in pandas groupby inside each call. rounding
+    # happens Spark-side (F.round, house convention — Python round() is
+    # half-even, the oracle's round() half-away); +0.0 folds IEEE -0.0
+    # like the oracle
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     return (
-        ev.select("user_id", "event_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandas(fold, schema)
+        daily.withColumn("bkt", F.pmod("user_id", F.lit(n_buckets)))
+        .groupBy("bkt")
+        .applyInPandas(fold_bucket, schema)
         .select(
             "user_id",
-            "n_events",
+            "n_days",
             (F.round("level", 4) + F.lit(0.0)).alias("level"),
             (F.round("trend", 4) + F.lit(0.0)).alias("trend"),
             (F.round("forecast_1", 4) + F.lit(0.0)).alias("forecast_1"),
@@ -1578,8 +1591,10 @@ def bfs_hops_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM s3
         )
         SELECT CAST(stage AS BIGINT) AS stage, step, n_users,
-               round(n_users * 1.0 / first_value(n_users) OVER (
-                   ORDER BY stage), 4) AS rate_vs_top
+               CASE WHEN first_value(n_users) OVER (ORDER BY stage) > 0
+                    THEN round(n_users * 1.0 / first_value(n_users) OVER (
+                             ORDER BY stage), 4)
+               END AS rate_vs_top
         FROM counts
     """,
     doc="three-step STRICT-ORDER funnel (view -> click-after-view -> "
@@ -1634,13 +1649,16 @@ def funnel_3step_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy("stage")
+    # symmetric zero guard: with zero top-of-funnel users Spark's /0 is
+    # NULL but DuckDB's float /0 is NaN — both engines emit NULL via CASE
+    top = F.first("n_users").over(w)
     return counts.select(
         "stage",
         "step",
         "n_users",
-        F.round(
-            F.col("n_users") / F.first("n_users").over(w), 4
-        ).alias("rate_vs_top"),
+        F.when(top > 0, F.round(F.col("n_users") / top, 4)).alias(
+            "rate_vs_top"
+        ),
     )
 
 
@@ -2244,18 +2262,13 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu, sigma = float(pdf["mu"].iloc[0]), float(pdf["sigma"].iloc[0])
         s_hi = s_lo = 0.0
         out = []
-        for _, row in pdf.iterrows():
-            z = (float(row["v"]) - mu) / sigma
+        et = pdf["event_type"].iloc[0]
+        for d, v in zip(pdf["d"].to_numpy(), pdf["v"].to_numpy()):
+            z = (float(v) - mu) / sigma
             s_hi = max(0.0, s_hi + z - _CUSUM_K)
             s_lo = max(0.0, s_lo + (-z) - _CUSUM_K)
             out.append(
-                (
-                    row["event_type"],
-                    row["d"],
-                    s_hi,
-                    s_lo,
-                    s_hi > _CUSUM_H or s_lo > _CUSUM_H,
-                )
+                (et, d, s_hi, s_lo, s_hi > _CUSUM_H or s_lo > _CUSUM_H)
             )
         df = pd.DataFrame(
             out,

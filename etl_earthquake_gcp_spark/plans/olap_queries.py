@@ -1487,7 +1487,7 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(m.s, 2) AS total,
                round(m.mn, 2) AS min_v,
                round(m.mx, 2) AS max_v,
-               round(m.s / m.n, 4) AS mean_v,
+               round(round(m.s, 2) / m.n, 4) AS mean_v,
                m.n = f.n AND m.mn = f.mn AND m.mx = f.mx
                    AND round(m.s, 2) = round(f.s, 2) AS matches_full_recompute
         FROM merged m JOIN full_rec f ON m.event_type = f.event_type
@@ -1548,7 +1548,10 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s", 2).alias("total"),
         F.round("mn", 2).alias("min_v"),
         F.round("mx", 2).alias("max_v"),
-        F.round(F.col("s") / F.col("n"), 4).alias("mean_v"),
+        # mean from the DISPLAY-ROUNDED sum (moments-first rule): the raw
+        # float s differs by summation order across engines; quantizing the
+        # division input makes mean_v deterministic, like `total`.
+        F.round(F.round("s", 2) / F.col("n"), 4).alias("mean_v"),
         (
             (F.col("n") == F.col("fn"))
             & (F.col("mn") == F.col("fmn"))

@@ -141,6 +141,39 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_within_watermark(spark, sf_dir)
 
 
+_DEDUP_AUDIT_BATCHES = 4
+
+
+@register(
+    "streaming_dedup_audit",
+    oracle=f"""
+        WITH u AS (SELECT DISTINCT user_id FROM events)
+        SELECT CAST({_DEDUP_AUDIT_BATCHES} AS BIGINT) AS n_batches,
+               CAST(count(*) AS BIGINT) AS n_out,
+               CAST(count(*) AS BIGINT) AS n_distinct_out,
+               CAST(count(*) AS BIGINT) AS n_expected,
+               bit_xor(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT)) AS users_xor,
+               TRUE AS dedup_ok
+        FROM u
+    """,
+    doc="HARD audit for the watermark-dedup family (r4 audit pattern — "
+    "closes the last rows-only query): events replayed as "
+    f"{_DEDUP_AUDIT_BATCHES} deterministic time-ordered micro-batches "
+    "through dropDuplicatesWithinWatermark with a span-exceeding delay, "
+    "so the contract (exactly one emission per key) is order-independent "
+    "and checkable; emits one scalar row whose emission count AND "
+    "xor-of-portable-user-hashes the oracle recomputes from the batch "
+    "table — a duplicate, dropped, or wrong emission hash-fails. "
+    "streaming_dedup_watermark stays as the production 1h-delay shape; "
+    "this sibling certifies its operator.",
+)
+def streaming_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import stream_dedup_audit
+
+    return stream_dedup_audit(spark, sf_dir, n_batches=_DEDUP_AUDIT_BATCHES)
+
+
 _EWMA_A = 0.2
 
 

@@ -327,6 +327,76 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return _run_to_memory(dedup, "append")
 
 
+def stream_dedup_audit(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """Hash-checkable audit of watermarked streaming dedup (the last
+    rows-only family member, closed round 5).
+
+    ``stream_dedup_within_watermark``'s per-row WINNER depends on arrival
+    order, but the dedup CONTRACT — one emission per key while state
+    lives — is deterministic. This audit replays the events table as
+    ``n_batches`` time-ordered micro-batches with a watermark delay larger
+    than the whole data span, so key state never expires and the drained
+    sink must contain EXACTLY the distinct user_id set, regardless of
+    intra-batch processing order. It emits one scalar row
+
+        (n_batches, n_out, n_distinct_out, n_expected, users_xor, dedup_ok)
+
+    where n_expected / the expected xor-of-portable-hashes are recomputed
+    batch-side from the same table, and ``dedup_ok`` requires count AND
+    set equality (order-insensitive bit_xor of the md5-derived BIGINT per
+    emitted user). The DuckDB oracle recomputes every column from scratch
+    and expects dedup_ok = TRUE — a duplicate emission, a dropped user, or
+    a wrong user flips the hash. Scale shape: dedup state is O(users),
+    the audit aggregates are two map-side folds.
+    """
+    from ..sources.tables import load_table
+
+    dedup = (
+        _events_stream_multibatch(spark, sf_dir, n_files=n_batches)
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+    sink = _run_to_memory(dedup, "append")
+
+    # portable per-user hash: first 8 md5 hex digits as BIGINT (same
+    # construction as group_shuffle_split / feature hashing)
+    def phash(col):
+        return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+
+    emitted = sink.select(phash(F.col("user_id")).alias("h"), "user_id").agg(
+        F.count("*").alias("n_out"),
+        F.countDistinct("user_id").alias("n_distinct_out"),
+        F.expr("bit_xor(h)").alias("users_xor"),
+    )
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(phash(F.col("user_id")).alias("h"), "user_id")
+        .agg(
+            F.count("*").alias("n_expected"),
+            F.expr("bit_xor(h)").alias("expected_xor"),
+        )
+    )
+    return emitted.crossJoin(F.broadcast(expected)).select(
+        F.lit(n_batches).cast("long").alias("n_batches"),
+        F.col("n_out").cast("long").alias("n_out"),
+        F.col("n_distinct_out").cast("long").alias("n_distinct_out"),
+        F.col("n_expected").cast("long").alias("n_expected"),
+        "users_xor",
+        (
+            (F.col("n_out") == F.col("n_expected"))
+            & (F.col("n_distinct_out") == F.col("n_expected"))
+            & (F.col("users_xor") == F.col("expected_xor"))
+        ).alias("dedup_ok"),
+    )
+
+
 def stream_stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (§2.9 stretch): purchases stream ⋈
     clicks stream on user_id with an event-time range (click within the

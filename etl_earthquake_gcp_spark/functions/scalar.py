@@ -111,3 +111,17 @@ def date_parts(ts: Column) -> dict[str, Column]:
         "hour": F.hour(ts),
         "day_of_week": F.dayofweek(ts),
     }
+
+
+def portable_hash8(col: Column) -> Column:
+    """First 8 md5 hex digits of a column as BIGINT — the engine-portable
+    string hash used wherever Spark and an ANSI-SQL oracle must agree
+    bit-for-bit (deterministic splits, feature hashing, set-equality
+    xors). DuckDB twin: ``CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)``.
+    Always hashes the CAST-to-string form so integer keys render
+    identically in both engines; NULL hashes to NULL in both (aggregate
+    xors skip it symmetrically).
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )

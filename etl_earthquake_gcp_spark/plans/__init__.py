@@ -24,7 +24,9 @@ from . import function_queries  # noqa: E402,F401
 # family member; holt_linear_state now folds the daily series and emits
 # n_days; incremental_rollup_merge / funnel_3step_strict /
 # decontaminate_by_embedding carry the r4 ADVICE determinism fixes;
-# ann_recall_audit's floors tightened to 3-flip slack), then (3) the
+# ann_recall_audit's floors recalibrated to a uniform 2-flip slack under
+# the minimum recall across check scales — pq tightened, ivfpq relaxed
+# from a 1-flip false-alarm hazard), then (3) the
 # stalest re-confirmations — the 41 oldest queries whose last driver row
 # is from round 1 (testdata regenerates between rounds, so old greens
 # decay). tumbling_daily_counts + window_distribution_suite (positions

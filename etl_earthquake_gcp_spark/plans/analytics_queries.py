@@ -1439,9 +1439,12 @@ _HOLT_G = 0.1  # trend smoothing
     "event rows, the repo's worst decade ratio). The coupled recurrences "
     "have no window/aggregate form; the numpy-array fold applies the "
     "exact IEEE op sequence the recursive-CTE oracle writes out, so "
-    "every final state + 1-step forecast is hash-compared. One user_id "
-    "exchange; O(1) state per group; the Python loop walks the bounded "
-    "calendar series, not the unbounded fact stream.",
+    "every final state + 1-step forecast is hash-compared. Two "
+    "exchanges — the (user, day) partial agg, then a SALT-BUCKET "
+    "repartition (one pandas call per shuffle partition: per-user "
+    "applyInPandas paid |users| tiny-frame conversions, which dominated "
+    "r4's runtime) — and the Python loop walks the bounded calendar "
+    "series, not the unbounded fact stream.",
 )
 def holt_linear_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -1458,7 +1461,10 @@ def holt_linear_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["user_id", "d"])
         rows = []
-        for uid, g in pdf.groupby("user_id", sort=False):
+        # dropna=False: a NULL user_id must still produce a row (the
+        # oracle's PARTITION BY keeps a NULL partition; default groupby
+        # would silently drop it)
+        for uid, g in pdf.groupby("user_id", sort=False, dropna=False):
             l = b = None
             for x in g["v"].to_numpy():
                 x = float(x)
@@ -1468,7 +1474,8 @@ def holt_linear_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                     l_new = _HOLT_A * x + (1 - _HOLT_A) * (l + b)
                     b = _HOLT_G * (l_new - l) + (1 - _HOLT_G) * b
                     l = l_new
-            rows.append((int(uid), len(g), l, b, l + b))
+            uid_out = None if pd.isna(uid) else int(uid)
+            rows.append((uid_out, len(g), l, b, l + b))
         return pd.DataFrame(
             rows,
             columns=["user_id", "n_days", "level", "trend", "forecast_1"],

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import portable_hash8
 from ..ml.classifier import predictions_table, train_classifier
 from ..sources.tables import load_table
 from .registry import register
@@ -221,9 +222,7 @@ _SPLIT_TEST_PCT = 20  # hash buckets 20-39 -> test
 )
 def group_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("bigint") % 100
-    )
+    bucket = portable_hash8(F.col("source")) % 100
     split = (
         F.when(bucket < _SPLIT_VAL_PCT, "val")
         .when(bucket < _SPLIT_VAL_PCT + _SPLIT_TEST_PCT, "test")

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import portable_hash8
 from ..operators.dedup import (
     jaccard_pairs_bitmask,
     minhash_quality_oracle_sql,
@@ -2279,7 +2280,7 @@ def rag_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("token"),
     )
-    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    h = portable_hash8(F.col("token"))
     cells = (
         chunks.select(
             "doc_id",

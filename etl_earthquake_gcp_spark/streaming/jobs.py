@@ -351,6 +351,7 @@ def stream_dedup_audit(
     a wrong user flips the hash. Scale shape: dedup state is O(users),
     the audit aggregates are two map-side folds.
     """
+    from ..functions.scalar import portable_hash8
     from ..sources.tables import load_table
 
     dedup = (
@@ -361,23 +362,26 @@ def stream_dedup_audit(
     )
     sink = _run_to_memory(dedup, "append")
 
-    # portable per-user hash: first 8 md5 hex digits as BIGINT (same
-    # construction as group_shuffle_split / feature hashing)
-    def phash(col):
-        return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
-            "bigint"
+    # n_distinct_out via a per-key group + count(*), NOT countDistinct:
+    # countDistinct excludes a NULL key while the oracle's SELECT
+    # DISTINCT keeps it, and dedup state treats NULL as a real key — the
+    # group form counts it on both sides symmetrically (the xor skips
+    # NULL's hash in both engines).
+    emitted = (
+        sink.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(portable_hash8(F.col("user_id")).alias("h"), "cnt")
+        .agg(
+            F.sum("cnt").alias("n_out"),
+            F.count("*").alias("n_distinct_out"),
+            F.expr("bit_xor(h)").alias("users_xor"),
         )
-
-    emitted = sink.select(phash(F.col("user_id")).alias("h"), "user_id").agg(
-        F.count("*").alias("n_out"),
-        F.countDistinct("user_id").alias("n_distinct_out"),
-        F.expr("bit_xor(h)").alias("users_xor"),
     )
     expected = (
         load_table(spark, sf_dir, "events")
         .select("user_id")
         .distinct()
-        .select(phash(F.col("user_id")).alias("h"), "user_id")
+        .select(portable_hash8(F.col("user_id")).alias("h"))
         .agg(
             F.count("*").alias("n_expected"),
             F.expr("bit_xor(h)").alias("expected_xor"),

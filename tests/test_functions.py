@@ -154,3 +154,33 @@ def test_udtf_and_catalyst_chunks_agree(spark):
         )
     )
     assert a == b
+
+
+def test_portable_hash8_matches_duckdb(spark):
+    """portable_hash8 must equal DuckDB's ('0x'||substr(md5(x),1,8))::BIGINT
+    for strings AND for integer keys rendered through CAST-to-string; NULL
+    hashes to NULL (so aggregate xors skip it on both engines)."""
+    import duckdb
+
+    con = duckdb.connect()
+    vals = ["a", "hello world", "123", ""]
+    out = _eval(
+        spark,
+        scalar.portable_hash8(F.col("v")),
+        [(v,) for v in vals] + [(None,)],
+        "v string",
+    )
+    for v, got in zip(vals, out):
+        exp = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 8)) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert got == exp, (v, got, exp)
+    assert out[-1] is None  # NULL -> NULL
+    (int_hash,) = _eval(
+        spark, scalar.portable_hash8(F.col("k")), [(42,)], "k bigint"
+    )
+    exp = con.execute(
+        "SELECT CAST(('0x' || substr(md5(CAST(42 AS VARCHAR)), 1, 8))"
+        " AS BIGINT)"
+    ).fetchone()[0]
+    assert int_hash == exp

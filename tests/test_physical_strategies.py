@@ -299,3 +299,18 @@ def test_interpolate_single_user_exchange_family(spark):
     user_id-compatible partitionings — no single-partition stage."""
     plan = _plan(spark, "interpolate_linear_gaps")
     assert "SinglePartition" not in plan, plan
+
+
+def test_holt_groups_by_salt_bucket_not_user(spark):
+    """The r5 rework's contract: the pandas fold is fed by ONE exchange on
+    the salt bucket (pmod), never a per-user hash partitioning — per-user
+    applyInPandas paid |users| tiny-frame conversions (3.5s -> 1.0s at
+    sf0.1)."""
+    import re
+
+    plan = _plan(spark, "holt_linear_state")
+    m = re.search(r"FlatMapGroupsInPandas \[([^\]]*)\]", plan)
+    assert m, plan
+    group_keys = m.group(1)
+    assert "bkt" in group_keys, plan
+    assert "user_id" not in group_keys, plan

@@ -1,0 +1,97 @@
+"""Data-mixing operators for training-corpus assembly (round-6 surface;
+library-first so the plan shapes are tested before registration).
+
+Two pieces every large-scale pretraining pipeline needs once the corpus
+is curated:
+
+- **Temperature sampling weights** (the multilingual/mC4/XLM-R pattern):
+  source s with token count c_s is sampled with probability
+  w_s = c_s^alpha / sum_t c_t^alpha. alpha=1 reproduces natural
+  proportions, alpha=0 is uniform, the usual 0.2-0.7 band up-weights
+  small sources without letting them dominate. At 100 TB this is a
+  |sources|-row computation over an already-aggregated count table —
+  the facts are never rescanned.
+
+- **Deterministic per-epoch shuffle keys**: training wants a different
+  global order every epoch, but reproducible and cluster-scale. Sorting
+  by ``portable_hash8(doc_id || ':' || epoch)`` gives both: the key is
+  computed map-side (no RNG state, no driver round-trip), a global sort
+  on it is one range-partition exchange, and DuckDB replays the exact
+  order for oracle checks. Different epochs decorrelate because the
+  epoch is folded into the hashed string.
+
+No reference counterpart (the reference's ETL ends at a star schema);
+this extends the tier-4 LLM-pipeline surface like operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import portable_hash8
+
+
+def temperature_weights(
+    counts: DataFrame,
+    key_col: str = "source",
+    count_col: str = "n_tokens",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-source sampling weights at temperature ``alpha``.
+
+    Input: one row per source with a positive ``count_col``. Output adds
+    ``raw_share`` (natural proportion), ``weight`` (temperature-scaled
+    sampling probability) and ``oversample`` (weight / raw_share — how
+    many epochs of source s one pass of the mixture consumes).
+
+    Both normalizing sums are window aggregates over the |sources|-row
+    frame, so the whole operator is one tiny post-aggregation stage.
+    Rows with non-positive counts are excluded on BOTH the share and the
+    normalizer (symmetric guard — an oracle must filter identically).
+    """
+    pos = counts.filter(F.col(count_col) > 0)
+    powed = pos.withColumn("_pow", F.pow(F.col(count_col), F.lit(alpha)))
+    tot = F.sum(count_col).over(_all_rows())
+    tot_pow = F.sum("_pow").over(_all_rows())
+    return (
+        powed.select(
+            key_col,
+            F.col(count_col).cast("long").alias(count_col),
+            (F.col(count_col) / tot).alias("raw_share"),
+            (F.col("_pow") / tot_pow).alias("weight"),
+        )
+        .withColumn("oversample", F.col("weight") / F.col("raw_share"))
+    )
+
+
+def _all_rows():
+    from pyspark.sql import Window
+
+    return Window.partitionBy()
+
+
+def epoch_shuffle_key(doc_id: Column, epoch: int) -> Column:
+    """Deterministic, engine-portable per-epoch global shuffle key.
+
+    ``portable_hash8(doc_id || ':' || epoch)`` — folding the epoch into
+    the hashed string makes each epoch's order effectively independent,
+    while everything stays reproducible and map-side (no rand(), no
+    seed broadcast). Sort by (key, doc_id) for a total order robust to
+    the ~2^-32 chance of an 8-hex-digit collision.
+    """
+    return portable_hash8(
+        F.concat(doc_id.cast("string"), F.lit(f":{epoch}"))
+    )
+
+
+def epoch_order(
+    docs: DataFrame, epoch: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Training-order view of ``docs`` for one epoch: a global sort on the
+    deterministic shuffle key. At scale this is exactly one range
+    exchange (Spark samples key boundaries) + local sorts — the same
+    cost as any ORDER BY, with no RNG state to coordinate."""
+    return docs.withColumn(
+        "shuffle_key", epoch_shuffle_key(F.col(id_col), epoch)
+    ).orderBy("shuffle_key", id_col)

@@ -1,0 +1,136 @@
+"""Unit tests for the round-6 library surfaces: temperature mixing /
+epoch shuffle (operators/mixing.py) and int8 embedding quantization
+(operators/quantize.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_earthquake_gcp_spark.operators import mixing, quantize
+
+
+@pytest.fixture()
+def counts(spark):
+    return spark.createDataFrame(
+        [("web", 8000), ("books", 1000), ("code", 1000), ("empty", 0)],
+        "source string, n_tokens long",
+    )
+
+
+def test_temperature_alpha1_reproduces_natural_shares(spark, counts):
+    rows = {
+        r["source"]: r
+        for r in mixing.temperature_weights(counts, alpha=1.0).collect()
+    }
+    assert "empty" not in rows  # non-positive counts excluded
+    assert rows["web"]["weight"] == pytest.approx(0.8)
+    assert rows["web"]["raw_share"] == pytest.approx(0.8)
+    for r in rows.values():
+        assert r["oversample"] == pytest.approx(1.0)
+
+
+def test_temperature_alpha0_is_uniform(spark, counts):
+    rows = mixing.temperature_weights(counts, alpha=0.0).collect()
+    for r in rows:
+        assert r["weight"] == pytest.approx(1 / 3)
+
+
+def test_temperature_midrange_upweights_small_sources(spark, counts):
+    rows = {
+        r["source"]: r
+        for r in mixing.temperature_weights(counts, alpha=0.3).collect()
+    }
+    # small sources oversampled, big source undersampled; weights sum to 1
+    assert rows["books"]["oversample"] > 1.0 > rows["web"]["oversample"]
+    assert sum(r["weight"] for r in rows.values()) == pytest.approx(1.0)
+    # closed form: w = c^a / sum(c^a)
+    denom = 8000**0.3 + 1000**0.3 + 1000**0.3
+    assert rows["web"]["weight"] == pytest.approx(8000**0.3 / denom)
+
+
+def test_epoch_shuffle_deterministic_and_epoch_decorrelated(spark):
+    import duckdb
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    o1 = [r["doc_id"] for r in mixing.epoch_order(docs, epoch=1).collect()]
+    o1b = [r["doc_id"] for r in mixing.epoch_order(docs, epoch=1).collect()]
+    o2 = [r["doc_id"] for r in mixing.epoch_order(docs, epoch=2).collect()]
+    assert o1 == o1b  # reproducible
+    assert o1 != o2  # epochs decorrelate
+    assert sorted(o1) == sorted(o2) == list(range(200))  # permutations
+    # engine-portable: DuckDB replays the exact epoch-1 order
+    con = duckdb.connect()
+    oracle = [
+        r[0]
+        for r in con.execute(
+            """
+            SELECT i FROM range(200) t(i)
+            ORDER BY CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':1'),
+                                          1, 8)) AS BIGINT), i
+            """
+        ).fetchall()
+    ]
+    assert o1 == oracle
+
+
+def test_int8_quantize_roundtrip_error_bounded(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.003, 127.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> zero codes
+            (3, [-2.5, 2.5, 0.1, -0.1]),
+        ],
+        "vec_id int, vec array<double>",
+    )
+    scale = quantize.int8_scale(F.col("vec"))
+    out = df.select(
+        "vec_id",
+        "vec",
+        scale.alias("scale"),
+        quantize.quantize_int8(F.col("vec"), scale).alias("codes"),
+    )
+    out = out.withColumn(
+        "deq", quantize.dequantize(F.col("codes"), F.col("scale"))
+    ).withColumn(
+        "max_err", quantize.reconstruction_error(F.col("vec"), F.col("deq"))
+    )
+    rows = {r["vec_id"]: r for r in out.collect()}
+    for r in rows.values():
+        assert all(abs(q) <= 127 for q in r["codes"])
+    assert rows[2]["scale"] is None
+    assert rows[2]["codes"] == [0, 0, 0, 0]
+    assert rows[2]["max_err"] == 0.0
+    for vid in (1, 3):
+        s = rows[vid]["scale"]
+        assert rows[vid]["max_err"] <= s / 2 + 1e-12
+        # the range component hits exactly +/-127
+        assert max(abs(q) for q in rows[vid]["codes"]) == 127
+
+
+def test_int8_quantize_matches_duckdb_arithmetic(spark):
+    """The floor-based half-away rounding must replay exactly in SQL."""
+    import duckdb
+
+    vec = [0.37, -0.81, 0.005, -0.005, 1.0]
+    df = spark.createDataFrame([(vec,)], "vec array<double>")
+    scale = quantize.int8_scale(F.col("vec"))
+    got = df.select(
+        quantize.quantize_int8(F.col("vec"), scale).alias("codes")
+    ).collect()[0]["codes"]
+    con = duckdb.connect()
+    exp = [
+        r[0]
+        for r in con.execute(
+            """
+            WITH v AS (SELECT unnest(?::DOUBLE[]) AS x),
+            s AS (SELECT max(abs(x)) / 127.0 AS sc FROM v)
+            SELECT CAST(sign(x) * floor(abs(x) / sc + 0.5) AS INT)
+            FROM v CROSS JOIN s
+            """,
+            [vec],
+        ).fetchall()
+    ]
+    assert got == exp

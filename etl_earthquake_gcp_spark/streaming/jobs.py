@@ -27,9 +27,17 @@ def _src_fingerprint(path: str) -> str:
     """mtime+size fingerprint of a source file, folded into every /tmp
     staging key so a regenerated source (the driver rewrites testdata
     between rounds, sometimes with different physical types) automatically
-    invalidates the staged copy instead of silently replaying stale data."""
+    invalidates the staged copy instead of silently replaying stale data.
+    A directory source (multi-file parquet table) fingerprints every
+    member file, so adding/rewriting any part invalidates too."""
     import os
 
+    if os.path.isdir(path):
+        parts = []
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+        return "|".join(parts)
     st = os.stat(path)
     return f"{st.st_mtime_ns}:{st.st_size}"
 
@@ -41,6 +49,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The file source requires a *directory*; testdata ships one parquet file,
     so stage a symlink dir under /tmp (read-only testdata is never touched).
+    A multi-file (directory) source is linked file-by-file and delivered in
+    ONE trigger: per-file triggers over an arbitrarily ordered file set
+    would feed event-time-disordered micro-batches into watermarked
+    operators and silently drop late rows — queries that specifically
+    exercise multi-batch state use ``_events_stream_multibatch``, whose
+    slices ARE event-time-ordered.
     """
     import hashlib
     import os
@@ -50,15 +64,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{src}:{_src_fingerprint(src)}"
     stage = f"/tmp/spark_stream_stage_{hashlib.md5(key.encode()).hexdigest()[:8]}"
     os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    if os.path.isdir(src):
+        # multi-file parquet table: the file source does not recurse into
+        # a symlinked subdirectory (it would list ZERO files and drain an
+        # empty stream) — link each member file flat into the stage dir
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                link = f"{stage}/{f}"
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(src, f), link)
+    else:
+        link = f"{stage}/events.parquet"
+        if not os.path.exists(link):
+            os.symlink(src, link)
     schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-    )
+    stream = spark.readStream.schema(schema).parquet(stage)
     return fix_nanos_ts(stream)
 
 

@@ -21,16 +21,24 @@ from . import function_queries  # noqa: E402,F401
 # (the verdict's #1 ask — pagerank's shuffle-hash plan, the HLL rollup's
 # is_total column, skyline's quantile buckets), (2) the queries NEW or
 # CHANGED in round 5 (streaming_dedup_audit closes the last rows-only
-# family member; holt_linear_state now folds the daily series and emits
-# n_days; incremental_rollup_merge / funnel_3step_strict /
-# decontaminate_by_embedding carry the r4 ADVICE determinism fixes;
-# ann_recall_audit's floors recalibrated to a uniform 2-flip slack under
-# the minimum recall across check scales — pq tightened, ivfpq relaxed
-# from a 1-flip false-alarm hazard), then (3) the
-# stalest re-confirmations — the 41 oldest queries whose last driver row
-# is from round 1 (testdata regenerates between rounds, so old greens
-# decay). tumbling_daily_counts + window_distribution_suite (positions
-# 51-52) + the r2-rowed set rotate into round 6.
+# family member; holt_linear_state now folds the daily series, emits
+# n_days, and requires >= 2 days; incremental_rollup_merge /
+# funnel_3step_strict / decontaminate_by_embedding carry the r4 ADVICE
+# determinism fixes; ann_recall_audit's floors recalibrated to a uniform
+# 2-flip slack under the minimum recall across check scales;
+# ml_lag_features / interpolate_linear_gaps / seasonal_decompose_dow
+# hardened against the 6dp->4dp re-round boundary divergence found by
+# the r5 value-permutation rehearsal — integer-unit display arithmetic,
+# bit-identical off the boundary, so their r4 rows stay valid on
+# current data, but fresh rows close the loop), then (3) the stalest
+# re-confirmations — the 38 oldest queries whose last driver row is from
+# round 1 (testdata regenerates between rounds, so old greens decay).
+# The 3 determinism-hardened queries took head slots over stale
+# refreshes: that is the verdict's own priority order (#1 changed
+# queries before #2 stale debt). The remaining r1 five (date_parts,
+# dim_date_generated, json_extract_props, tumbling_daily_counts,
+# window_distribution_suite — positions 51-55) + the r2-rowed set
+# rotate into round 6.
 _DRIVER_PRIORITY = [
     # -- r4-changed queries whose driver rows predate the change -----------
     "pagerank_3iter", "hll_mergeable_rollup", "skyline_pareto_orders",
@@ -38,7 +46,8 @@ _DRIVER_PRIORITY = [
     "streaming_dedup_audit",
     # -- changed in round 5 (rework / determinism fixes) -------------------
     "holt_linear_state", "incremental_rollup_merge", "funnel_3step_strict",
-    "decontaminate_by_embedding", "ann_recall_audit",
+    "decontaminate_by_embedding", "ann_recall_audit", "ml_lag_features",
+    "interpolate_linear_gaps", "seasonal_decompose_dow",
     # -- stalest re-confirmations (last row = round 1) ---------------------
     "cosine_topk_bruteforce", "embedding_norm_stats", "explode_token_counts",
     "bpe_token_counts", "countmin_token_freq", "array_access_first_last",

@@ -1169,7 +1169,18 @@ _INTERP_USER_MOD = 7  # user_id % 7 == 0 keeps output representative+bounded
     "interpolate_linear_gaps",
     oracle=f"""
         WITH obs AS (
-            SELECT user_id, CAST(ts AS DATE) AS d, round(avg(value), 6) AS v
+            -- v_u: daily mean in EXACT integer 1e-6 units. The whole
+            -- interpolation below is integer arithmetic over v_u — the
+            -- imputed value on a gap of length den at offset off is the
+            -- rational num/(den*1e6) with num = pv_u*den + (nv_u-pv_u)*off,
+            -- displayed at 4dp by integer half-away:
+            -- sign(num) * ((|num| + den*50) // (den*100)) / 1e4.
+            -- Re-rounding an already-6dp DOUBLE at 4dp is engine-divergent
+            -- exactly on ...x50 boundaries (Spark rounds the shortest
+            -- decimal repr up, DuckDB the binary value down — found by the
+            -- r5 value-permutation rehearsal); integers cannot drift.
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   CAST(round(avg(value) * 1000000, 0) AS BIGINT) AS v_u
             FROM events
             WHERE user_id % {_INTERP_USER_MOD} = 0
             GROUP BY 1, 2
@@ -1181,37 +1192,45 @@ _INTERP_USER_MOD = 7  # user_id % 7 == 0 keeps output representative+bounded
                         AS DATE) AS d
             FROM span
         ), j AS (
-            SELECT g.user_id, g.d, o.v
+            SELECT g.user_id, g.d, o.v_u
             FROM grid g LEFT JOIN obs o USING (user_id, d)
         ), w AS (
-            SELECT user_id, d, v,
-                   last_value(v IGNORE NULLS) OVER (
+            SELECT user_id, d, v_u,
+                   last_value(v_u IGNORE NULLS) OVER (
                        PARTITION BY user_id ORDER BY d
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS pv,
-                   last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                   ) AS pv_u,
+                   last_value(CASE WHEN v_u IS NOT NULL THEN d END
+                              IGNORE NULLS)
                        OVER (
                        PARTITION BY user_id ORDER BY d
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS pd,
-                   first_value(v IGNORE NULLS) OVER (
+                   first_value(v_u IGNORE NULLS) OVER (
                        PARTITION BY user_id ORDER BY d
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
-                   ) AS nv,
-                   first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                   ) AS nv_u,
+                   first_value(CASE WHEN v_u IS NOT NULL THEN d END
+                               IGNORE NULLS)
                        OVER (
                        PARTITION BY user_id ORDER BY d
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
                    ) AS nd
             FROM j
+        ), frac AS (
+            SELECT user_id, d, v_u,
+                   CASE WHEN v_u IS NOT NULL THEN v_u ELSE
+                        pv_u * (nd - pd) + (nv_u - pv_u) * (d - pd)
+                   END AS num,
+                   CASE WHEN v_u IS NOT NULL THEN CAST(1 AS BIGINT)
+                        ELSE CAST(nd - pd AS BIGINT) END AS den
+            FROM w
         )
         SELECT user_id, CAST(d AS TIMESTAMP) AS day,
-               round(CASE WHEN v IS NOT NULL THEN v
-                     ELSE pv + (nv - pv)
-                          * (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
-                     END, 4) + 0.0 AS value_filled,
-               (v IS NULL) AS is_interpolated
-        FROM w
+               sign(num) * ((abs(num) + den * 50) // (den * 100))
+                   / 10000.0 + 0.0 AS value_filled,
+               (v_u IS NULL) AS is_interpolated
+        FROM frac
     """,
     doc="time-series LINEAR interpolation of missing daily values (the "
     "imputation sibling of gap_fill_user_daily, which fills zeros): per "
@@ -1219,9 +1238,11 @@ _INTERP_USER_MOD = 7  # user_id % 7 == 0 keeps output representative+bounded
     "pv + (nv-pv)*(gap_position/gap_length) from its nearest observed "
     "neighbors via IGNORE NULLS last/first window frames. Grid edges are "
     "observed by construction (span = min..max of that user's own days) so "
-    "every gap is interior. Daily means are rounded BEFORE interpolation "
-    "(moments-first convention) making the downstream arithmetic "
-    "bit-identical across engines. Scale shape: one groupBy(user,day) agg, "
+    "every gap is interior. The whole computation runs in exact integer "
+    "1e-6 units — the imputed value is the rational num/den and the 4dp "
+    "display is integer half-away, so no double is ever re-rounded at a "
+    "coarser scale (r5 hardening; the old round(v6dp, 4) diverged across "
+    "engines on ...x50 boundaries). Scale shape: one groupBy(user,day) agg, "
     "a per-user generated sequence (no user x day cross join), and two "
     "linear window passes over user-partitioned data — single exchange on "
     "user_id, no self-joins.",
@@ -1230,9 +1251,12 @@ def interpolate_linear_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id") % _INTERP_USER_MOD == 0
     )
-    obs = e.groupBy(
-        "user_id", F.to_date("ts").alias("d")
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    # integer 1e-6 units end to end (see oracle header): the imputed
+    # value is the exact rational num/(den*1e6); the 4dp display is
+    # integer half-away — no double is ever re-rounded at a coarser scale
+    obs = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value") * 1_000_000, 0).cast("long").alias("v_u")
+    )
     grid = (
         obs.groupBy("user_id")
         .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
@@ -1251,31 +1275,41 @@ def interpolate_linear_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    obs_day = F.when(F.col("v").isNotNull(), F.col("d"))
+    obs_day = F.when(F.col("v_u").isNotNull(), F.col("d"))
     w = j.select(
         "user_id",
         "d",
-        "v",
-        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        "v_u",
+        F.last("v_u", ignorenulls=True).over(w_prev).alias("pv_u"),
         F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
-        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first("v_u", ignorenulls=True).over(w_next).alias("nv_u"),
         F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
     )
-    frac = F.datediff("d", "pd").cast("double") / F.datediff(
-        "nd", "pd"
-    ).cast("double")
-    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
-    return w.select(
+    num = F.when(F.col("v_u").isNotNull(), F.col("v_u")).otherwise(
+        F.col("pv_u") * F.datediff("nd", "pd").cast("long")
+        + (F.col("nv_u") - F.col("pv_u"))
+        * F.datediff("d", "pd").cast("long")
+    )
+    den = F.when(
+        F.col("v_u").isNotNull(), F.lit(1).cast("long")
+    ).otherwise(F.datediff("nd", "pd").cast("long"))
+    scaled = w.select(
+        "user_id",
+        "d",
+        "v_u",
+        num.alias("num"),
+        den.alias("den"),
+    )
+    return scaled.select(
         "user_id",
         F.col("d").cast("timestamp").alias("day"),
         (
-            F.round(
-                F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp),
-                4,
-            )
+            F.signum("num")
+            * F.expr("div(abs(num) + den * 50, den * 100)")
+            / F.lit(10_000.0)
             + F.lit(0.0)
         ).alias("value_filled"),
-        F.col("v").isNull().alias("is_interpolated"),
+        F.col("v_u").isNull().alias("is_interpolated"),
     )
 
 
@@ -1424,11 +1458,18 @@ _HOLT_G = 0.1  # trend smoothing
         ), last AS (
             SELECT user_id, max(rn) AS mx FROM rec GROUP BY 1
         )
+        -- mx >= 2: Holt needs two points to estimate a trend; it also
+        -- removes the one case where the emitted level is still the
+        -- 6dp-QUANTIZED daily mean itself (n_days = 1 -> l = v), whose
+        -- 4dp re-round diverges across engines on ...x50 boundaries.
+        -- From step 2 on, l/b are raw-float combinations (0.3/0.7
+        -- coefficients) and the single 4dp round is the safe class.
         SELECT r.user_id, CAST(r.rn AS BIGINT) AS n_days,
                round(r.l, 4) + 0.0 AS level,
                round(r.b, 4) + 0.0 AS trend,
                round(r.l + r.b, 4) + 0.0 AS forecast_1
         FROM rec r JOIN last la ON r.user_id = la.user_id AND r.rn = la.mx
+        WHERE la.mx >= 2
     """,
     doc="Holt double-exponential smoothing (level + trend — the "
     "forecasting step up from ewma_user_values' single recurrence): "
@@ -1437,7 +1478,10 @@ _HOLT_G = 0.1  # trend smoothing
     "mean series (facts reduce to |user-days| rows JVM-side before any "
     "sequential work — the cusum_changepoints shape; round-4 folded raw "
     "event rows, the repo's worst decade ratio). The coupled recurrences "
-    "have no window/aggregate form; the numpy-array fold applies the "
+    "have no window/aggregate form; users with a single observed day "
+    "are excluded (two points are needed for a trend — and a 1-day "
+    "level would be the quantized daily mean itself, the 4dp-boundary "
+    "class); the numpy-array fold applies the "
     "exact IEEE op sequence the recursive-CTE oracle writes out, so "
     "every final state + 1-step forecast is hash-compared. Two "
     "exchanges — the (user, day) partial agg, then a SALT-BUCKET "
@@ -1494,6 +1538,10 @@ def holt_linear_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("bkt", F.pmod("user_id", F.lit(n_buckets)))
         .groupBy("bkt")
         .applyInPandas(fold_bucket, schema)
+        # n_days >= 2: Holt needs two points for a trend (and a 1-day
+        # user's level would be the 6dp-quantized mean itself — the
+        # 4dp-boundary divergence class; see the oracle comment)
+        .filter(F.col("n_days") >= 2)
         .select(
             "user_id",
             "n_days",
@@ -2031,31 +2079,42 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seasonal_decompose_dow",
     oracle="""
         WITH daily AS (
-            SELECT CAST(ts AS DATE) AS d, round(avg(value), 6) AS v
+            -- the whole decomposition runs in EXACT integer 1e-6 units
+            -- (v_u/trend_u/s_u/r_u BIGINT): every 6dp intermediate is an
+            -- integer, the residual is pure integer subtraction, and the
+            -- 4dp display step is integer half-away — re-rounding an
+            -- already-6dp DOUBLE at 4dp diverges across engines exactly
+            -- on ...x50 boundaries (r5 value-permutation rehearsal)
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(round(avg(value) * 1000000, 0) AS BIGINT) AS v_u
             FROM events GROUP BY 1
         ), trended AS (
-            SELECT d, v,
-                   round(avg(v) OVER (
+            SELECT d, v_u,
+                   CAST(round(avg(v_u) OVER (
                        ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
-                   ), 6) AS trend
+                   ), 0) AS BIGINT) AS trend_u
             FROM daily
         ), seasonal AS (
             SELECT dayofweek(d) AS dow,
-                   round(avg(v - trend), 6) AS s
+                   CAST(round(avg(v_u - trend_u), 0) AS BIGINT) AS s_u
             FROM trended GROUP BY 1
         ), resid AS (
-            SELECT t.d, t.v, t.trend, se.s,
-                   round(t.v - t.trend - se.s, 6) AS r
+            SELECT t.d, t.v_u, t.trend_u, se.s_u,
+                   t.v_u - t.trend_u - se.s_u AS r_u
             FROM trended t JOIN seasonal se ON dayofweek(t.d) = se.dow
         ), sigma AS (
-            SELECT round(stddev_samp(r), 6) AS sd FROM resid
+            SELECT round(stddev_samp(r_u / 1000000.0), 6) AS sd FROM resid
         )
         SELECT CAST(d AS TIMESTAMP) AS day,
-               round(v, 4) AS daily_value,
-               round(trend, 4) AS trend,
-               round(s, 4) + 0.0 AS seasonal_dow,
-               round(r, 4) + 0.0 AS residual,
-               abs(r) > 2 * sd AS is_anomaly
+               sign(v_u) * ((abs(v_u) + 50) // 100) / 10000.0 + 0.0
+                   AS daily_value,
+               sign(trend_u) * ((abs(trend_u) + 50) // 100) / 10000.0 + 0.0
+                   AS trend,
+               sign(s_u) * ((abs(s_u) + 50) // 100) / 10000.0 + 0.0
+                   AS seasonal_dow,
+               sign(r_u) * ((abs(r_u) + 50) // 100) / 10000.0 + 0.0
+                   AS residual,
+               abs(r_u) / 1000000.0 > 2 * sd AS is_anomaly
         FROM resid CROSS JOIN sigma
         WHERE sd > 0
     """,
@@ -2063,48 +2122,69 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "centered moving-average TREND, day-of-week SEASONAL means of the "
     "detrended series, RESIDUAL anomaly flags at 2 sigma — the classic "
     "additive decomposition every monitoring stack runs before alerting "
-    "on raw values. Every intermediate is rounded (moments-first) so the "
-    "chain of window avg -> group avg -> residual -> stddev is "
-    "bit-identical across engines; the zero-variance ANSI guard filters "
-    "on sd > 0 both sides. Ordered walks touch the DAY-sized series "
-    "only; facts are reduced by one (day) partial agg up front.",
+    "on raw values. Every intermediate lives in exact integer 1e-6 "
+    "units (the residual is pure integer subtraction) and the 4dp "
+    "display step is integer half-away, so the chain of window avg -> "
+    "group avg -> residual -> stddev is bit-identical across engines "
+    "(r5 hardening of the 6dp->4dp re-round divergence); the "
+    "zero-variance ANSI guard filters on sd > 0 both sides. Ordered "
+    "walks touch the DAY-sized series only; facts are reduced by one "
+    "(day) partial agg up front.",
 )
 def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # exact integer 1e-6 units end to end (see oracle header)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        F.round(F.avg("value") * 1_000_000, 0).cast("long").alias("v_u")
     )
     w_trend = Window.orderBy("d").rowsBetween(-3, 3)
     trended = daily.select(
-        "d", "v", F.round(F.avg("v").over(w_trend), 6).alias("trend")
+        "d",
+        "v_u",
+        F.round(F.avg("v_u").over(w_trend), 0).cast("long").alias("trend_u"),
     )
     seasonal = trended.groupBy(F.dayofweek("d").alias("dow")).agg(
-        F.round(F.avg(F.col("v") - F.col("trend")), 6).alias("s")
+        F.round(F.avg(F.col("v_u") - F.col("trend_u")), 0)
+        .cast("long")
+        .alias("s_u")
     )
     resid = (
         trended.withColumn("dow", F.dayofweek("d"))
         .join(F.broadcast(seasonal), "dow")
         .select(
             "d",
-            "v",
-            "trend",
-            "s",
-            F.round(
-                F.col("v") - F.col("trend") - F.col("s"), 6
-            ).alias("r"),
+            "v_u",
+            "trend_u",
+            "s_u",
+            (F.col("v_u") - F.col("trend_u") - F.col("s_u")).alias("r_u"),
         )
     )
-    sigma = resid.agg(F.round(F.stddev_samp("r"), 6).alias("sd"))
+    sigma = resid.agg(
+        F.round(F.stddev_samp(F.col("r_u") / F.lit(1_000_000.0)), 6).alias(
+            "sd"
+        )
+    )
+
+    def disp4(col: str):  # 1e-6 units -> half-away 4dp double, exactly
+        return (
+            F.signum(col)
+            * F.expr(f"div(abs({col}) + 50, 100)")
+            / F.lit(10_000.0)
+            + F.lit(0.0)
+        )
+
     return (
         resid.crossJoin(F.broadcast(sigma))
         .filter(F.col("sd") > 0)
         .select(
             F.col("d").cast("timestamp").alias("day"),
-            F.round("v", 4).alias("daily_value"),
-            F.round("trend", 4).alias("trend"),
-            (F.round("s", 4) + F.lit(0.0)).alias("seasonal_dow"),
-            (F.round("r", 4) + F.lit(0.0)).alias("residual"),
-            (F.abs("r") > 2 * F.col("sd")).alias("is_anomaly"),
+            disp4("v_u").alias("daily_value"),
+            disp4("trend_u").alias("trend"),
+            disp4("s_u").alias("seasonal_dow"),
+            disp4("r_u").alias("residual"),
+            (F.abs("r_u") / F.lit(1_000_000.0) > 2 * F.col("sd")).alias(
+                "is_anomaly"
+            ),
         )
     )
 

@@ -244,30 +244,40 @@ def group_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_lag_features",
     oracle="""
         WITH daily AS (
+            -- v_u: the daily mean in EXACT integer 1e-6 units. Rounding a
+            -- raw float once is ulp-safe, but RE-rounding the already-6dp
+            -- v at 4dp is not: a v ending in ...x50 sits exactly on the
+            -- 4dp half boundary, where Spark rounds the shortest decimal
+            -- repr (-> up) and DuckDB the binary value just below
+            -- (-> down). All 6dp->4dp steps below are therefore integer
+            -- arithmetic: half-away = (|v_u| + 50) // 100 with the sign
+            -- reapplied — bit-exact in both engines, and identical to the
+            -- old round(v, 4) everywhere off the boundary.
             SELECT user_id, CAST(ts AS DATE) AS d,
-                   round(avg(value), 6) AS v,
+                   CAST(round(avg(value) * 1000000, 0) AS BIGINT) AS v_u,
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2
         ), feat AS (
-            SELECT user_id, d, v, n,
+            SELECT user_id, d, v_u, n,
                    row_number() OVER w AS rn,
-                   lag(v, 1) OVER w AS lag1,
-                   lag(v, 7) OVER w AS lag7,
-                   round(avg(v) OVER (
+                   lag(v_u, 1) OVER w AS lag1_u,
+                   lag(v_u, 7) OVER w AS lag7_u,
+                   round(avg(v_u / 1000000.0) OVER (
                        w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
                    ), 4) AS trail7_mean,
-                   max(v) OVER (
+                   max(v_u) OVER (
                        w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
-                   ) AS trail7_max
+                   ) AS trail7_max_u
             FROM daily
             WINDOW w AS (PARTITION BY user_id ORDER BY d)
         )
         SELECT user_id, CAST(d AS TIMESTAMP) AS day,
-               round(v, 4) AS target,
-               round(lag1, 4) AS lag1,
-               round(lag7, 4) AS lag7,
+               sign(v_u) * ((abs(v_u) + 50) // 100) / 10000.0 AS target,
+               sign(lag1_u) * ((abs(lag1_u) + 50) // 100) / 10000.0 AS lag1,
+               sign(lag7_u) * ((abs(lag7_u) + 50) // 100) / 10000.0 AS lag7,
                trail7_mean,
-               round(trail7_max, 4) AS trail7_max,
+               sign(trail7_max_u) * ((abs(trail7_max_u) + 50) // 100)
+                   / 10000.0 AS trail7_max,
                n AS n_events
         FROM feat
         WHERE rn > 7
@@ -277,39 +287,61 @@ def group_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mean/max (frame ends at 1 PRECEDING — the current day never leaks "
     "into its own features; rows without a full history are dropped, "
     "the standard training-matrix hygiene). Facts reduce to the daily "
-    "grid first; all windows share one user_id exchange. Daily means "
-    "rounded before derived features (moments-first).",
+    "grid first; all windows share one user_id exchange. The daily mean "
+    "travels as an exact integer 1e-6-unit BIGINT and every 4dp display "
+    "is integer half-away arithmetic (the 6dp->4dp double re-round is "
+    "engine-divergent on ...x50 boundaries — r5 hardening).",
 )
 def ml_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
+    # daily mean carried as EXACT integer 1e-6 units (v_u BIGINT): the
+    # 6dp->4dp display step is integer half-away arithmetic on both
+    # engines — re-rounding an already-6dp double at 4dp hits the exact
+    # half boundary whenever v ends in ...x50, where Spark (shortest
+    # decimal repr) rounds up and DuckDB (binary value) rounds down.
+    # Found by the r5 value-permutation rehearsal; off the boundary the
+    # outputs are identical to the old round(v, 4).
     daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("v"),
+        F.round(F.avg("value") * 1_000_000, 0).cast("long").alias("v_u"),
         F.count("*").alias("n"),
     )
+
+    def disp4(col: str):  # 1e-6 units -> half-away 4dp double, exactly
+        # + 0.0 folds the -0.0 that signum(-small)*0 would produce
+        return (
+            F.signum(col)
+            * F.expr(f"div(abs({col}) + 50, 100)")
+            / F.lit(10_000.0)
+            + F.lit(0.0)
+        )
+
     w = Window.partitionBy("user_id").orderBy("d")
     w_trail = w.rowsBetween(-7, -1)
     feat = daily.select(
         "user_id",
         "d",
-        "v",
+        "v_u",
         "n",
         F.row_number().over(w).alias("rn"),
-        F.lag("v", 1).over(w).alias("lag1"),
-        F.lag("v", 7).over(w).alias("lag7"),
-        # single 4dp rounding: a 6dp intermediate quantizes onto the 4dp
-        # tie grid and ulp drift then flips the final digit across engines
-        F.round(F.avg("v").over(w_trail), 4).alias("trail7_mean"),
-        F.max("v").over(w_trail).alias("trail7_max"),
+        F.lag("v_u", 1).over(w).alias("lag1_u"),
+        F.lag("v_u", 7).over(w).alias("lag7_u"),
+        # single 4dp rounding FROM RAW float mean of the 6dp series: the
+        # mean is not itself 6dp-quantized, so this is the ulp-safe
+        # one-rounding class
+        F.round(
+            F.avg(F.col("v_u") / F.lit(1_000_000.0)).over(w_trail), 4
+        ).alias("trail7_mean"),
+        F.max("v_u").over(w_trail).alias("trail7_max_u"),
     )
     return feat.filter(F.col("rn") > 7).select(
         "user_id",
         F.col("d").cast("timestamp").alias("day"),
-        F.round("v", 4).alias("target"),
-        F.round("lag1", 4).alias("lag1"),
-        F.round("lag7", 4).alias("lag7"),
+        disp4("v_u").alias("target"),
+        disp4("lag1_u").alias("lag1"),
+        disp4("lag7_u").alias("lag7"),
         "trail7_mean",
-        F.round("trail7_max", 4).alias("trail7_max"),
+        disp4("trail7_max_u").alias("trail7_max"),
         F.col("n").alias("n_events"),
     )

@@ -1487,7 +1487,15 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(m.s, 2) AS total,
                round(m.mn, 2) AS min_v,
                round(m.mx, 2) AS max_v,
-               round(round(m.s, 2) / m.n, 4) AS mean_v,
+               -- mean from the display-rounded sum in EXACT integer
+               -- arithmetic: s_c = cents(s); mean_4dp = s_c*100/n rounded
+               -- half-away as integers. round(round(s,2)/n, 4) re-rounds
+               -- a terminating decimal at a coarser scale whenever n
+               -- divides a power of 10 (n=2000 here) — the engine-
+               -- divergent ...x50 boundary class (r5 hardening).
+               sign(CAST(round(m.s * 100, 0) AS BIGINT))
+                   * ((2 * abs(CAST(round(m.s * 100, 0) AS BIGINT)) * 100
+                       + m.n) // (2 * m.n)) / 10000.0 + 0.0 AS mean_v,
                m.n = f.n AND m.mn = f.mn AND m.mx = f.mx
                    AND round(m.s, 2) = round(f.s, 2) AS matches_full_recompute
         FROM merged m JOIN full_rec f ON m.event_type = f.event_type
@@ -1548,10 +1556,19 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s", 2).alias("total"),
         F.round("mn", 2).alias("min_v"),
         F.round("mx", 2).alias("max_v"),
-        # mean from the DISPLAY-ROUNDED sum (moments-first rule): the raw
-        # float s differs by summation order across engines; quantizing the
-        # division input makes mean_v deterministic, like `total`.
-        F.round(F.round("s", 2) / F.col("n"), 4).alias("mean_v"),
+        # mean from the DISPLAY-ROUNDED sum in EXACT integer arithmetic
+        # (see oracle comment): round(round(s,2)/n, 4) re-rounds a
+        # terminating decimal at a coarser scale when n | 10^k — the
+        # engine-divergent ...x50 boundary class
+        (
+            F.signum(F.round(F.col("s") * 100, 0))
+            * F.expr(
+                "div(2 * abs(cast(round(s * 100, 0) as bigint)) * 100 + n,"
+                " 2 * n)"
+            )
+            / F.lit(10_000.0)
+            + F.lit(0.0)
+        ).alias("mean_v"),
         (
             (F.col("n") == F.col("fn"))
             & (F.col("mn") == F.col("fmn"))

@@ -1,0 +1,165 @@
+"""Testdata-regeneration rehearsal: re-run every registered oracle pair
+against systematically perturbed copies of the test tables.
+
+The external driver regenerates the parquet testdata between rounds —
+new row order, new file layout, sometimes new physical types, new value
+draws. Historically that regeneration is what kills stale greens:
+combine-order effects, data-dependent rounding boundaries, and layout
+assumptions only show up under a fresh draw. This tool rehearses those
+axes locally so the hazards surface BEFORE a driver round:
+
+  layout     row-shuffled, 4-file-per-table directory parquet
+             (combine order, multi-file sources, dir staging)
+  nanos      events.ts re-encoded as TIMESTAMP(NANOS) (the r1-r2
+             physical type; sources/tables.py::fix_nanos_ts must absorb)
+  values     float columns permuted WITHIN column + embeddings
+             reassigned across rows (same marginals, new associations —
+             fresh draw of rounding boundaries; caught the 6dp->4dp
+             re-round divergence in round 5)
+  subsample  ~10% of fact rows dropped (changes group counts and
+             ratio denominators — the axis permutation can't reach)
+
+Usage:
+    python tools/regeneration_rehearsal.py [axis ...] [--seed N]
+        [--sf-dir /root/testdata/sf0.01] [--head N]
+
+Runs every queries()/oracle_sql() pair via the same comparator as the
+driver sim (tests/conftest.assert_frames_match) and exits nonzero on
+any mismatch. Writes variants under /tmp/regen_rehearsal/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+FACTS = {"events", "orders", "lineitem"}
+
+
+def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for f in sorted(os.listdir(src)):
+        if not f.endswith(".parquet"):
+            continue
+        name = f.split(".")[0]
+        tbl = pq.read_table(f"{src}/{f}")
+        if axis == "layout":
+            tbl = tbl.take(rng.permutation(tbl.num_rows))
+            d = f"{dst}/{f}"
+            os.makedirs(d)
+            step = -(-tbl.num_rows // 4)
+            for i in range(4):
+                sl = tbl.slice(i * step, step)
+                if sl.num_rows:
+                    pq.write_table(sl, f"{d}/part-{i}.parquet")
+            continue
+        if axis == "nanos" and name == "events":
+            i = tbl.schema.get_field_index("ts")
+            tbl = tbl.set_column(
+                i, "ts", tbl.column("ts").cast(pa.timestamp("ns"))
+            )
+            pq.write_table(tbl, f"{dst}/{f}", version="2.6")
+            continue
+        if axis == "values":
+            cols = []
+            for i, field in enumerate(tbl.schema):
+                col = tbl.column(i)
+                if pa.types.is_floating(field.type) or (
+                    name == "embeddings" and field.name == "embedding"
+                ):
+                    col = col.combine_chunks().take(
+                        pa.array(rng.permutation(tbl.num_rows))
+                    )
+                cols.append(col)
+            tbl = pa.table(dict(zip(tbl.schema.names, cols)))
+        elif axis == "subsample" and name in FACTS:
+            tbl = tbl.filter(pa.array(rng.random(tbl.num_rows) > 0.1))
+        pq.write_table(tbl, f"{dst}/{f}")
+
+
+def run_oracles(sf_dir: str, head: int | None) -> list[str]:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("regen_rehearsal")
+        .getOrCreate()
+    )
+    os.chdir(REPO)
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_frames_match
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
+        )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = list(qs)[:head] if head else list(qs)
+    fails: list[str] = []
+    for name in names:
+        try:
+            spdf = qs[name](spark, sf_dir).toPandas()
+            if name not in oracles:
+                print(f"ROWS_ONLY {name}: {len(spdf)}", flush=True)
+                continue
+            opdf = con.execute(oracles[name]).df()
+            assert_frames_match(spdf, opdf, name)
+            print(f"MATCH {name}: {len(spdf)}", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            fails.append(name)
+            msg = "".join(
+                traceback.format_exception_only(type(e), e)
+            )[:300]
+            print(f"MISMATCH {name}: {msg}", flush=True)
+    return fails
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "axes",
+        nargs="*",
+        default=["layout", "values"],
+        choices=["layout", "nanos", "values", "subsample"],
+    )
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--head", type=int, default=None)
+    args = ap.parse_args()
+    rc = 0
+    for axis in args.axes or ["layout", "values"]:
+        dst = f"/tmp/regen_rehearsal/{axis}"
+        print(f"=== axis {axis} seed {args.seed} ===", flush=True)
+        build_variant(axis, args.sf_dir, dst, args.seed)
+        fails = run_oracles(dst, args.head)
+        print(
+            f"AXIS {axis}: {len(fails)} failures: {fails}", flush=True
+        )
+        if fails:
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

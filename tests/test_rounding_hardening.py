@@ -1,0 +1,103 @@
+"""Regression net for the round-5 coarse-re-round hardening.
+
+The hazard (verify SKILL.md): re-rounding an already-quantized double at
+a coarser scale diverges across engines on exact ...x50 half boundaries
+— Spark's F.round rounds the SHORTEST DECIMAL REPR (BigDecimal.valueOf)
+up, DuckDB the binary value just below it down. These tests pin (a) the
+hazard itself (so the rule never gets "simplified" away as paranoia)
+and (b) the integer half-away display arithmetic the fixed queries use,
+on exact boundary inputs, against DuckDB.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+# the canonical reproduction: mean of eight 2dp values -> 33.06625
+BOUNDARY_MEAN = 264.53000000000003 / 8
+
+
+def test_hazard_exists_coarse_reround_diverges(spark):
+    """round(round(x, 6), 4) on the boundary: Spark 33.0663, DuckDB
+    33.0662. If this ever starts agreeing, the rule can be revisited."""
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT round(round(?::DOUBLE, 6), 4)", [BOUNDARY_MEAN]
+    ).fetchone()[0]
+    sp = (
+        spark.createDataFrame([(BOUNDARY_MEAN,)], "v double")
+        .select(F.round(F.round("v", 6), 4).alias("r"))
+        .collect()[0]["r"]
+    )
+    assert sp == 33.0663
+    assert duck == 33.0662
+    assert sp != duck  # the divergence the integer paths exist to avoid
+
+
+@pytest.mark.parametrize(
+    "v_u, expected",
+    [
+        (33066250, 33.0663),  # exact ...x50 boundary -> half-away up
+        (33066249, 33.0662),  # just below -> down
+        (33066251, 33.0663),  # just above -> up
+        (-33066250, -33.0663),  # negative boundary -> away from zero
+        (-30, -0.0),  # |u| < 50 with sign -> +0.0 after the fold
+        (0, 0.0),
+    ],
+)
+def test_disp4_integer_half_away_matches_duckdb(spark, v_u, expected):
+    """sign(u)*((|u|+50) div 100)/1e4 + 0.0 — the 1e-6-unit -> 4dp
+    display used by ml_lag_features / interpolate / seasonal."""
+    sp = (
+        spark.createDataFrame([(v_u,)], "u long")
+        .select(
+            (
+                F.signum("u")
+                * F.expr("div(abs(u) + 50, 100)")
+                / F.lit(10_000.0)
+                + F.lit(0.0)
+            ).alias("r")
+        )
+        .collect()[0]["r"]
+    )
+    duck = duckdb.connect().execute(
+        "SELECT sign(u) * ((abs(u) + 50) // 100) / 10000.0 + 0.0 "
+        "FROM (SELECT ?::BIGINT AS u)",
+        [v_u],
+    ).fetchone()[0]
+    assert sp == duck == expected
+    assert str(sp) == str(duck)  # repr-exact: no -0.0 leakage
+
+
+@pytest.mark.parametrize(
+    "num, den, expected",
+    [
+        (1234570 * 100, 2000, 6.1729),  # cents*100/n: exact .5 -> up
+        (1234730 * 100, 2000, 6.1737),  # the measured duck-down case
+        (1, 2, 1.0 / 10000 * 1),  # 0.5 in 1e-4 units -> rounds to 1
+    ],
+)
+def test_rational_half_away_matches_duckdb(spark, num, den, expected):
+    """sign(num)*((2|num|+den) div (2 den))/1e4 — the exact rational ->
+    4dp display used by incremental_rollup_merge and the interpolation
+    num/den form."""
+    sp = (
+        spark.createDataFrame([(num, den)], "num long, den long")
+        .select(
+            (
+                F.signum("num")
+                * F.expr("div(2 * abs(num) + den, 2 * den)")
+                / F.lit(10_000.0)
+                + F.lit(0.0)
+            ).alias("r")
+        )
+        .collect()[0]["r"]
+    )
+    duck = duckdb.connect().execute(
+        "SELECT sign(num) * ((2 * abs(num) + den) // (2 * den)) / 10000.0"
+        " + 0.0 FROM (SELECT ?::BIGINT AS num, ?::BIGINT AS den)",
+        [num, den],
+    ).fetchone()[0]
+    assert sp == duck == pytest.approx(expected)

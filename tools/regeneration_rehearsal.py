@@ -18,6 +18,9 @@ axes locally so the hazards surface BEFORE a driver round:
              re-round divergence in round 5)
   subsample  ~10% of fact rows dropped (changes group counts and
              ratio denominators — the axis permutation can't reach)
+  subdocs    subsample + documents rows dropped too (token/doc-count
+             denominators; may legitimately move dedup-quality floors —
+             a failure here can mean a seed-sensitive floor)
 
 Usage:
     python tools/regeneration_rehearsal.py [axis ...] [--seed N]
@@ -44,6 +47,12 @@ TABLES = (
     "documents embeddings"
 ).split()
 FACTS = {"events", "orders", "lineitem"}
+# subdocs additionally drops documents rows — exercises token-count and
+# doc-count ratio denominators (dedup-quality floors may legitimately
+# shift; a failure here means a floor is seed-sensitive, also worth
+# knowing). embeddings are never subsampled: ann_recall_audit floors
+# are calibrated against the full corpus.
+SUBDOC_FACTS = FACTS | {"documents"}
 
 
 def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
@@ -89,6 +98,8 @@ def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
                 cols.append(col)
             tbl = pa.table(dict(zip(tbl.schema.names, cols)))
         elif axis == "subsample" and name in FACTS:
+            tbl = tbl.filter(pa.array(rng.random(tbl.num_rows) > 0.1))
+        elif axis == "subdocs" and name in SUBDOC_FACTS:
             tbl = tbl.filter(pa.array(rng.random(tbl.num_rows) > 0.1))
         pq.write_table(tbl, f"{dst}/{f}")
 
@@ -141,7 +152,7 @@ def main() -> int:
         "axes",
         nargs="*",
         default=["layout", "values"],
-        choices=["layout", "nanos", "values", "subsample"],
+        choices=["layout", "nanos", "values", "subsample", "subdocs"],
     )
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")

@@ -71,6 +71,61 @@ def _all_rows():
     return Window.partitionBy()
 
 
+def budget_allocation(
+    weights: DataFrame,
+    budget: int,
+    key_col: str = "source",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer budget
+    across sources by sampling weight — the actionable end of
+    temperature mixing: "take exactly N documents/tokens, split per the
+    mixture".
+
+    Exactness contract: the float weight is quantized ONCE to integer
+    1e-6 units (w_u); every subsequent step — floor quota w_u*B // 1e6,
+    remainder (w_u*B) mod 1e6, and the top-up of the largest remainders
+    — is integer arithmetic, so an ANSI-SQL oracle replays the
+    apportionment bit-for-bit (no float comparison decides a quota).
+    Quotas sum exactly to round(sum(w_u)/1e6 * B) — the full budget when
+    weights sum to 1. |sources|-row computation; one window pass.
+    """
+    from pyspark.sql import Window
+
+    w_u = F.round(F.col(weight_col) * 1_000_000, 0).cast("long")
+    base = weights.select(
+        key_col,
+        F.col(weight_col),
+        (w_u * budget).alias("wb"),
+    ).select(
+        key_col,
+        weight_col,
+        "wb",
+        F.expr("div(wb, 1000000)").alias("floor_quota"),
+        (F.col("wb") % 1_000_000).alias("rem"),
+    )
+    win = Window.orderBy(F.desc("rem"), key_col)
+    tot = Window.partitionBy()
+    return (
+        base.withColumn("rr", F.row_number().over(win))
+        .withColumn(
+            "shortfall",
+            F.expr("div(sum(wb) over (), 1000000)")
+            - F.sum("floor_quota").over(tot),
+        )
+        .select(
+            key_col,
+            weight_col,
+            (
+                F.col("floor_quota")
+                + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+
+
 def epoch_shuffle_key(doc_id: Column, epoch: int) -> Column:
     """Deterministic, engine-portable per-epoch global shuffle key.
 

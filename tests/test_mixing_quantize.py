@@ -134,3 +134,37 @@ def test_int8_quantize_matches_duckdb_arithmetic(spark):
         ).fetchall()
     ]
     assert got == exp
+
+
+def test_budget_allocation_exact_hamilton(spark, counts):
+    import duckdb
+
+    w = mixing.temperature_weights(counts, alpha=0.3)
+    alloc = {r["source"]: r["quota"] for r in
+             mixing.budget_allocation(w, budget=1000).collect()}
+    assert sum(alloc.values()) == 1000  # full budget, no float drift
+    # big source gets most, small sources non-zero at alpha=0.3
+    assert alloc["web"] > alloc["books"] > 0
+    # oracle replay: same integer apportionment in DuckDB
+    con = duckdb.connect()
+    wpdf = w.toPandas()
+    con.register("w", wpdf)
+    oracle = con.execute("""
+        WITH base AS (
+            SELECT source,
+                   CAST(round(weight * 1000000, 0) AS BIGINT) * 1000 AS wb
+            FROM w
+        ), f AS (
+            SELECT source, wb, wb // 1000000 AS fq, wb % 1000000 AS rem,
+                   row_number() OVER (ORDER BY wb % 1000000 DESC, source)
+                       AS rr
+            FROM base
+        )
+        SELECT source,
+               fq + CASE WHEN rr <= (SELECT SUM(wb) // 1000000 FROM f)
+                                    - (SELECT SUM(fq) FROM f)
+                    THEN 1 ELSE 0 END AS quota
+        FROM f
+    """).df()
+    for _, row in oracle.iterrows():
+        assert alloc[row["source"]] == row["quota"]

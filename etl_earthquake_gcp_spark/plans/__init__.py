@@ -26,18 +26,21 @@ from . import function_queries  # noqa: E402,F401
 # funnel_3step_strict / decontaminate_by_embedding carry the r4 ADVICE
 # determinism fixes; ann_recall_audit's floors recalibrated to a uniform
 # 2-flip slack under the minimum recall across check scales;
-# ml_lag_features / interpolate_linear_gaps / seasonal_decompose_dow
-# hardened against the 6dp->4dp re-round boundary divergence found by
-# the r5 value-permutation rehearsal — integer-unit display arithmetic,
-# bit-identical off the boundary, so their r4 rows stay valid on
-# current data, but fresh rows close the loop), then (3) the stalest
-# re-confirmations — the 38 oldest queries whose last driver row is from
-# round 1 (testdata regenerates between rounds, so old greens decay).
-# The 3 determinism-hardened queries took head slots over stale
-# refreshes: that is the verdict's own priority order (#1 changed
-# queries before #2 stale debt). The remaining r1 five (date_parts,
+# ml_lag_features / interpolate_linear_gaps / seasonal_decompose_dow /
+# bigram_lm_loglik / source_kl_divergence hardened against the
+# quantized-then-coarser-re-round boundary divergence found by the r5
+# value-permutation rehearsal — integer-unit sums and display
+# arithmetic, proved bit-identical off the boundary on current data,
+# but fresh rows close the loop), then (3) the stalest
+# re-confirmations — the 36 oldest queries whose last driver row is
+# from round 1 (testdata regenerates between rounds, so old greens
+# decay). The 5 determinism-hardened queries took head slots over
+# stale refreshes: that is the verdict's own priority order (#1
+# changed queries before #2 stale debt — a stale-but-valid row beats a
+# fresh row that can silently go wrong at the next regeneration). The
+# remaining r1 set (window_rank_suite, moving_average, date_parts,
 # dim_date_generated, json_extract_props, tumbling_daily_counts,
-# window_distribution_suite — positions 51-55) + the r2-rowed set
+# window_distribution_suite — positions 51-57) + the r2-rowed set
 # rotate into round 6.
 _DRIVER_PRIORITY = [
     # -- r4-changed queries whose driver rows predate the change -----------
@@ -48,6 +51,7 @@ _DRIVER_PRIORITY = [
     "holt_linear_state", "incremental_rollup_merge", "funnel_3step_strict",
     "decontaminate_by_embedding", "ann_recall_audit", "ml_lag_features",
     "interpolate_linear_gaps", "seasonal_decompose_dow",
+    "bigram_lm_loglik", "source_kl_divergence",
     # -- stalest re-confirmations (last row = round 1) ---------------------
     "cosine_topk_bruteforce", "embedding_norm_stats", "explode_token_counts",
     "bpe_token_counts", "countmin_token_freq", "array_access_first_last",

@@ -262,20 +262,25 @@ def group_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER w AS rn,
                    lag(v_u, 1) OVER w AS lag1_u,
                    lag(v_u, 7) OVER w AS lag7_u,
-                   round(avg(v_u / 1000000.0) OVER (
+                   sum(v_u) OVER (
                        w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
-                   ), 4) AS trail7_mean,
+                   ) AS trail7_sum_u,
                    max(v_u) OVER (
                        w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
                    ) AS trail7_max_u
             FROM daily
             WINDOW w AS (PARTITION BY user_id ORDER BY d)
         )
+        -- trail7_mean from the EXACT integer frame sum (frame is always
+        -- 7 rows under rn > 7): value*1e4 = sum_u/700, displayed
+        -- half-away as (2|s|+700)//1400 — an avg of quantized values can
+        -- itself land exactly on the 4dp boundary when 7 | sum_u
         SELECT user_id, CAST(d AS TIMESTAMP) AS day,
                sign(v_u) * ((abs(v_u) + 50) // 100) / 10000.0 AS target,
                sign(lag1_u) * ((abs(lag1_u) + 50) // 100) / 10000.0 AS lag1,
                sign(lag7_u) * ((abs(lag7_u) + 50) // 100) / 10000.0 AS lag7,
-               trail7_mean,
+               sign(trail7_sum_u) * ((2 * abs(trail7_sum_u) + 700) // 1400)
+                   / 10000.0 + 0.0 AS trail7_mean,
                sign(trail7_max_u) * ((abs(trail7_max_u) + 50) // 100)
                    / 10000.0 AS trail7_max,
                n AS n_events
@@ -327,12 +332,11 @@ def ml_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.lag("v_u", 1).over(w).alias("lag1_u"),
         F.lag("v_u", 7).over(w).alias("lag7_u"),
-        # single 4dp rounding FROM RAW float mean of the 6dp series: the
-        # mean is not itself 6dp-quantized, so this is the ulp-safe
-        # one-rounding class
-        F.round(
-            F.avg(F.col("v_u") / F.lit(1_000_000.0)).over(w_trail), 4
-        ).alias("trail7_mean"),
+        # exact integer frame sum — an avg of quantized values can land
+        # exactly on the 4dp boundary when 7 | sum_u (2 such rows in the
+        # current testdata), so the mean display is the rational
+        # half-away sum_u/700, never a float re-round
+        F.sum("v_u").over(w_trail).alias("trail7_sum_u"),
         F.max("v_u").over(w_trail).alias("trail7_max_u"),
     )
     return feat.filter(F.col("rn") > 7).select(
@@ -341,7 +345,12 @@ def ml_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         disp4("v_u").alias("target"),
         disp4("lag1_u").alias("lag1"),
         disp4("lag7_u").alias("lag7"),
-        "trail7_mean",
+        (
+            F.signum("trail7_sum_u")
+            * F.expr("div(2 * abs(trail7_sum_u) + 700, 1400)")
+            / F.lit(10_000.0)
+            + F.lit(0.0)
+        ).alias("trail7_mean"),
         disp4("trail7_max_u").alias("trail7_max"),
         F.col("n").alias("n_events"),
     )

@@ -1712,11 +1712,20 @@ _LM_ALPHA = 0.5
             FROM (SELECT unnest(string_split(text, ' ')) AS token
                   FROM documents)
         )
+        -- per-bigram logprob quantized ONCE to integer 1e-6 units; the
+        -- per-doc sum is then EXACT integer addition (combine-order-free)
+        -- and the 3dp display is integer half-away — a float sum of 6dp
+        -- terms re-rounded at 3dp flips on ...500 boundaries across
+        -- engines (r5 hardening, same class as the daily-series queries)
         SELECT b.doc_id,
                CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(sum(round(ln((c2.c + {_LM_ALPHA})
-                                  / (c1.c + {_LM_ALPHA} * vocab.v)), 6)), 3)
-                   + 0.0 AS loglik
+               sign(sum(CAST(round(ln((c2.c + {_LM_ALPHA})
+                                      / (c1.c + {_LM_ALPHA} * vocab.v))
+                                   * 1000000, 0) AS BIGINT)))
+                   * ((abs(sum(CAST(round(ln((c2.c + {_LM_ALPHA})
+                                            / (c1.c + {_LM_ALPHA} * vocab.v))
+                                         * 1000000, 0) AS BIGINT))) + 500)
+                      // 1000) / 1000.0 + 0.0 AS loglik
         FROM big b
         JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
         JOIN c1 ON b.w1 = c1.w1
@@ -1727,9 +1736,10 @@ _LM_ALPHA = 0.5
     "bigram LM — the perplexity-class quality filter (low likelihood = "
     "unnatural token sequences) one tier up from unigram_logprob_scores. "
     "Bigram/unigram count tables shuffle on token keys; each per-bigram "
-    "logprob is rounded to 6 places on BOTH engines before the per-doc "
-    "sum (libm ln can differ in the last ulp; rounding first keeps the "
-    "sum deterministic), then the sum rounds to 3.",
+    "logprob is quantized ONCE to integer 1e-6 units on BOTH engines "
+    "(libm ln can differ in the last ulp; quantizing first keeps it "
+    "deterministic), the per-doc sum is exact integer addition, and the "
+    "3dp display is integer half-away (r5 hardening).",
 )
 def bigram_lm_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1754,13 +1764,16 @@ def bigram_lm_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = d.select(
         F.explode(F.split("text", " ")).alias("token")
     ).agg(F.count_distinct("token").alias("v"))
-    logp = F.round(
+    # integer 1e-6-unit logprob terms: exact order-free sum, integer
+    # half-away 3dp display (see oracle comment)
+    logp_u = F.round(
         F.log(
             (F.col("c2") + F.lit(_LM_ALPHA))
             / (F.col("c1") + F.lit(_LM_ALPHA) * F.col("v"))
-        ),
-        6,
-    )
+        )
+        * 1_000_000,
+        0,
+    ).cast("long")
     return (
         big.join(c2, ["w1", "w2"])
         .join(c1, "w1")
@@ -1768,7 +1781,17 @@ def bigram_lm_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            (F.round(F.sum(logp), 3) + F.lit(0.0)).alias("loglik"),
+            F.sum(logp_u).alias("s_u"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.signum("s_u")
+                * F.expr("div(abs(s_u) + 500, 1000)")
+                / F.lit(1_000.0)
+                + F.lit(0.0)
+            ).alias("loglik"),
         )
     )
 
@@ -1881,16 +1904,24 @@ def minhash_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), ct AS (
             SELECT CAST(sum(c) AS BIGINT) AS n FROM cc
         ), terms AS (
+            -- term quantized ONCE to integer 1e-8 units; the per-source
+            -- sum is exact integer addition and the 4dp display is
+            -- integer half-away (a float sum of 8dp terms re-rounded at
+            -- 4dp flips on ...50000 boundaries across engines — r5
+            -- hardening, same class as bigram_lm_loglik)
             SELECT sc.source,
-                   round((round(sc.c * 1.0 / st.n, 10))
-                         * ln(round(sc.c * 1.0 / st.n, 10)
-                              / round(cc.c * 1.0 / ct.n, 10)), 8) AS term
+                   CAST(round((round(sc.c * 1.0 / st.n, 10))
+                              * ln(round(sc.c * 1.0 / st.n, 10)
+                                   / round(cc.c * 1.0 / ct.n, 10))
+                              * 100000000, 0) AS BIGINT) AS term_u
             FROM sc
             JOIN st USING (source)
             JOIN cc USING (token)
             CROSS JOIN ct
         )
-        SELECT source, round(sum(term), 4) + 0.0 AS kl_vs_corpus
+        SELECT source,
+               sign(sum(term_u)) * ((abs(sum(term_u)) + 5000) // 10000)
+                   / 10000.0 + 0.0 AS kl_vs_corpus
         FROM terms GROUP BY source
     """,
     doc="per-source KL divergence of the token distribution vs the whole "
@@ -1898,10 +1929,12 @@ def minhash_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(a source with high KL is lexically unlike the blend; pairs with "
     "source_mixing_weights). Every source token exists in the corpus by "
     "construction, so KL is finite with no smoothing. Probabilities are "
-    "rounded to 10 places and each p*ln(p/q) term to 8 BEFORE the "
-    "per-source sum (libm ln last-ulp portability), then the sum rounds "
-    "to 4. Count tables shuffle on token keys; the vocabulary-sized "
-    "corpus marginal join is left to AQE (broadcast when small).",
+    "rounded to 10 places and each p*ln(p/q) term quantized ONCE to "
+    "integer 1e-8 units (libm ln last-ulp portability); the per-source "
+    "sum is exact integer addition and the 4dp display integer "
+    "half-away (r5 hardening). Count tables shuffle on token keys; the "
+    "vocabulary-sized corpus marginal join is left to AQE (broadcast "
+    "when small).",
 )
 def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1912,16 +1945,27 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = cc.agg(F.sum("cc").alias("nc"))
     p_s = F.round(F.col("c") * F.lit(1.0) / F.col("n"), 10)
     p_c = F.round(F.col("cc") * F.lit(1.0) / F.col("nc"), 10)
-    term = F.round(p_s * F.log(p_s / p_c), 8)
+    # integer 1e-8-unit terms: exact order-free sum + integer half-away
+    # 4dp display (see oracle comment)
+    term_u = F.round(p_s * F.log(p_s / p_c) * 100_000_000, 0).cast("long")
     return (
         sc.join(F.broadcast(st), "source")
         # cc is vocabulary-sized: AQE broadcasts it when small, shuffle-joins
         # when the vocabulary itself is corpus-scale — no forced hint
         .join(cc, "token")
         .crossJoin(F.broadcast(ct))
-        .select("source", term.alias("term"))
+        .select("source", term_u.alias("term_u"))
         .groupBy("source")
-        .agg((F.round(F.sum("term"), 4) + F.lit(0.0)).alias("kl_vs_corpus"))
+        .agg(F.sum("term_u").alias("s_u"))
+        .select(
+            "source",
+            (
+                F.signum("s_u")
+                * F.expr("div(abs(s_u) + 5000, 10000)")
+                / F.lit(10_000.0)
+                + F.lit(0.0)
+            ).alias("kl_vs_corpus"),
+        )
     )
 
 

@@ -125,3 +125,29 @@ def portable_hash8(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
         "bigint"
     )
+
+
+def quantized_half_away(
+    col_name: str, unit: int, out_scale: float
+) -> Column:
+    """Integer half-away display of a quantized-unit BIGINT column:
+    ``sign(u) * ((|u| + unit/2) div unit) / out_scale + 0.0``.
+
+    The engine-portable coarser-display step for series carried as exact
+    integer units (1e-6, 1e-8, cents): re-rounding an already-quantized
+    DOUBLE at a coarser scale diverges between Spark (shortest-decimal-
+    repr rounding) and ANSI engines (binary-value rounding) exactly on
+    ...x50 half boundaries; integer division cannot. ``unit`` must be
+    even (100 = 6dp->4dp, 1000 = 6dp->3dp, 10000 = 8dp->4dp). The
+    ``+ 0.0`` folds the -0.0 that signum(-small)*0 would produce.
+    DuckDB twin: ``sign(u) * ((abs(u) + unit//2) // unit) / out_scale
+    + 0.0``.
+    """
+    if unit % 2:
+        raise ValueError("unit must be even for an exact half offset")
+    return (
+        F.signum(col_name)
+        * F.expr(f"div(abs({col_name}) + {unit // 2}, {unit})")
+        / F.lit(float(out_scale))
+        + F.lit(0.0)
+    )

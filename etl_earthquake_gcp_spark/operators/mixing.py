@@ -83,35 +83,37 @@ def budget_allocation(
     mixture".
 
     Exactness contract: the float weight is quantized ONCE to integer
-    1e-6 units (w_u); every subsequent step — floor quota w_u*B // 1e6,
-    remainder (w_u*B) mod 1e6, and the top-up of the largest remainders
-    — is integer arithmetic, so an ANSI-SQL oracle replays the
-    apportionment bit-for-bit (no float comparison decides a quota).
-    Quotas sum exactly to round(sum(w_u)/1e6 * B) — the full budget when
-    weights sum to 1. |sources|-row computation; one window pass.
+    1e-6 units (w_u) and then RE-NORMALIZED over the integer total
+    T = sum(w_u) — floor quota = w_u*B // T, remainder = (w_u*B) mod T,
+    shortfall = B - sum(floor quotas) ∈ [0, |sources|) topped up by the
+    largest remainders. Every step after the single quantization is
+    integer arithmetic, so an ANSI-SQL oracle replays the apportionment
+    bit-for-bit, and quotas sum to EXACTLY ``budget`` regardless of
+    whether the float weights sum to precisely 1 (quantizing 1/3 three
+    times gives T = 999999, which naive //1e6 under-allocates by one).
+    |sources|-row computation; one window pass.
     """
     from pyspark.sql import Window
 
     w_u = F.round(F.col(weight_col) * 1_000_000, 0).cast("long")
-    base = weights.select(
-        key_col,
-        F.col(weight_col),
-        (w_u * budget).alias("wb"),
-    ).select(
-        key_col,
-        weight_col,
-        "wb",
-        F.expr("div(wb, 1000000)").alias("floor_quota"),
-        (F.col("wb") % 1_000_000).alias("rem"),
+    tot = Window.partitionBy()
+    b = int(budget)
+    base = (
+        weights.select(key_col, F.col(weight_col), w_u.alias("w_u"))
+        .withColumn("t", F.sum("w_u").over(tot))
+        .select(
+            key_col,
+            weight_col,
+            F.expr(f"div(w_u * {b}, t)").alias("floor_quota"),
+            ((F.col("w_u") * b) % F.col("t")).alias("rem"),
+        )
     )
     win = Window.orderBy(F.desc("rem"), key_col)
-    tot = Window.partitionBy()
     return (
         base.withColumn("rr", F.row_number().over(win))
         .withColumn(
             "shortfall",
-            F.expr("div(sum(wb) over (), 1000000)")
-            - F.sum("floor_quota").over(tot),
+            F.lit(b) - F.sum("floor_quota").over(tot),
         )
         .select(
             key_col,

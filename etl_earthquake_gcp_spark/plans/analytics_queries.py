@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import quantized_half_away
 from ..operators.dedup import jaccard_pairs_bitmask
 from ..sources.tables import load_table
 from .registry import register
@@ -2166,12 +2167,7 @@ def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def disp4(col: str):  # 1e-6 units -> half-away 4dp double, exactly
-        return (
-            F.signum(col)
-            * F.expr(f"div(abs({col}) + 50, 100)")
-            / F.lit(10_000.0)
-            + F.lit(0.0)
-        )
+        return quantized_half_away(col, unit=100, out_scale=10_000.0)
 
     return (
         resid.crossJoin(F.broadcast(sigma))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import portable_hash8
+from ..functions.scalar import portable_hash8, quantized_half_away
 from ..ml.classifier import predictions_table, train_classifier
 from ..sources.tables import load_table
 from .registry import register
@@ -314,13 +314,7 @@ def ml_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def disp4(col: str):  # 1e-6 units -> half-away 4dp double, exactly
-        # + 0.0 folds the -0.0 that signum(-small)*0 would produce
-        return (
-            F.signum(col)
-            * F.expr(f"div(abs({col}) + 50, 100)")
-            / F.lit(10_000.0)
-            + F.lit(0.0)
-        )
+        return quantized_half_away(col, unit=100, out_scale=10_000.0)
 
     w = Window.partitionBy("user_id").orderBy("d")
     w_trail = w.rowsBetween(-7, -1)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import portable_hash8
+from ..functions.scalar import portable_hash8, quantized_half_away
 from ..operators.dedup import (
     jaccard_pairs_bitmask,
     minhash_quality_oracle_sql,
@@ -1786,12 +1786,9 @@ def bigram_lm_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_bigrams",
-            (
-                F.signum("s_u")
-                * F.expr("div(abs(s_u) + 500, 1000)")
-                / F.lit(1_000.0)
-                + F.lit(0.0)
-            ).alias("loglik"),
+            quantized_half_away("s_u", unit=1000, out_scale=1_000.0).alias(
+                "loglik"
+            ),
         )
     )
 
@@ -1959,11 +1956,8 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("term_u").alias("s_u"))
         .select(
             "source",
-            (
-                F.signum("s_u")
-                * F.expr("div(abs(s_u) + 5000, 10000)")
-                / F.lit(10_000.0)
-                + F.lit(0.0)
+            quantized_half_away(
+                "s_u", unit=10_000, out_scale=10_000.0
             ).alias("kl_vs_corpus"),
         )
     )

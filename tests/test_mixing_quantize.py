@@ -145,26 +145,43 @@ def test_budget_allocation_exact_hamilton(spark, counts):
     assert sum(alloc.values()) == 1000  # full budget, no float drift
     # big source gets most, small sources non-zero at alpha=0.3
     assert alloc["web"] > alloc["books"] > 0
-    # oracle replay: same integer apportionment in DuckDB
+    # oracle replay: same integer apportionment in DuckDB (renormalized
+    # over the integer unit total T, so quotas always sum to B)
     con = duckdb.connect()
     wpdf = w.toPandas()
     con.register("w", wpdf)
     oracle = con.execute("""
         WITH base AS (
             SELECT source,
-                   CAST(round(weight * 1000000, 0) AS BIGINT) * 1000 AS wb
+                   CAST(round(weight * 1000000, 0) AS BIGINT) AS w_u
             FROM w
         ), f AS (
-            SELECT source, wb, wb // 1000000 AS fq, wb % 1000000 AS rem,
-                   row_number() OVER (ORDER BY wb % 1000000 DESC, source)
-                       AS rr
+            SELECT source,
+                   (w_u * 1000) // (SELECT SUM(w_u) FROM base) AS fq,
+                   (w_u * 1000) % (SELECT SUM(w_u) FROM base) AS rem,
+                   row_number() OVER (
+                       ORDER BY (w_u * 1000)
+                                % (SELECT SUM(w_u) FROM base) DESC,
+                                source) AS rr
             FROM base
         )
         SELECT source,
-               fq + CASE WHEN rr <= (SELECT SUM(wb) // 1000000 FROM f)
-                                    - (SELECT SUM(fq) FROM f)
+               fq + CASE WHEN rr <= 1000 - (SELECT SUM(fq) FROM f)
                     THEN 1 ELSE 0 END AS quota
         FROM f
     """).df()
     for _, row in oracle.iterrows():
         assert alloc[row["source"]] == row["quota"]
+
+
+def test_budget_allocation_full_budget_when_units_do_not_sum_to_1e6(spark):
+    """Three equal thirds quantize to 999999 units total — the naive
+    //1e6 apportionment under-allocated by 1 (caught by review)."""
+    w = spark.createDataFrame(
+        [("a", 1 / 3), ("b", 1 / 3), ("c", 1 / 3)],
+        "source string, weight double",
+    )
+    alloc = {r["source"]: r["quota"] for r in
+             mixing.budget_allocation(w, budget=1000).collect()}
+    assert sum(alloc.values()) == 1000
+    assert sorted(alloc.values()) == [333, 333, 334]

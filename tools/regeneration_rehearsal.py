@@ -151,7 +151,10 @@ def main() -> int:
     ap.add_argument(
         "axes",
         nargs="*",
-        default=["layout", "values"],
+        # default=None, resolved by the `or` fallback below: argparse on
+        # Python 3.11 validates a LIST default against choices and exits
+        # 2 ("invalid choice: ['layout', 'values']") — bpo-9625
+        default=None,
         choices=["layout", "nanos", "values", "subsample", "subdocs"],
     )
     ap.add_argument("--seed", type=int, default=42)

@@ -1,0 +1,118 @@
+"""BPE-style merge induction over a tokenized corpus (round-7 surface;
+library-first so the plan shapes are tested before registration).
+
+The tokenizer-training inner loop (Sennrich et al. BPE; same shape as
+word2phrase phrase induction, applied here at word level): repeatedly
+(1) count adjacent token pairs across the corpus, (2) pick the most
+frequent pair, (3) rewrite every leftmost non-overlapping occurrence
+into a single merged token, and repeat on the rewritten corpus. Each
+iteration is one distributed scan + one pair-count groupBy + a map-side
+string rewrite — the same per-pass cost profile as a production BPE
+trainer, with only a 1-row driver collect per iteration (the argmax
+pair; contract-bounded like the repo's other scalar collects).
+
+Engine-portable by construction: pair counts are INTEGERS (argmax ties
+break on count DESC, a ASC, b ASC — no float anywhere), and the rewrite
+is plain non-overlapping left-to-right ``replace`` in both engines via
+the doubled-space trick: double every separator, pad, replace
+`` a  b `` with `` a_b ``, collapse. Doubling makes consecutive matches
+share no characters, so one linear replace implements exactly the
+greedy leftmost BPE merge ("a a a" → "a_a a"), identically in Spark and
+ANSI SQL.
+
+No reference counterpart (the reference's ETL ends at a star schema);
+this extends the tier-4 LLM-pipeline surface like operators/mixing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import portable_hash8
+
+MERGE_JOINER = "_"  # corpus tokens are [a-z0-9]+, so '_' cannot collide
+
+
+def pair_counts(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent-pair frequencies over single-space-tokenized ``text_col``.
+
+    Positions are enumerated JVM-side (``transform`` over a
+    ``sequence``), then exploded and counted — one shuffle keyed on the
+    pair, map-side partial aggregation for free. Overlapping
+    occurrences each count once (standard BPE counting)."""
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("a"),
+            F.element_at(toks, i + 2).alias("b"),
+        ),
+    )
+    return (
+        corpus.filter(F.size(toks) > 1)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def apply_merge(
+    corpus: DataFrame, a: str, b: str, text_col: str = "text"
+) -> DataFrame:
+    """Rewrite every leftmost non-overlapping adjacent ``a b`` into the
+    merged token ``a_b`` (map-side, no shuffle).
+
+    Doubled-space construction: ``" t1  t2  t3 "`` gives every token
+    private spaces on both sides, so replacing ``" a  b "`` with
+    ``" a_b "`` preserves the invariant and consecutive matches never
+    share characters — plain ``replace`` = greedy leftmost merge."""
+    doubled = F.concat(
+        F.lit(" "),
+        F.replace(F.col(text_col), F.lit(" "), F.lit("  ")),
+        F.lit(" "),
+    )
+    merged = F.replace(
+        doubled, F.lit(f" {a}  {b} "), F.lit(f" {a}{MERGE_JOINER}{b} ")
+    )
+    canonical = F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
+    return corpus.withColumn(text_col, canonical)
+
+
+def merge_induction(
+    corpus: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[dict]:
+    """Run ``n_merges`` BPE iterations; return one audit dict per
+    iteration: the merged pair, its pre-merge count, and an
+    order-insensitive integer checksum of the ENTIRE rewritten corpus
+    (sum of ``portable_hash8(text)``) — certifying every intermediate
+    corpus state, not just the merge table.
+
+    The per-iteration driver collect is exactly one (a, b, cnt) row;
+    the corpus itself never leaves the cluster."""
+    out: list[dict] = []
+    cur = corpus
+    for it in range(1, n_merges + 1):
+        best = (
+            pair_counts(cur, text_col)
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
+        cur = apply_merge(cur, a, b, text_col)
+        checksum = cur.agg(
+            F.sum(portable_hash8(F.col(text_col))).cast("long").alias("s")
+        ).collect()[0]["s"]
+        out.append(
+            {
+                "iter": it,
+                "tok_a": a,
+                "tok_b": b,
+                "pair_count": cnt,
+                "corpus_key_sum": checksum,
+            }
+        )
+    return out

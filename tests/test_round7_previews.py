@@ -13,7 +13,7 @@ from __future__ import annotations
 import duckdb
 from pyspark.sql import functions as F
 
-from etl_earthquake_gcp_spark.operators import cluster_sample, contrastive
+from etl_earthquake_gcp_spark.operators import bpe, cluster_sample, contrastive
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
 from .conftest import SF_DIR, assert_frames_match
@@ -26,10 +26,11 @@ _QUOTA = 40
 
 def _duck(sf_dir: str):
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW embeddings AS SELECT * FROM"
-        f" read_parquet('{sf_dir}/embeddings.parquet')"
-    )
+    for t in ("embeddings", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
     return con
 
 
@@ -167,3 +168,101 @@ def test_quota_sample_keeps_lowest_hash_members(spark):
         ordered = grp.sort_values(["keep_key", "vec_id"])
         expect = set(ordered.head(5)["vec_id"])
         assert set(grp[grp["kept"]]["vec_id"]) == expect
+
+
+# -- bpe_merge_induction -----------------------------------------------------
+
+_BPE_K = 3
+_HASH8 = "CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)"
+
+
+def bpe_oracle(k: int) -> str:
+    """Unrolled k-stage BPE replay (same pattern as the MMR oracle's
+    chained CTEs): each stage counts pairs, picks the (cnt DESC, a, b)
+    argmax, rewrites the corpus with the doubled-space replace, and
+    checksums the rewritten corpus."""
+    ctes = ["c0 AS (SELECT doc_id, text FROM documents)"]
+    rows = []
+    for i in range(k):
+        ctes.append(f"""
+    p{i} AS (
+        SELECT t.toks[s.i] AS a, t.toks[s.i + 1] AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT string_split(text, ' ') AS toks FROM c{i}) t,
+             LATERAL (SELECT unnest(generate_series(1, len(t.toks) - 1))
+                      AS i) s
+        GROUP BY 1, 2
+    )""")
+        ctes.append(
+            f"b{i} AS (SELECT a, b, cnt FROM p{i}"
+            " ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(f"""
+    c{i + 1} AS (
+        SELECT doc_id,
+               trim(replace(replace(
+                   ' ' || replace(text, ' ', '  ') || ' ',
+                   (SELECT ' ' || a || '  ' || b || ' ' FROM b{i}),
+                   (SELECT ' ' || a || '_' || b || ' ' FROM b{i})),
+                   '  ', ' ')) AS text
+        FROM c{i}
+    )""")
+        ctes.append(
+            f"h{i + 1} AS (SELECT CAST(sum({_HASH8}) AS BIGINT) AS s"
+            f" FROM c{i + 1})"
+        )
+        rows.append(
+            f"SELECT CAST({i + 1} AS BIGINT) AS iter, a AS tok_a,"
+            f" b AS tok_b, cnt AS pair_count,"
+            f" (SELECT s FROM h{i + 1}) AS corpus_key_sum FROM b{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+def bpe_merge_induction(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = bpe.merge_induction(docs, n_merges=_BPE_K)
+    return spark.createDataFrame(
+        [
+            (
+                r["iter"],
+                r["tok_a"],
+                r["tok_b"],
+                r["pair_count"],
+                r["corpus_key_sum"],
+            )
+            for r in rows
+        ],
+        schema="iter long, tok_a string, tok_b string,"
+        " pair_count long, corpus_key_sum long",
+    )
+
+
+def test_bpe_merge_induction_oracle_parity(spark):
+    spdf = bpe_merge_induction(spark, SF_DIR).toPandas()
+    opdf = _duck(SF_DIR).execute(bpe_oracle(_BPE_K)).df()
+    assert_frames_match(spdf, opdf, "bpe_merge_induction")
+    assert len(spdf) == _BPE_K
+    # counts are non-increasing: each merge removes the current max pair
+    cnts = spdf.sort_values("iter")["pair_count"].tolist()
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_apply_merge_is_greedy_leftmost(spark):
+    """BPE semantics pin: "a a a" merges leftmost-first -> "a_a a"; the
+    doubled-space construction never merges across a freshly-made token."""
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "x a b a b y"), (3, "solo")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in bpe.apply_merge(df, "a", "a").collect()
+    }
+    assert out[1] == "a_a a"
+    assert out[2] == "x a b a b y"
+    assert out[3] == "solo"
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in bpe.apply_merge(df, "a", "b").collect()
+    }
+    assert out2[2] == "x a_b a_b y"

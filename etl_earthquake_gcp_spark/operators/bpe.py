@@ -89,7 +89,14 @@ def merge_induction(
     corpus state, not just the merge table.
 
     The per-iteration driver collect is exactly one (a, b, cnt) row;
-    the corpus itself never leaves the cluster."""
+    the corpus itself never leaves the cluster.
+
+    Scale note (measured, SCALING.md round-5): the lazy rewrite chain
+    re-executes for each iteration's two actions — O(k²) scans total.
+    Fine at k ≈ 3 (decade ratio 4.1); for production-sized merge tables
+    insert ``cur = cur.localCheckpoint()`` per iteration (the repo's
+    BFS lesson) to make it O(k) scans at the cost of materializing the
+    corpus once per merge."""
     out: list[dict] = []
     cur = corpus
     for it in range(1, n_merges + 1):

@@ -8,11 +8,15 @@ mix. Two composable pieces:
 
 - **assign_to_centroids**: nearest-centroid assignment by cosine. The
   centroid table is broadcast (even "large" real-world codebooks are
-  ~1e5 rows — dim-sized, not fact-sized), so assignment is one
-  scan-only pass in whole-stage codegen: ``zip_with`` dot products, an
-  argmax window over the 6dp-collapsed similarity with a centroid-id
-  tie-break (the engine-portable ordering contract used by every
-  similarity query in this repo).
+  ~1e5 rows — dim-sized, not fact-sized); ``zip_with`` dot products run
+  in whole-stage codegen, and the per-vector argmax is a
+  map-side-combinable ``max_by`` groupBy — partial aggregation
+  collapses each partition's K candidate rows per vector BEFORE the
+  exchange, so the one shuffle carries a single row per corpus vector
+  (a window argmax would shuffle all N·K candidates). The argmax key is
+  the 6dp-collapsed similarity with a centroid-id tie-break — the
+  engine-portable ordering contract used by every similarity query in
+  this repo.
 
 - **quota_sample**: keep at most ``quota`` members per cluster,
   selected by ``portable_hash8(vec_id)`` rank — deterministic,
@@ -45,9 +49,11 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     ``corpus``: (vec_id, vec double[], norm) — the big side, scan-only.
     ``centroids``: (cluster_id, cvec, cnorm) — tiny, broadcast.
     Zero-norm rows are excluded on BOTH sides (symmetric guard; cosine
-    is undefined there). Argmax ties break on the LOWEST cluster_id
-    after the 6dp similarity collapse, so Spark's sequential fold and an
-    oracle's arbitrary-order SUM pick the same winner.
+    is undefined there). The argmax is a ``max_by`` over the key
+    ``(round(cos, 6), -cluster_id)`` — ties after the 6dp similarity
+    collapse break on the LOWEST cluster_id, and the key is unique per
+    candidate (cluster_id is), so Spark's sequential fold and an
+    oracle's arbitrary-order SUM pick the same winner deterministically.
 
     Returns one row per corpus vector: (vec_id, cluster_id,
     cos_raw) — cos_raw is the unrounded winning similarity; callers
@@ -63,14 +69,17 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
         lambda acc, x: acc + x,
     )
     sim = dot / (F.col("norm") * F.col("cnorm"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.round(F.col("cos_raw"), 6).desc(), F.col("cluster_id")
+    key = F.struct(
+        F.round(F.col("cos_raw"), 6).alias("s"),
+        (-F.col("cluster_id")).alias("nc"),
     )
     return (
         pairs.select("vec_id", "cluster_id", sim.alias("cos_raw"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cluster_id", key).alias("cluster_id"),
+            F.max_by("cos_raw", key).alias("cos_raw"),
+        )
     )
 
 

@@ -29,17 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import cast_double_with_norm
+
 
 def with_norm_label(emb: DataFrame) -> DataFrame:
-    """Cast ``embedding`` float[] → double[] and attach its L2 norm,
-    keeping the ``label`` column (the class the negatives must differ
-    on). Double precision BEFORE the dot product so the fold matches an
-    ANSI oracle's DOUBLE arithmetic."""
-    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
-    return emb.select(
-        "vec_id", arr.alias("vec"), norm.alias("norm"), "label"
-    )
+    """Canonical cast+norm fold (functions/vectors.py) keeping the
+    ``label`` column — the class the negatives must differ on."""
+    return cast_double_with_norm(emb, keep=("vec_id", "label"))
 
 
 def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 3) -> DataFrame:
@@ -56,7 +52,9 @@ def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 3) -> DataFra
     sequential ``zip_with`` fold and an oracle's arbitrary-order SUM
     agree despite last-ulp drift; display cosine at 4dp (same-or-finer
     re-round of a raw double — the accepted ulp class, never the
-    coarse-re-round hazard).
+    coarse-re-round hazard) with the house ``+ 0.0`` guard, since a
+    near-zero negative cosine rounds to -0.0 in ANSI engines but +0.0
+    in Spark.
     """
     pairs = (
         corpus.filter(F.col("norm") > 0)
@@ -90,6 +88,6 @@ def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 3) -> DataFra
             "query_label",
             "neighbor_id",
             "neighbor_label",
-            F.round("cos_raw", 4).alias("cosine"),
+            (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"),
         )
     )

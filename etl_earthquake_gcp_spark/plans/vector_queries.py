@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import cast_double_with_norm
 from ..sources.tables import load_table
 from .registry import register
 
@@ -22,10 +23,9 @@ _TOP_K = 3
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
-    """Cast embedding float[] → double[] and attach its L2 norm."""
-    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
-    return df.select("vec_id", arr.alias("vec"), norm.alias("norm"))
+    """Cast embedding float[] → double[] and attach its L2 norm (the
+    one canonical fold — functions/vectors.py)."""
+    return cast_double_with_norm(df)
 
 
 _NEAR_DUP_THRESHOLD = 0.35  # corpus is near-random; 0.35 keeps ~0.2% of pairs

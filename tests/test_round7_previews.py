@@ -10,9 +10,9 @@ the driver-sim comparator, so the pair is already proven when promoted.
 
 from __future__ import annotations
 
-import duckdb
 from pyspark.sql import functions as F
 
+from etl_earthquake_gcp_spark.functions.vectors import cast_double_with_norm
 from etl_earthquake_gcp_spark.operators import bpe, cluster_sample, contrastive
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
@@ -22,16 +22,6 @@ _N_ANCHORS = 5  # vec_id < 5 are the anchors (house query-vector contract)
 _NEG_K = 3
 _N_CENTROIDS = 8  # vec_id < 8 are the deterministic centroids
 _QUOTA = 40
-
-
-def _duck(sf_dir: str):
-    con = duckdb.connect()
-    for t in ("embeddings", "documents"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM"
-            f" read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    return con
 
 
 # -- hard_negative_mining ----------------------------------------------------
@@ -55,7 +45,7 @@ HARD_NEGATIVE_ORACLE = f"""
     )
     SELECT query_id, CAST(na.label AS BIGINT) AS query_label,
            neighbor_id, CAST(nb.label AS BIGINT) AS neighbor_label,
-           round(d.dot / (na.norm * nb.norm), 4) AS cosine
+           round(d.dot / (na.norm * nb.norm), 4) + 0.0 AS cosine
     FROM dots d
     JOIN norms na ON d.query_id = na.vec_id
     JOIN norms nb ON d.neighbor_id = nb.vec_id
@@ -78,9 +68,9 @@ def hard_negative_mining(spark, sf_dir):
     return contrastive.hard_negatives(emb, anchors, k=_NEG_K)
 
 
-def test_hard_negative_mining_oracle_parity(spark):
+def test_hard_negative_mining_oracle_parity(spark, oracle):
     spdf = hard_negative_mining(spark, SF_DIR).toPandas()
-    opdf = _duck(SF_DIR).execute(HARD_NEGATIVE_ORACLE).df()
+    opdf = oracle.execute(HARD_NEGATIVE_ORACLE).df()
     assert_frames_match(spdf, opdf, "hard_negative_mining")
     assert len(spdf) == _N_ANCHORS * _NEG_K
     # the defining property: no negative shares its anchor's label
@@ -134,10 +124,7 @@ CLUSTER_QUOTA_ORACLE = f"""
 
 
 def cluster_quota_sample(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
-    corpus = emb.select("vec_id", arr.alias("vec"), norm.alias("norm"))
+    corpus = cast_double_with_norm(load_table(spark, sf_dir, "embeddings"))
     cents = corpus.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cluster_id"),
         F.col("vec").alias("cvec"),
@@ -148,9 +135,9 @@ def cluster_quota_sample(spark, sf_dir):
     return cluster_sample.cluster_quota_summary(sampled)
 
 
-def test_cluster_quota_sample_oracle_parity(spark):
+def test_cluster_quota_sample_oracle_parity(spark, oracle):
     spdf = cluster_quota_sample(spark, SF_DIR).toPandas()
-    opdf = _duck(SF_DIR).execute(CLUSTER_QUOTA_ORACLE).df()
+    opdf = oracle.execute(CLUSTER_QUOTA_ORACLE).df()
     assert_frames_match(spdf, opdf, "cluster_quota_sample")
     assert len(spdf) > 0
     # quota binds: no cluster keeps more than _QUOTA, every vector assigned once
@@ -238,9 +225,9 @@ def bpe_merge_induction(spark, sf_dir):
     )
 
 
-def test_bpe_merge_induction_oracle_parity(spark):
+def test_bpe_merge_induction_oracle_parity(spark, oracle):
     spdf = bpe_merge_induction(spark, SF_DIR).toPandas()
-    opdf = _duck(SF_DIR).execute(bpe_oracle(_BPE_K)).df()
+    opdf = oracle.execute(bpe_oracle(_BPE_K)).df()
     assert_frames_match(spdf, opdf, "bpe_merge_induction")
     assert len(spdf) == _BPE_K
     # counts are non-increasing: each merge removes the current max pair

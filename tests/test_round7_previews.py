@@ -12,8 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_earthquake_gcp_spark.functions.scalar import quantized_half_away
 from etl_earthquake_gcp_spark.functions.vectors import cast_double_with_norm
-from etl_earthquake_gcp_spark.operators import bpe, cluster_sample, contrastive
+from etl_earthquake_gcp_spark.operators import bpe, cluster_sample, contrastive, dsir
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
 from .conftest import SF_DIR, assert_frames_match
@@ -253,3 +254,90 @@ def test_apply_merge_is_greedy_leftmost(spark):
         for r in bpe.apply_merge(df, "a", "b").collect()
     }
     assert out2[2] == "x a_b a_b y"
+
+
+# -- dsir_importance_weights -------------------------------------------------
+
+_DSIR_B = 256  # feature buckets
+_DSIR_MOD = 13  # doc_id % 13 == 0 -> target-domain proxy
+_DSIR_TOPN = 25
+
+_GRAM_F = (
+    "CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % " + str(_DSIR_B)
+)
+
+DSIR_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        FROM t WHERE len(toks) >= 2
+    ), feats AS (
+        SELECT doc_id, {_GRAM_F} AS f, doc_id % {_DSIR_MOD} = 0 AS is_target
+        FROM grams
+    ), cnt AS (
+        SELECT f,
+               CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_t,
+               CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_r
+        FROM feats GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_t) AS BIGINT) AS t_tot,
+               CAST(sum(n_r) AS BIGINT) AS r_tot FROM cnt
+    ), buckets AS (
+        SELECT b.f, coalesce(c.n_t, 0) AS n_t, coalesce(c.n_r, 0) AS n_r
+        FROM (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS f) b
+        LEFT JOIN cnt c ON b.f = c.f
+    ), lr AS (
+        SELECT f,
+               CAST(round(ln(((n_t + 1) * 1.0 * (tot.r_tot + {_DSIR_B}))
+                             / ((n_r + 1) * 1.0 * (tot.t_tot + {_DSIR_B})))
+                          * 1000000, 0) AS BIGINT) AS lr_u
+        FROM buckets CROSS JOIN tot
+    ), scored AS (
+        SELECT fe.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(lr.lr_u) AS BIGINT) AS s_u
+        FROM feats fe JOIN lr ON fe.f = lr.f
+        WHERE NOT fe.is_target
+        GROUP BY 1
+    )
+    SELECT s.doc_id, d.source, s.n_feats,
+           sign(s_u) * ((abs(s_u) + 500) // 1000) / 1000.0 + 0.0 AS weight
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ORDER BY s_u DESC, s.doc_id LIMIT {_DSIR_TOPN}
+"""
+
+
+def dsir_importance_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    feats = dsir.hashed_bigram_features(docs, n_buckets=_DSIR_B)
+    is_target = F.pmod(F.col("doc_id"), F.lit(_DSIR_MOD)) == 0
+    ratios = dsir.bucket_log_ratio_units(
+        feats, is_target=is_target, n_buckets=_DSIR_B
+    )
+    raw_feats = feats.filter(~(F.pmod(F.col("doc_id"), F.lit(_DSIR_MOD)) == 0))
+    scored = dsir.importance_scores(raw_feats, ratios)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .orderBy(F.desc("s_u"), "doc_id")
+        .limit(_DSIR_TOPN)
+        .select(
+            "doc_id",
+            "source",
+            "n_feats",
+            quantized_half_away("s_u", 1000, 1000.0).alias("weight"),
+        )
+    )
+
+
+def test_dsir_importance_weights_oracle_parity(spark, oracle):
+    spdf = dsir_importance_weights(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(DSIR_ORACLE).df()
+    assert_frames_match(spdf, opdf, "dsir_importance_weights")
+    assert len(spdf) == _DSIR_TOPN
+    # raw pool only: no target-residue doc may be selected
+    assert (spdf["doc_id"] % _DSIR_MOD != 0).all()

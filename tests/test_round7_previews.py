@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 
 from etl_earthquake_gcp_spark.functions.scalar import quantized_half_away
 from etl_earthquake_gcp_spark.functions.vectors import cast_double_with_norm
-from etl_earthquake_gcp_spark.operators import bpe, cluster_sample, contrastive, dsir
+from etl_earthquake_gcp_spark.operators import (
+    bpe,
+    cluster_sample,
+    contrastive,
+    dsir,
+    winnowing,
+)
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
 from .conftest import SF_DIR, assert_frames_match
@@ -341,3 +347,77 @@ def test_dsir_importance_weights_oracle_parity(spark, oracle):
     assert len(spdf) == _DSIR_TOPN
     # raw pool only: no target-residue doc may be selected
     assert (spdf["doc_id"] % _DSIR_MOD != 0).all()
+
+
+# -- winnowing_match_pairs ---------------------------------------------------
+
+_WIN_K = 4  # k-gram width
+_WIN_W = 5  # window width
+_WIN_MIN_SHARED = 2
+_WIN_MAX_DF = 64
+
+WINNOWING_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), hashes AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len(toks) - {_WIN_K - 1}),
+                   i -> CAST(('0x' || substr(md5(
+                            toks[i] || ' ' || toks[i + 1] || ' '
+                            || toks[i + 2] || ' ' || toks[i + 3]), 1, 8))
+                        AS BIGINT)) AS hs
+        FROM t WHERE len(toks) >= {_WIN_K + _WIN_W - 1}
+    ), fps AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(hs) - {_WIN_W - 1}),
+                   j -> list_aggregate(list_slice(hs, j, j + {_WIN_W - 1}),
+                                       'min'))) AS fp
+        FROM hashes
+    ), rare AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WIN_MAX_DF}
+    ), pruned AS (
+        SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_WIN_MIN_SHARED}
+"""
+
+
+def winnowing_match_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowing.fingerprints(docs, k=_WIN_K, w=_WIN_W)
+    return winnowing.match_pairs(
+        fps, min_shared=_WIN_MIN_SHARED, max_doc_freq=_WIN_MAX_DF
+    )
+
+
+def test_winnowing_match_pairs_oracle_parity(spark, oracle):
+    spdf = winnowing_match_pairs(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(WINNOWING_ORACLE).df()
+    assert_frames_match(spdf, opdf, "winnowing_match_pairs")
+    assert (spdf["n_shared"] >= _WIN_MIN_SHARED).all()
+
+
+def test_winnowing_guarantee_on_planted_overlap(spark):
+    """The winnowing contract: a shared run of >= w + k - 1 tokens yields
+    at least one shared fingerprint; disjoint texts yield none."""
+    shared = "q w e r t y u i"  # 8 tokens = k + w - 1
+    df = spark.createDataFrame(
+        [
+            (1, f"zz1 zz2 {shared} aa1 aa2"),
+            (2, f"bb1 {shared} cc1 cc2 cc3"),
+            (3, "dd1 dd2 dd3 dd4 dd5 dd6 dd7 dd8 dd9 dd10"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing.fingerprints(df, k=_WIN_K, w=_WIN_W).toPandas()
+    s1 = set(fps[fps.doc_id == 1]["fp"])
+    s2 = set(fps[fps.doc_id == 2]["fp"])
+    s3 = set(fps[fps.doc_id == 3]["fp"])
+    assert s1 & s2, "planted overlap must share a fingerprint"
+    assert not (s1 & s3) and not (s2 & s3)

@@ -10,6 +10,7 @@ the driver-sim comparator, so the pair is already proven when promoted.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_earthquake_gcp_spark.functions.scalar import quantized_half_away
@@ -19,6 +20,7 @@ from etl_earthquake_gcp_spark.operators import (
     cluster_sample,
     contrastive,
     dsir,
+    fusion,
     winnowing,
 )
 from etl_earthquake_gcp_spark.sources.tables import load_table
@@ -421,3 +423,117 @@ def test_winnowing_guarantee_on_planted_overlap(spark):
     s3 = set(fps[fps.doc_id == 3]["fp"])
     assert s1 & s2, "planted overlap must share a fingerprint"
     assert not (s1 & s3) and not (s2 & s3)
+
+
+# -- rrf_fusion_topk ---------------------------------------------------------
+
+_RRF_K = 60
+_RRF_LIST = 50  # each ranker contributes its top-50
+_RRF_TOPN = 10
+
+RRF_ORACLE = f"""
+    WITH exploded AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
+    ), dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+               sum(a.x * b.x) AS dot
+        FROM exploded a JOIN exploded b ON a.i = b.i
+        WHERE a.vec_id < {_N_ANCHORS} AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT d.query_id, d.item_id,
+               d.dot / (nq.norm * ni.norm) AS cos,
+               nq.norm * nq.norm + ni.norm * ni.norm - 2 * d.dot AS dist2
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms ni ON d.item_id = ni.vec_id
+        WHERE nq.norm > 0 AND ni.norm > 0
+    ), r_cos AS (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(cos, 6) DESC, item_id) AS rank
+        FROM scored
+        QUALIFY rank <= {_RRF_LIST}
+    ), r_l2 AS (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(dist2, 6) ASC, item_id) AS rank
+        FROM scored
+        QUALIFY rank <= {_RRF_LIST}
+    ), long AS (
+        SELECT * FROM r_cos UNION ALL SELECT * FROM r_l2
+    ), fused AS (
+        SELECT query_id, item_id,
+               CAST(count(*) AS BIGINT) AS n_lists,
+               CAST(sum(CAST(round(1000000.0 / ({_RRF_K} + rank), 0)
+                             AS BIGINT)) AS BIGINT) AS rrf_u
+        FROM long GROUP BY 1, 2
+    )
+    SELECT query_id, item_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_u DESC, item_id) AS BIGINT) AS fused_rank,
+           n_lists, rrf_u
+    FROM fused
+    QUALIFY fused_rank <= {_RRF_TOPN}
+"""
+
+
+def rrf_fusion_topk(spark, sf_dir):
+    emb = cast_double_with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _N_ANCHORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = (
+        emb.filter(F.col("norm") > 0)
+        .crossJoin(F.broadcast(q.filter(F.col("qnorm") > 0)))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("item_id"),
+        (dot / (F.col("norm") * F.col("qnorm"))).alias("cos"),
+        (
+            F.col("qnorm") * F.col("qnorm")
+            + F.col("norm") * F.col("norm")
+            - 2 * dot
+        ).alias("dist2"),
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), "item_id"
+    )
+    w_l2 = Window.partitionBy("query_id").orderBy(
+        F.round("dist2", 6).asc(), "item_id"
+    )
+    r_cos = (
+        scored.withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= _RRF_LIST)
+        .select("query_id", "item_id", "rank")
+    )
+    r_l2 = (
+        scored.withColumn("rank", F.row_number().over(w_l2))
+        .filter(F.col("rank") <= _RRF_LIST)
+        .select("query_id", "item_id", "rank")
+    )
+    fused = fusion.rrf_scores(r_cos.unionByName(r_l2), k=_RRF_K)
+    return fusion.top_fused(fused, top_n=_RRF_TOPN)
+
+
+def test_rrf_fusion_topk_oracle_parity(spark, oracle):
+    spdf = rrf_fusion_topk(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(RRF_ORACLE).df()
+    assert_frames_match(spdf, opdf, "rrf_fusion_topk")
+    assert len(spdf) == _N_ANCHORS * _RRF_TOPN
+    # every fused winner appears in at least one list; both-list items
+    # carry two terms
+    assert spdf["n_lists"].isin([1, 2]).all()

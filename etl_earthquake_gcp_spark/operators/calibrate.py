@@ -1,0 +1,129 @@
+"""Cross-source score calibration (round-8 surface; library-first so the
+plan shapes are tested before registration).
+
+Quantile normalization: heterogeneous sources score their documents on
+incompatible scales (a web crawl's length distribution is nothing like
+curated reference text), so a single global quality threshold keeps the
+wrong mix. The classic fix maps every document's *within-source* midrank
+quantile onto the *global* score distribution — after which one
+threshold means the same thing everywhere.
+
+Everything here is integer-exact: ranks are integers, the target global
+rank is an integer ceiling division, and the calibrated value is an
+order STATISTIC (a selection, never an interpolation) — the repo's
+preferred parity class, bit-identical across engines by construction.
+
+Scale shape: the naive formulation is a corpus-wide ``row_number()``
+over an empty window partition — a single-task sort that dies at scale.
+Instead, ranks come from a score HISTOGRAM: per-group distinct-score
+counts (a groupBy, map-side combinable), an exclusive cumsum over the
+histogram rows (a window over |distinct scores| rows, not |docs|), and
+a tie-break window partitioned by (group, score) whose partitions are
+only the tied runs. Value-at-rank selection is a broadcast range join
+against the same histogram. Nothing ever sorts the full corpus in one
+task. (BIGINT rank products stay exact below ~2^62; a corpus beyond
+~10^9 rows per source should widen the quantile numerator to
+DECIMAL(38,0) — noted rather than paid here.)
+
+No reference counterpart (the reference's ETL ends at a star schema);
+this extends the tier-4 LLM-pipeline surface like operators/mixing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def score_histogram(df: DataFrame, score_col: str, *group_cols: str) -> DataFrame:
+    """Distinct-score counts with an EXCLUSIVE running count
+    (``cum_prev`` = how many rows in the group score strictly lower).
+    The window runs over histogram rows — |group × distinct score|,
+    tiny relative to the corpus."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.groupBy(*group_cols, score_col)
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long"),
+        )
+    )
+
+
+def exact_group_ranks(
+    df: DataFrame, score_col: str, group_col: str, id_col: str
+) -> DataFrame:
+    """Exact 1-based rank of every row within its group under
+    ``(score, id)`` ordering, without a group-wide sort: histogram
+    ``cum_prev`` (rows scoring strictly lower) + a row_number over the
+    tied run only. Adds ``rnk`` and the group size ``n_grp``."""
+    hist = score_histogram(df, score_col, group_col)
+    sizes = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_grp")
+    )
+    tie_w = Window.partitionBy(group_col, score_col).orderBy(id_col)
+    return (
+        df.join(F.broadcast(hist), [group_col, score_col])
+        .join(F.broadcast(sizes), [group_col])
+        .withColumn(
+            "rnk",
+            (F.col("cum_prev") + F.row_number().over(tie_w)).cast("long"),
+        )
+        .drop("cnt", "cum_prev")
+    )
+
+
+def value_at_global_rank(
+    targets: DataFrame, df: DataFrame, score_col: str, rank_col: str, out_col: str
+) -> DataFrame:
+    """Select the global order statistic at each target's integer rank:
+    the unique score whose histogram interval ``(cum_prev, cum_prev +
+    cnt]`` contains the rank — identical to "sort all rows by (score,
+    id) and take position r", because ties collapse to one value. A
+    broadcast range join against the histogram; the corpus never
+    sorts."""
+    ghist = score_histogram(df, score_col).select(
+        F.col(score_col).alias(out_col),
+        "cnt",
+        "cum_prev",
+    )
+    r = F.col(rank_col)
+    return targets.join(
+        F.broadcast(ghist),
+        (ghist["cum_prev"] < r) & (r <= ghist["cum_prev"] + ghist["cnt"]),
+    ).drop("cnt", "cum_prev")
+
+
+def quantile_normalize(
+    df: DataFrame, score_col: str, group_col: str, id_col: str
+) -> DataFrame:
+    """Map each row's within-group midrank quantile q = (2·rnk−1)/(2·n)
+    onto the global score distribution: target global rank =
+    ceil(q·N) as the pure integer ``(num + den − 1) div den``, then an
+    order-statistic selection. Output adds ``rnk``, ``n_grp``, ``q6``
+    (the quantile, one int/int ratio rounded once — the measured-safe
+    class), and ``calib_score``."""
+    ranked = exact_group_ranks(df, score_col, group_col, id_col)
+    total = df.agg(F.count("*").cast("long").alias("n_total"))
+    qnum = 2 * F.col("rnk") - 1
+    den = 2 * F.col("n_grp")
+    with_target = (
+        ranked.crossJoin(F.broadcast(total))
+        # integer ceil division — `div` keeps the arithmetic in BIGINT
+        # (a float divide would go lossy past 2^53)
+        .withColumn(
+            "tr",
+            F.expr(
+                "(n_total * (2*rnk - 1) + 2*n_grp - 1) div (2*n_grp)"
+            ).cast("long"),
+        )
+        .withColumn("q6", F.round(qnum * 1.0 / den, 6))
+    )
+    return value_at_global_rank(
+        with_target, df, score_col, "tr", "calib_score"
+    ).drop("tr", "n_total")

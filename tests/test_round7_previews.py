@@ -172,11 +172,11 @@ _BPE_K = 3
 _HASH8 = "CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)"
 
 
-def bpe_oracle(k: int) -> str:
-    """Unrolled k-stage BPE replay (same pattern as the MMR oracle's
-    chained CTEs): each stage counts pairs, picks the (cnt DESC, a, b)
-    argmax, rewrites the corpus with the doubled-space replace, and
-    checksums the rewritten corpus."""
+def bpe_merge_ctes(k: int) -> tuple[list[str], list[str]]:
+    """Shared unrolled k-stage BPE merge chain (also reused by the
+    round-8 fertility preview): returns the CTE list (c0..ck plus the
+    per-iteration pair-count/argmax/checksum stages) and the per-
+    iteration audit SELECTs."""
     ctes = ["c0 AS (SELECT doc_id, text FROM documents)"]
     rows = []
     for i in range(k):
@@ -212,6 +212,15 @@ def bpe_oracle(k: int) -> str:
             f" b AS tok_b, cnt AS pair_count,"
             f" (SELECT s FROM h{i + 1}) AS corpus_key_sum FROM b{i}"
         )
+    return ctes, rows
+
+
+def bpe_oracle(k: int) -> str:
+    """Unrolled k-stage BPE replay (same pattern as the MMR oracle's
+    chained CTEs): each stage counts pairs, picks the (cnt DESC, a, b)
+    argmax, rewrites the corpus with the doubled-space replace, and
+    checksums the rewritten corpus."""
+    ctes, rows = bpe_merge_ctes(k)
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
 
 

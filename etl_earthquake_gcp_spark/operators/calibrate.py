@@ -127,3 +127,36 @@ def quantile_normalize(
     return value_at_global_rank(
         with_target, df, score_col, "tr", "calib_score"
     ).drop("tr", "n_total")
+
+
+def group_lower_median(
+    df: DataFrame, score_col: str, group_col: str, out_col: str
+) -> DataFrame:
+    """Per-group LOWER median — the value at rank ``(n+1) div 2`` —
+    as a pure selection via the same histogram range join (value
+    selection is tie-independent, so no id ordering is even needed).
+    Lower-median semantics sidestep the even-count interpolation whose
+    last-ulp form differs across engines. Returns one (group, value)
+    row per group."""
+    sizes = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    targets = sizes.withColumn(
+        "_r", F.expr("(_n + 1) div 2").cast("long")
+    )
+    hist = score_histogram(df, score_col, group_col).select(
+        F.col(group_col).alias("_g"),
+        F.col(score_col).alias(out_col),
+        "cnt",
+        "cum_prev",
+    )
+    r = F.col("_r")
+    return (
+        targets.join(
+            F.broadcast(hist),
+            (targets[group_col] == hist["_g"])
+            & (hist["cum_prev"] < r)
+            & (r <= hist["cum_prev"] + hist["cnt"]),
+        )
+        .select(group_col, out_col)
+    )

@@ -152,3 +152,53 @@ def epoch_order(
     return docs.withColumn(
         "shuffle_key", epoch_shuffle_key(F.col(id_col), epoch)
     ).orderBy("shuffle_key", id_col)
+
+
+def token_budget_truncate(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str,
+    id_col: str,
+    p_num: int,
+    p_den: int,
+) -> DataFrame:
+    """Per-group top-p truncation by cumulative weight: order each
+    group's rows by (weight DESC, id), set the group budget to
+    ``ceil(p * total_weight)`` (pure integer ceiling division), and
+    keep every row that STARTS below the budget — so the row crossing
+    the boundary is included and the kept set always covers at least
+    the requested share. The "keep the heaviest docs until the token
+    budget is met" curation primitive, all integer arithmetic.
+
+    Adds ``cum_prev`` (exclusive running weight), ``grp_total`` and
+    ``budget``; returns only the kept rows. One per-group window sort +
+    one |groups|-row broadcast join. (Per-group sort skew is the honest
+    cost: the output is a prefix of each group's weight ordering, which
+    no histogram trick can avoid materializing.)"""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc(weight_col), id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("grp_total")
+    )
+    return (
+        df.withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum(F.col(weight_col).cast("long")).over(w), F.lit(0)
+            ).cast("long"),
+        )
+        .join(F.broadcast(totals), [group_col])
+        .withColumn(
+            "budget",
+            F.expr(
+                f"(grp_total * {int(p_num)} + {int(p_den)} - 1)"
+                f" div {int(p_den)}"
+            ).cast("long"),
+        )
+        .filter(F.col("cum_prev") < F.col("budget"))
+    )

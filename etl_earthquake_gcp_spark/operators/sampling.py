@@ -1,0 +1,66 @@
+"""Deterministic weighted sampling (round-8 surface; library-first so
+the plan shapes are tested before registration).
+
+Efraimidis–Spirakis A-Res: to draw N items WITHOUT replacement with
+probability proportional to a weight ``w``, give every item the key
+``u^(1/w)`` for an independent uniform ``u`` and keep the N largest —
+equivalently the N largest ``ln(u)/w``, which is what we compute. The
+"randomness" is the repo's portable two-round multiplicative hash of
+the item id (Knuth constant, squaring round for mixing — the HLL
+lesson), so the draw is fully deterministic and replayable by an ANSI
+oracle: both engines hash, transform, and select the exact same set.
+
+Parity note: ``ln`` is the one libm call; its argument is an exact
+dyadic rational (hash/2^31) and the result is immediately floored at
+1e-9 units into a BIGINT key, so a cross-engine last-ulp difference
+would have to straddle an exact integer boundary to flip the key — the
+same absorbed-by-single-quantization argument as operators/dsir.py's
+log-ratio features. All comparisons after that are pure integer.
+
+Scale shape: key assignment is a map-side expression (no shuffle); the
+top-N selection is Spark's TakeOrdered (per-partition top-N, then a
+driver-side merge of N-sized heads) — no global sort ever materializes.
+
+No reference counterpart (the reference's ETL ends at a star schema);
+this extends the tier-4 LLM-pipeline surface like operators/mixing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_A = 2654435761  # Knuth multiplicative constant (shared house hash)
+HASH_P = 2147483647  # 2^31 - 1; squares stay below 2^62 under ANSI
+KEY_UNIT = 1_000_000_000  # 1e-9-unit integer keys
+
+
+def portable_uniform(id_col: Column) -> Column:
+    """Deterministic uniform in (0, 1]: two multiplicative-hash rounds
+    (one round is not mixed enough for sequential ids — measured on the
+    HLL sketch), then scale into the unit interval as an exact dyadic
+    rational."""
+    h1 = (id_col.cast("long") * F.lit(HASH_A)) % F.lit(HASH_P)
+    h2 = (h1 * h1) % F.lit(HASH_P)
+    return (h2 + 1) / F.lit(2147483648.0)
+
+
+def es_sample_keys(
+    df: DataFrame, weight_col: str, id_col: str
+) -> DataFrame:
+    """Attach the integer Efraimidis–Spirakis key ``key_n =
+    floor(1e9 * ln(u) / w)`` (always negative: u < 1 by construction).
+    Rows with non-positive weight are dropped — symmetric with the
+    oracle's guard."""
+    u = portable_uniform(F.col(id_col))
+    key = F.floor(
+        F.lit(float(KEY_UNIT)) * F.ln(u) / F.col(weight_col)
+    ).cast("long")
+    return df.filter(F.col(weight_col) > 0).withColumn("key_n", key)
+
+
+def top_weighted(df: DataFrame, n: int, id_col: str) -> DataFrame:
+    """The N sampled items: largest keys (closest to zero), item id as
+    the total-order tie-break. orderBy + limit = TakeOrdered — each
+    partition contributes at most N rows to the driver-side merge."""
+    return df.orderBy(F.desc("key_n"), F.col(id_col)).limit(n)

@@ -12,7 +12,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etl_earthquake_gcp_spark.operators import bpe, calibrate
+from etl_earthquake_gcp_spark.operators import (
+    bpe,
+    calibrate,
+    mixing,
+    sampling,
+)
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
 from .conftest import SF_DIR, assert_frames_match
@@ -199,3 +204,209 @@ def test_bpe_fertility_oracle_parity(spark, oracle):
     # every merge only ever shrinks the token stream
     assert (spdf["tok_after"] <= spdf["tok_before"]).all()
     assert (spdf["compression6"] <= 1.0).all()
+
+
+# -- top_p_token_budget ------------------------------------------------------
+#
+# Per-source top-p truncation by cumulative weight: keep each source's
+# heaviest documents until ceil(p * total_chars) is covered (the row
+# crossing the boundary included). Pure integer arithmetic end to end;
+# the kept SET is certified by a portable-hash key sum.
+
+_TOPP_NUM, _TOPP_DEN = 1, 2  # keep the heaviest half of each source's chars
+
+TOP_P_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w FROM documents
+    ), cum AS (
+        SELECT doc_id, source, w,
+               CAST(coalesce(sum(w) OVER (PARTITION BY source
+                   ORDER BY w DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_prev,
+               CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS grp_total
+        FROM scored
+    ), kept AS (
+        SELECT *,
+               (grp_total * {_TOPP_NUM} + {_TOPP_DEN} - 1)
+                   // {_TOPP_DEN} AS budget
+        FROM cum
+        WHERE cum_prev < (grp_total * {_TOPP_NUM} + {_TOPP_DEN} - 1)
+                             // {_TOPP_DEN}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(w) AS BIGINT) AS chars_kept,
+           CAST(max(grp_total) AS BIGINT) AS total_chars,
+           CAST(max(budget) AS BIGINT) AS budget,
+           CAST(sum((doc_id * 2654435761) % 2147483647) AS BIGINT)
+               AS kept_key_sum
+    FROM kept GROUP BY source
+"""
+
+
+def top_p_token_budget(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    kept = mixing.token_budget_truncate(
+        docs, "w", "source", "doc_id", _TOPP_NUM, _TOPP_DEN
+    )
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647)
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("w").cast("long").alias("chars_kept"),
+        F.max("grp_total").cast("long").alias("total_chars"),
+        F.max("budget").cast("long").alias("budget"),
+        F.sum(key).cast("long").alias("kept_key_sum"),
+    )
+
+
+def test_top_p_token_budget_oracle_parity(spark, oracle):
+    spdf = top_p_token_budget(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(TOP_P_ORACLE).df()
+    assert_frames_match(spdf, opdf, "top_p_token_budget")
+    # the kept prefix always covers the budget, never the whole source
+    assert (spdf["chars_kept"] >= spdf["budget"]).all()
+    assert (spdf["chars_kept"] <= spdf["total_chars"]).all()
+
+
+# -- weighted_sample_docs ----------------------------------------------------
+#
+# Efraimidis-Spirakis weighted sampling without replacement, made fully
+# deterministic by the portable two-round hash — both engines select
+# the exact same 100 documents (see operators/sampling.py for the
+# ln-ulp absorption argument).
+
+_WS_N = 100
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+    WITH h AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+               ((doc_id * 2654435761) % 2147483647) AS h1
+        FROM documents WHERE n_chars > 0
+    ), k AS (
+        SELECT doc_id, source, w,
+               CAST(floor(1000000000.0
+                   * ln((((h1 * h1) % 2147483647) + 1) / 2147483648.0)
+                   / w) AS BIGINT) AS key_n
+        FROM h
+    )
+    SELECT doc_id, source, w, key_n
+    FROM k
+    ORDER BY key_n DESC, doc_id
+    LIMIT {_WS_N}
+"""
+
+
+def weighted_sample_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    keyed = sampling.es_sample_keys(docs, "w", "doc_id")
+    return sampling.top_weighted(keyed, _WS_N, "doc_id").select(
+        "doc_id", "source", "w", "key_n"
+    )
+
+
+def test_weighted_sample_oracle_parity(spark, oracle):
+    spdf = weighted_sample_docs(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(WEIGHTED_SAMPLE_ORACLE).df()
+    assert_frames_match(spdf, opdf, "weighted_sample_docs")
+    assert len(spdf) == _WS_N
+    assert (spdf["key_n"] < 0).all()  # u < 1 by construction
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark):
+    """The point of weighting: the sampled mean weight exceeds the
+    corpus mean (verified to hold under this deterministic hash at
+    sf0.001 and sf0.01)."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.col("n_chars").cast("long").alias("w"))
+        .toPandas()
+    )
+    samp = weighted_sample_docs(spark, SF_DIR).toPandas()
+    assert samp["w"].mean() > docs["w"].mean()
+
+
+# -- robust_scale_mad --------------------------------------------------------
+#
+# Per-source robust location/scale (lower median + lower-median absolute
+# deviation) and the outlier count at 3 MADs. Medians are rank
+# SELECTIONS (row_number == (n+1) div 2), never interpolations, and the
+# 3-MAD test is the integer compare |x - med| > 3*mad — zero floats in
+# the whole query, so parity is structural. mad = 0 (more than half the
+# group tied) degrades gracefully: every x != med counts as an outlier.
+
+ROBUST_MAD_ORACLE = """
+    WITH scored AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents
+    ), med AS (
+        SELECT source, x AS med
+        FROM (
+            SELECT source, x,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY x, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM scored
+        )
+        WHERE rn = (n + 1) // 2
+    ), dev AS (
+        SELECT s.doc_id, s.source, s.x, m.med, abs(s.x - m.med) AS d
+        FROM scored s JOIN med m USING (source)
+    ), mad AS (
+        SELECT source, d AS mad
+        FROM (
+            SELECT source, d,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY d, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM dev
+        )
+        WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(dev.med) AS BIGINT) AS med,
+           CAST(min(mad.mad) AS BIGINT) AS mad,
+           CAST(sum(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (source)
+    GROUP BY dev.source
+"""
+
+
+def robust_scale_mad(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
+    )
+    med = calibrate.group_lower_median(docs, "x", "source", "med")
+    dev = docs.join(F.broadcast(med), ["source"]).withColumn(
+        "d", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = calibrate.group_lower_median(dev, "d", "source", "mad")
+    return (
+        dev.join(F.broadcast(mad), ["source"])
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("med").cast("long").alias("med"),
+            F.min("mad").cast("long").alias("mad"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+def test_robust_scale_mad_oracle_parity(spark, oracle):
+    spdf = robust_scale_mad(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(ROBUST_MAD_ORACLE).df()
+    assert_frames_match(spdf, opdf, "robust_scale_mad")
+    assert (spdf["mad"] >= 0).all()
+    # a median is a corpus value, so at most half the group sits
+    # strictly below it
+    assert (spdf["n_outliers"] < spdf["n_docs"]).all()

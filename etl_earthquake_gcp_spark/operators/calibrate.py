@@ -20,10 +20,14 @@ counts (a groupBy, map-side combinable), an exclusive cumsum over the
 histogram rows (a window over |distinct scores| rows, not |docs|), and
 a tie-break window partitioned by (group, score) whose partitions are
 only the tied runs. Value-at-rank selection is a broadcast range join
-against the same histogram. Nothing ever sorts the full corpus in one
-task. (BIGINT rank products stay exact below ~2^62; a corpus beyond
-~10^9 rows per source should widen the quantile numerator to
-DECIMAL(38,0) — noted rather than paid here.)
+against the same histogram. The grouped histogram is computed ONCE and
+persisted (the dedup.py multi-consumer pattern); group sizes, the
+global total, and the global histogram are all |histogram|-row
+re-aggregations of it, so the corpus is scanned exactly twice per
+query (histogram build + the rank join), never once per statistic.
+(BIGINT rank products stay exact below ~2^62; a corpus beyond ~10^9
+rows per source should widen the quantile numerator to DECIMAL(38,0) —
+noted rather than paid here.)
 
 No reference counterpart (the reference's ETL ends at a star schema);
 this extends the tier-4 LLM-pipeline surface like operators/mixing.py.
@@ -35,36 +39,51 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def score_histogram(df: DataFrame, score_col: str, *group_cols: str) -> DataFrame:
-    """Distinct-score counts with an EXCLUSIVE running count
-    (``cum_prev`` = how many rows in the group score strictly lower).
-    The window runs over histogram rows — |group × distinct score|,
-    tiny relative to the corpus."""
+def _cumulate(counts: DataFrame, score_col: str, *group_cols: str) -> DataFrame:
+    """Attach the EXCLUSIVE running count (``cum_prev`` = rows scoring
+    strictly lower in the group) to a (group, score, cnt) frame. The
+    window runs over histogram rows only."""
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(score_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        df.groupBy(*group_cols, score_col)
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .withColumn(
-            "cum_prev",
-            F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long"),
-        )
+    return counts.withColumn(
+        "cum_prev",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long"),
+    )
+
+
+def score_histogram(df: DataFrame, score_col: str, *group_cols: str) -> DataFrame:
+    """Distinct-score counts with the exclusive running count —
+    |group × distinct score| rows, tiny relative to the corpus."""
+    return _cumulate(
+        df.groupBy(*group_cols, score_col).agg(
+            F.count("*").cast("long").alias("cnt")
+        ),
+        score_col,
+        *group_cols,
     )
 
 
 def exact_group_ranks(
-    df: DataFrame, score_col: str, group_col: str, id_col: str
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+    hist: DataFrame | None = None,
 ) -> DataFrame:
     """Exact 1-based rank of every row within its group under
     ``(score, id)`` ordering, without a group-wide sort: histogram
     ``cum_prev`` (rows scoring strictly lower) + a row_number over the
-    tied run only. Adds ``rnk`` and the group size ``n_grp``."""
-    hist = score_histogram(df, score_col, group_col)
-    sizes = df.groupBy(group_col).agg(
-        F.count("*").cast("long").alias("n_grp")
+    tied run only. Adds ``rnk`` and the group size ``n_grp`` (derived
+    from the histogram — no extra corpus scan). Pass a precomputed
+    (ideally persisted) ``score_histogram(df, score_col, group_col)``
+    to share it across consumers."""
+    if hist is None:
+        hist = score_histogram(df, score_col, group_col)
+    sizes = hist.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("n_grp")
     )
     tie_w = Window.partitionBy(group_col, score_col).orderBy(id_col)
     return (
@@ -78,25 +97,34 @@ def exact_group_ranks(
     )
 
 
-def value_at_global_rank(
-    targets: DataFrame, df: DataFrame, score_col: str, rank_col: str, out_col: str
+def value_at_rank_from_hist(
+    targets: DataFrame, hist: DataFrame, score_col: str, rank_col: str, out_col: str
 ) -> DataFrame:
-    """Select the global order statistic at each target's integer rank:
-    the unique score whose histogram interval ``(cum_prev, cum_prev +
-    cnt]`` contains the rank — identical to "sort all rows by (score,
-    id) and take position r", because ties collapse to one value. A
-    broadcast range join against the histogram; the corpus never
+    """Select the order statistic at each target's integer rank from a
+    (score, cnt, cum_prev) histogram: the unique score whose interval
+    ``(cum_prev, cum_prev + cnt]`` contains the rank — identical to
+    "sort all rows by (score, id) and take position r", because ties
+    collapse to one value. A broadcast range join; the corpus never
     sorts."""
-    ghist = score_histogram(df, score_col).select(
-        F.col(score_col).alias(out_col),
-        "cnt",
-        "cum_prev",
+    h = hist.select(
+        F.col(score_col).alias(out_col), "cnt", "cum_prev"
     )
     r = F.col(rank_col)
     return targets.join(
-        F.broadcast(ghist),
-        (ghist["cum_prev"] < r) & (r <= ghist["cum_prev"] + ghist["cnt"]),
+        F.broadcast(h),
+        (h["cum_prev"] < r) & (r <= h["cum_prev"] + h["cnt"]),
     ).drop("cnt", "cum_prev")
+
+
+def value_at_global_rank(
+    targets: DataFrame, df: DataFrame, score_col: str, rank_col: str, out_col: str
+) -> DataFrame:
+    """:func:`value_at_rank_from_hist` over a histogram built from
+    ``df`` — the convenience form when nothing else needs the
+    histogram."""
+    return value_at_rank_from_hist(
+        targets, score_histogram(df, score_col), score_col, rank_col, out_col
+    )
 
 
 def quantile_normalize(
@@ -107,9 +135,17 @@ def quantile_normalize(
     ceil(q·N) as the pure integer ``(num + den − 1) div den``, then an
     order-statistic selection. Output adds ``rnk``, ``n_grp``, ``q6``
     (the quantile, one int/int ratio rounded once — the measured-safe
-    class), and ``calib_score``."""
-    ranked = exact_group_ranks(df, score_col, group_col, id_col)
-    total = df.agg(F.count("*").cast("long").alias("n_total"))
+    class), and ``calib_score``. One grouped histogram, persisted,
+    feeds ranks, sizes, the global total AND the global histogram."""
+    hist = score_histogram(df, score_col, group_col).persist()
+    ranked = exact_group_ranks(df, score_col, group_col, id_col, hist=hist)
+    total = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
+    ghist = _cumulate(
+        hist.groupBy(score_col).agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        ),
+        score_col,
+    )
     qnum = 2 * F.col("rnk") - 1
     den = 2 * F.col("n_grp")
     with_target = (
@@ -124,8 +160,8 @@ def quantile_normalize(
         )
         .withColumn("q6", F.round(qnum * 1.0 / den, 6))
     )
-    return value_at_global_rank(
-        with_target, df, score_col, "tr", "calib_score"
+    return value_at_rank_from_hist(
+        with_target, ghist, score_col, "tr", "calib_score"
     ).drop("tr", "n_total")
 
 
@@ -134,17 +170,18 @@ def group_lower_median(
 ) -> DataFrame:
     """Per-group LOWER median — the value at rank ``(n+1) div 2`` —
     as a pure selection via the same histogram range join (value
-    selection is tie-independent, so no id ordering is even needed).
-    Lower-median semantics sidestep the even-count interpolation whose
-    last-ulp form differs across engines. Returns one (group, value)
-    row per group."""
-    sizes = df.groupBy(group_col).agg(
-        F.count("*").cast("long").alias("_n")
+    selection is tie-independent, so no id ordering is even needed;
+    group sizes are derived from the histogram, so the corpus is
+    scanned once). Lower-median semantics sidestep the even-count
+    interpolation whose last-ulp form differs across engines. Returns
+    one (group, value) row per group."""
+    hist = score_histogram(df, score_col, group_col).persist()
+    targets = (
+        hist.groupBy(group_col)
+        .agg(F.sum("cnt").cast("long").alias("_n"))
+        .withColumn("_r", F.expr("(_n + 1) div 2").cast("long"))
     )
-    targets = sizes.withColumn(
-        "_r", F.expr("(_n + 1) div 2").cast("long")
-    )
-    hist = score_histogram(df, score_col, group_col).select(
+    h = hist.select(
         F.col(group_col).alias("_g"),
         F.col(score_col).alias(out_col),
         "cnt",
@@ -153,10 +190,10 @@ def group_lower_median(
     r = F.col("_r")
     return (
         targets.join(
-            F.broadcast(hist),
-            (targets[group_col] == hist["_g"])
-            & (hist["cum_prev"] < r)
-            & (r <= hist["cum_prev"] + hist["cnt"]),
+            F.broadcast(h),
+            (targets[group_col] == h["_g"])
+            & (h["cum_prev"] < r)
+            & (r <= h["cum_prev"] + h["cnt"]),
         )
         .select(group_col, out_col)
     )

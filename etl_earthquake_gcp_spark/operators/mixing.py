@@ -91,41 +91,16 @@ def budget_allocation(
     bit-for-bit, and quotas sum to EXACTLY ``budget`` regardless of
     whether the float weights sum to precisely 1 (quantizing 1/3 three
     times gives T = 999999, which naive //1e6 under-allocates by one).
-    |sources|-row computation; one window pass.
+    |sources|-row computation; one window pass. Delegates to
+    :func:`grouped_budget_allocation` (the constant-partition special
+    case) so the parity-critical integer logic exists exactly once.
     """
-    from pyspark.sql import Window
-
-    w_u = F.round(F.col(weight_col) * 1_000_000, 0).cast("long")
-    tot = Window.partitionBy()
-    b = int(budget)
-    base = (
-        weights.select(key_col, F.col(weight_col), w_u.alias("w_u"))
-        .withColumn("t", F.sum("w_u").over(tot))
-        .select(
-            key_col,
-            weight_col,
-            F.expr(f"div(w_u * {b}, t)").alias("floor_quota"),
-            ((F.col("w_u") * b) % F.col("t")).alias("rem"),
-        )
+    staged = weights.withColumn("_part", F.lit(0)).withColumn(
+        "_budget", F.lit(int(budget))
     )
-    win = Window.orderBy(F.desc("rem"), key_col)
-    return (
-        base.withColumn("rr", F.row_number().over(win))
-        .withColumn(
-            "shortfall",
-            F.lit(b) - F.sum("floor_quota").over(tot),
-        )
-        .select(
-            key_col,
-            weight_col,
-            (
-                F.col("floor_quota")
-                + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("quota"),
-        )
-    )
+    return grouped_budget_allocation(
+        staged, "_part", "_budget", key_col, weight_col
+    ).select(key_col, weight_col, "quota")
 
 
 def epoch_shuffle_key(doc_id: Column, epoch: int) -> Column:
@@ -171,28 +146,39 @@ def token_budget_truncate(
     budget is met" curation primitive, all integer arithmetic.
 
     Adds ``cum_prev`` (exclusive running weight), ``grp_total`` and
-    ``budget``; returns only the kept rows. One per-group window sort +
-    one |groups|-row broadcast join. (Per-group sort skew is the honest
-    cost: the output is a prefix of each group's weight ordering, which
-    no histogram trick can avoid materializing.)"""
+    ``budget``; returns only the kept rows. Both the running and the
+    total sum come from windows over the SAME group partitioning — one
+    exchange, one corpus scan, no totals join. (Per-group sort skew is
+    the honest cost: the output is a prefix of each group's weight
+    ordering, which no histogram trick can avoid materializing.)
+
+    The weight column must already be integer-typed: a silent
+    ``cast("long")`` here would truncate fractional weights toward zero
+    while a SQL oracle's CAST rounds — a cross-engine parity trap."""
     from pyspark.sql import Window
 
-    w = (
+    wtype = dict(df.dtypes)[weight_col]
+    if wtype not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"token_budget_truncate needs an integer weight column; "
+            f"{weight_col} is {wtype} — quantize it explicitly first"
+        )
+    w_run = (
         Window.partitionBy(group_col)
         .orderBy(F.desc(weight_col), id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    totals = df.groupBy(group_col).agg(
-        F.sum(F.col(weight_col).cast("long")).alias("grp_total")
-    )
+    w_all = Window.partitionBy(group_col)
     return (
         df.withColumn(
             "cum_prev",
-            F.coalesce(
-                F.sum(F.col(weight_col).cast("long")).over(w), F.lit(0)
-            ).cast("long"),
+            F.coalesce(F.sum(weight_col).over(w_run), F.lit(0)).cast(
+                "long"
+            ),
         )
-        .join(F.broadcast(totals), [group_col])
+        .withColumn(
+            "grp_total", F.sum(weight_col).over(w_all).cast("long")
+        )
         .withColumn(
             "budget",
             F.expr(
@@ -201,4 +187,61 @@ def token_budget_truncate(
             ).cast("long"),
         )
         .filter(F.col("cum_prev") < F.col("budget"))
+    )
+
+
+def grouped_budget_allocation(
+    weights: DataFrame,
+    part_col: str,
+    budget_col: str,
+    key_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Hamilton apportionment of an integer PER-GROUP budget across
+    each group's keys by float weight — :func:`budget_allocation`
+    generalized to partitioned windows (every window runs over
+    |keys| rows per group; the global form is the constant-partition
+    special case and delegates here so the bit-parity-critical
+    quantize/renormalize/tie logic exists exactly once). Returns
+    (part, key, weight, quota) with sum(quota) == budget in every
+    part."""
+    from pyspark.sql import Window
+
+    w_u = F.round(F.col(weight_col) * 1_000_000, 0).cast("long")
+    part_w = Window.partitionBy(part_col)
+    base = (
+        weights.select(
+            part_col,
+            key_col,
+            F.col(weight_col),
+            F.col(budget_col).cast("long").alias("_b"),
+            w_u.alias("w_u"),
+        )
+        .withColumn("t", F.sum("w_u").over(part_w))
+        .select(
+            part_col,
+            key_col,
+            weight_col,
+            "_b",
+            F.expr("div(w_u * _b, t)").alias("floor_quota"),
+            ((F.col("w_u") * F.col("_b")) % F.col("t")).alias("rem"),
+        )
+    )
+    rr_w = Window.partitionBy(part_col).orderBy(F.desc("rem"), key_col)
+    return (
+        base.withColumn("rr", F.row_number().over(rr_w))
+        .withColumn(
+            "shortfall", F.col("_b") - F.sum("floor_quota").over(part_w)
+        )
+        .select(
+            part_col,
+            key_col,
+            weight_col,
+            (
+                F.col("floor_quota")
+                + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
     )

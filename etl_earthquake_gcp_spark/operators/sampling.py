@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 HASH_A = 2654435761  # Knuth multiplicative constant (shared house hash)
 HASH_P = 2147483647  # 2^31 - 1; squares stay below 2^62 under ANSI
+HASH_A_RED = HASH_A % HASH_P  # 506952114: (A·x) mod p == ((A mod p)·x) mod p
 KEY_UNIT = 1_000_000_000  # 1e-9-unit integer keys
 
 
@@ -39,8 +40,16 @@ def portable_uniform(id_col: Column) -> Column:
     """Deterministic uniform in (0, 1]: two multiplicative-hash rounds
     (one round is not mixed enough for sequential ids — measured on the
     HLL sketch), then scale into the unit interval as an exact dyadic
-    rational."""
-    h1 = (id_col.cast("long") * F.lit(HASH_A)) % F.lit(HASH_P)
+    rational.
+
+    Both multiplications stay below 2^62 under ANSI for ARBITRARY ids:
+    the id is reduced mod p first and the Knuth constant is used in its
+    mod-p-reduced form (mathematically identical for ids < p, and the
+    consistent extension beyond — a raw ``id * A`` would overflow BIGINT
+    past id ≈ 3.47e9, well inside a 100 TB corpus)."""
+    h1 = (
+        (id_col.cast("long") % F.lit(HASH_P)) * F.lit(HASH_A_RED)
+    ) % F.lit(HASH_P)
     h2 = (h1 * h1) % F.lit(HASH_P)
     return (h2 + 1) / F.lit(2147483648.0)
 

@@ -508,6 +508,9 @@ def rrf_fusion_topk(spark, sf_dir):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # both ranking windows consume `scored` with different projections
+    # (no exchange reuse), so persist the broadcast pair scan — the
+    # query's dominant cost — instead of computing it twice
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("item_id"),
@@ -517,7 +520,7 @@ def rrf_fusion_topk(spark, sf_dir):
             + F.col("norm") * F.col("norm")
             - 2 * dot
         ).alias("dist2"),
-    )
+    ).persist()
     w_cos = Window.partitionBy("query_id").orderBy(
         F.round("cos", 6).desc(), "item_id"
     )

@@ -23,6 +23,21 @@ from etl_earthquake_gcp_spark.sources.tables import load_table
 from .conftest import SF_DIR, assert_frames_match
 from .test_round7_previews import bpe_merge_ctes
 
+# the portable integer id-hash, built from the ONE source of truth in
+# operators/sampling.py (same convention as the minhash oracles) — the
+# reduced-multiplier form stays ANSI-safe for arbitrary ids
+_KEY_SQL = (
+    f"(((doc_id % {sampling.HASH_P}) * {sampling.HASH_A_RED})"
+    f" % {sampling.HASH_P})"
+)
+
+
+def _key_col():
+    return (
+        (F.col("doc_id") % F.lit(sampling.HASH_P))
+        * F.lit(sampling.HASH_A_RED)
+    ) % F.lit(sampling.HASH_P)
+
 
 # -- quantile_normalize_scores -----------------------------------------------
 #
@@ -239,7 +254,7 @@ TOP_P_ORACLE = f"""
            CAST(sum(w) AS BIGINT) AS chars_kept,
            CAST(max(grp_total) AS BIGINT) AS total_chars,
            CAST(max(budget) AS BIGINT) AS budget,
-           CAST(sum((doc_id * 2654435761) % 2147483647) AS BIGINT)
+           CAST(sum({_KEY_SQL}) AS BIGINT)
                AS kept_key_sum
     FROM kept GROUP BY source
 """
@@ -252,7 +267,7 @@ def top_p_token_budget(spark, sf_dir):
     kept = mixing.token_budget_truncate(
         docs, "w", "source", "doc_id", _TOPP_NUM, _TOPP_DEN
     )
-    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647)
+    key = _key_col()
     return kept.groupBy("source").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.sum("w").cast("long").alias("chars_kept"),
@@ -283,12 +298,13 @@ _WS_N = 100
 WEIGHTED_SAMPLE_ORACLE = f"""
     WITH h AS (
         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
-               ((doc_id * 2654435761) % 2147483647) AS h1
+               {_KEY_SQL} AS h1
         FROM documents WHERE n_chars > 0
     ), k AS (
         SELECT doc_id, source, w,
-               CAST(floor(1000000000.0
-                   * ln((((h1 * h1) % 2147483647) + 1) / 2147483648.0)
+               CAST(floor({float(sampling.KEY_UNIT)}
+                   * ln((((h1 * h1) % {sampling.HASH_P}) + 1)
+                        / {float(sampling.HASH_P + 1)})
                    / w) AS BIGINT) AS key_n
         FROM h
     )

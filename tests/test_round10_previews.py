@@ -1,0 +1,192 @@
+"""Round-10 query previews: full Spark-vs-DuckDB parity pairs for the
+exact duplicated-span finder (the Lee-et-al substring-dedup shape on
+maximal islands) and the embedding centroid-shift audit, verified NOW
+so a later registration is a mechanical @register move.
+
+Same contract as tests/test_round7_previews.py: each test runs the
+planned queries() callable against the planned oracle_sql() string with
+the driver-sim comparator, so the pair is already proven when promoted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_earthquake_gcp_spark.sources.tables import load_table
+
+from .conftest import SF_DIR, assert_frames_match
+
+
+# -- shared_span_islands -----------------------------------------------------
+#
+# Exact cross-document duplicated spans: every position whose k-gram
+# occurs in ≥2 DISTINCT documents, merged into maximal runs with the
+# gap-and-island trick (pos − row_number is constant within a
+# consecutive run — pure integer arithmetic). The maximal-span
+# companion to the fixed-segment segment_dedup_rewrite: this is the
+# find stage of exact substring deduplication, where a shared run of
+# ≥ w+k−1 tokens is recovered as ONE span, not ceil(w/seg) fragments.
+
+_SPAN_K = 5
+
+SPAN_ISLANDS_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, s.i AS pos,
+               array_to_string(toks[s.i:s.i + {_SPAN_K} - 1], ' ') AS gram
+        FROM t, LATERAL (SELECT unnest(generate_series(1,
+                 len(toks) - {_SPAN_K} + 1)) AS i) s
+        WHERE len(toks) >= {_SPAN_K}
+    ), reach AS (
+        SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY gram
+    ), shared AS (
+        SELECT g.doc_id, g.pos
+        FROM g JOIN reach USING (gram)
+        WHERE reach.n_docs >= 2
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pos) AS grp
+        FROM shared
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS start_pos,
+           CAST(max(pos) + {_SPAN_K} - 1 AS BIGINT) AS end_pos,
+           CAST(max(pos) - min(pos) + {_SPAN_K} AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+"""
+
+
+def shared_span_islands(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_SPAN_K} + 1),"
+                    f" i -> array_join(slice(toks, i, {_SPAN_K}), ' '))"
+                )
+            ).alias("idx", "gram"),
+        )
+        .select("doc_id", (F.col("idx") + 1).alias("pos"), "gram")
+        .persist()  # feeds the reach groupBy AND the join back
+    )
+    reach = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    )
+    shared = (
+        grams.join(reach, "gram")
+        .filter(F.col("n_docs") >= 2)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = shared.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("start_pos"),
+        (F.max("pos") + _SPAN_K - 1).cast("long").alias("end_pos"),
+        (F.max("pos") - F.min("pos") + _SPAN_K)
+        .cast("long")
+        .alias("span_tokens"),
+    ).drop("grp")
+
+
+def test_shared_span_islands_oracle_parity(spark, oracle):
+    spdf = shared_span_islands(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(SPAN_ISLANDS_ORACLE).df()
+    assert_frames_match(spdf, opdf, "shared_span_islands")
+    assert (spdf["span_tokens"] >= _SPAN_K).all()
+    assert (
+        spdf["end_pos"] - spdf["start_pos"] + 1 == spdf["span_tokens"]
+    ).all()
+
+
+def test_span_islands_are_maximal(spark):
+    """Within a doc, merged islands never touch: consecutive spans are
+    separated by at least one non-shared position."""
+    pdf = shared_span_islands(spark, SF_DIR).toPandas()
+    for _, grp in pdf.groupby("doc_id"):
+        g = grp.sort_values("start_pos")
+        # next span's first shared k-gram starts after this island's
+        # last shared position (end_pos - k + 1), with a gap
+        assert (
+            g["start_pos"].shift(-1).dropna().to_numpy()
+            > (g["end_pos"] - _SPAN_K + 1).to_numpy()[:-1] + 1
+        ).all()
+
+
+# -- label_centroid_shift ----------------------------------------------------
+#
+# Embedding distribution-shift audit: per-label centroids (per-dim
+# means quantized ONCE to 1e-6 integer units — the moments-first rule;
+# avg combine-order ulp drift is absorbed by the single quantization),
+# then EXACT integer squared distances between every label pair. The
+# only float op is the final display ratio (d2_u / 1e12, one int/int
+# ratio rounded once).
+
+CENTROID_SHIFT_ORACLE = """
+    WITH x AS (
+        SELECT label, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), cent AS (
+        SELECT label, i,
+               CAST(round(avg(v) * 1000000, 0) AS BIGINT) AS u
+        FROM x GROUP BY label, i
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum((a.u - b.u) * (a.u - b.u)) AS BIGINT) AS dist2_u,
+           round(sum((a.u - b.u) * (a.u - b.u)) * 1.0
+                 / 1000000000000, 6) AS dist2_6
+    FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+    GROUP BY 1, 2
+"""
+
+
+def label_centroid_shift(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "v")
+    ).select(
+        "label", (F.col("i0") + 1).alias("i"), F.col("v").cast("double")
+    )
+    cent = x.groupBy("label", "i").agg(
+        F.round(F.avg("v") * 1_000_000, 0).cast("long").alias("u")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "i", F.col("u").alias("ua")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "i", F.col("u").alias("ub")
+    )
+    d2 = F.sum(
+        (F.col("ua") - F.col("ub")) * (F.col("ua") - F.col("ub"))
+    ).cast("long")
+    return (
+        a.join(b, (a["i"] == b["i"]) & (a["label_a"] < b["label_b"]))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.count("*").cast("long").alias("n_dims"),
+            d2.alias("dist2_u"),
+            F.round(d2 * 1.0 / 1_000_000_000_000, 6).alias("dist2_6"),
+        )
+    )
+
+
+def test_label_centroid_shift_oracle_parity(spark, oracle):
+    spdf = label_centroid_shift(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(CENTROID_SHIFT_ORACLE).df()
+    assert_frames_match(spdf, opdf, "label_centroid_shift")
+    n_lab = spdf[["label_a", "label_b"]].stack().nunique()
+    assert len(spdf) == n_lab * (n_lab - 1) // 2
+    assert (spdf["n_dims"] == 64).all()
+    assert (spdf["dist2_u"] > 0).all()  # distinct label clusters

@@ -190,3 +190,101 @@ def test_label_centroid_shift_oracle_parity(spark, oracle):
     assert len(spdf) == n_lab * (n_lab - 1) // 2
     assert (spdf["n_dims"] == 64).all()
     assert (spdf["dist2_u"] > 0).all()  # distinct label clusters
+
+
+# -- label_propagation_3iter -------------------------------------------------
+#
+# Community detection on the shared degree-capped co-activity graph
+# (the triangle/BFS substrate): three synchronous label-propagation
+# iterations, made fully deterministic by the (count DESC, label ASC)
+# argmax tie-break — pure integer arithmetic, so the unrolled-CTE
+# oracle replays every iteration bit-for-bit. Output certifies the
+# complete final assignment via per-community node-id sums.
+
+_LPA_K = 3
+
+
+def lpa_oracle() -> str:
+    from etl_earthquake_gcp_spark.plans.analytics_queries import (
+        _TRIANGLE_EDGES_SQL,
+    )
+
+    ctes = [
+        _TRIANGLE_EDGES_SQL.strip(),
+        """d2 AS (
+            SELECT u AS src, v AS dst FROM edges
+            UNION ALL
+            SELECT v, u FROM edges
+        )""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM d2)",
+    ]
+    for i in range(1, _LPA_K + 1):
+        ctes.append(f"""n{i} AS (
+            SELECT d.src, l.label, CAST(count(*) AS BIGINT) AS c
+            FROM d2 d JOIN l{i - 1} l ON d.dst = l.node
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""l{i} AS (
+            SELECT src AS node, label FROM (
+                SELECT src, label, row_number() OVER (
+                    PARTITION BY src ORDER BY c DESC, label) AS rn
+                FROM n{i})
+            WHERE rn = 1
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_sum
+    FROM l{_LPA_K} GROUP BY 1
+    """
+    )
+
+
+def label_propagation_3iter(spark, sf_dir):
+    from etl_earthquake_gcp_spark.plans.analytics_queries import (
+        _capped_user_edges,
+    )
+
+    edges = _capped_user_edges(spark, sf_dir)
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).persist()  # traversed once per iteration (the pagerank pattern)
+    labels = (
+        directed.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), "label")
+    for _ in range(_LPA_K):
+        neigh = directed.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select("src", "label")
+        cnt = neigh.groupBy("src", "label").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("node_sum"),
+    ).select(
+        F.col("label").cast("long").alias("community"),
+        "n_nodes",
+        "node_sum",
+    )
+
+
+def test_label_propagation_oracle_parity(spark, oracle):
+    spdf = label_propagation_3iter(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(lpa_oracle()).df()
+    assert_frames_match(spdf, opdf, "label_propagation_3iter")
+    # every community label is one of its... a node id that exists; and
+    # communities partition the node set (sizes sum to distinct nodes)
+    assert spdf["n_nodes"].sum() == opdf["n_nodes"].sum()
+    assert (spdf["n_nodes"] >= 1).all()

@@ -79,27 +79,33 @@ def apply_merge(
     return corpus.withColumn(text_col, canonical)
 
 
-def merge_induction(
-    corpus: DataFrame, n_merges: int, text_col: str = "text"
-) -> list[dict]:
+def induce_and_encode(
+    corpus: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint: bool = True,
+) -> tuple[list[dict], DataFrame]:
     """Run ``n_merges`` BPE iterations; return one audit dict per
-    iteration: the merged pair, its pre-merge count, and an
+    iteration — the merged pair, its pre-merge count, and an
     order-insensitive integer checksum of the ENTIRE rewritten corpus
-    (sum of ``portable_hash8(text)``) — certifying every intermediate
-    corpus state, not just the merge table.
+    (sum of ``portable_hash8(text)``), certifying every intermediate
+    corpus state, not just the merge table — plus the final encoded
+    corpus (so downstream evaluation never re-applies the merge chain).
 
     The per-iteration driver collect is exactly one (a, b, cnt) row;
     the corpus itself never leaves the cluster.
 
-    Scale note (measured, SCALING.md round-5): the lazy rewrite chain
-    re-executes for each iteration's two actions — O(k²) scans total.
-    Fine at k ≈ 3 (decade ratio 4.1); for production-sized merge tables
-    insert ``cur = cur.localCheckpoint()`` per iteration (the repo's
-    BFS lesson) to make it O(k) scans at the cost of materializing the
-    corpus once per merge."""
+    ``checkpoint`` truncates the rewrite lineage with a per-iteration
+    ``localCheckpoint()`` (the repo's BFS lesson): without it the lazy
+    chain re-executes for each iteration's two actions — O(k²) scans
+    total (measured decade ratio 4.1 at k=3, SCALING.md round-5); with
+    it each iteration materializes the corpus once and every scan reads
+    the checkpointed state — O(k) scans."""
     out: list[dict] = []
     cur = corpus
     for it in range(1, n_merges + 1):
+        if checkpoint:
+            cur = cur.localCheckpoint()
         best = (
             pair_counts(cur, text_col)
             .orderBy(F.desc("cnt"), "a", "b")
@@ -122,4 +128,14 @@ def merge_induction(
                 "corpus_key_sum": checksum,
             }
         )
-    return out
+    return out, cur
+
+
+def merge_induction(
+    corpus: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint: bool = True,
+) -> list[dict]:
+    """The audit table alone — see :func:`induce_and_encode`."""
+    return induce_and_encode(corpus, n_merges, text_col, checkpoint)[0]

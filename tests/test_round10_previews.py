@@ -288,3 +288,257 @@ def test_label_propagation_oracle_parity(spark, oracle):
     # communities partition the node set (sizes sum to distinct nodes)
     assert spdf["n_nodes"].sum() == opdf["n_nodes"].sum()
     assert (spdf["n_nodes"] >= 1).all()
+
+
+# -- bellman_ford_3relax -----------------------------------------------------
+#
+# Weighted shortest paths on the co-activity graph (the weighted
+# sibling of bfs_hops_user_graph): edge cost = 1000000 div shared
+# (stronger co-activity = cheaper), three Bellman-Ford relaxations
+# from the smallest user id. Min-plus over integers — every distance
+# exact, the oracle unrolls the three relaxations. Unreached nodes are
+# absent (the frontier-growth formulation), matching both engines.
+
+_BF_COST = "1000000"
+
+_BF_EDGES_SQL = """
+        cells AS (
+            SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+            FROM events
+        ), edges0 AS (
+            SELECT a.user_id AS u, b.user_id AS v,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM cells a JOIN cells b
+              ON a.event_type = b.event_type AND a.day = b.day
+             AND a.user_id < b.user_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 25
+        ), wdir AS (
+            SELECT u AS src, v AS dst, 1000000 // shared AS cost
+            FROM edges0
+            UNION ALL
+            SELECT v, u, 1000000 // shared FROM edges0
+        )
+"""
+
+
+def bf_oracle() -> str:
+    ctes = [
+        _BF_EDGES_SQL.strip(),
+        "s AS (SELECT min(src) AS sid FROM wdir)",
+        "d0 AS (SELECT sid AS node, CAST(0 AS BIGINT) AS dist FROM s)",
+    ]
+    for i in range(1, 4):
+        ctes.append(f"""r{i} AS (
+            SELECT e.dst AS node,
+                   CAST(min(d.dist + e.cost) AS BIGINT) AS dist
+            FROM d{i - 1} d JOIN wdir e ON e.src = d.node
+            GROUP BY 1
+        )""")
+        ctes.append(f"""d{i} AS (
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist
+            FROM (SELECT * FROM d{i - 1} UNION ALL SELECT * FROM r{i})
+            GROUP BY node
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(node AS BIGINT) AS node, dist FROM d3"
+    )
+
+
+def bellman_ford_3relax(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            "user_id", "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .distinct()
+        .persist()  # both self-join branches read it (the graph-family
+        # pattern shared with _capped_user_edges)
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    edges0 = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 25)
+    )
+    cost = F.expr(f"{_BF_COST} div shared").cast("long")
+    wdir = edges0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), cost.alias("cost")
+    ).unionByName(
+        edges0.select(
+            F.col("v").alias("src"),
+            F.col("u").alias("dst"),
+            cost.alias("cost"),
+        )
+    ).persist()  # traversed once per relaxation
+    src = wdir.agg(F.min("src").alias("sid"))
+    dist = src.select(
+        F.col("sid").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(3):
+        relaxed = (
+            wdir.join(
+                dist.withColumnRenamed("node", "src"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("cost")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint()  # truncate the per-iteration lineage
+        )
+    return dist.select(F.col("node").cast("long").alias("node"), "dist")
+
+
+def test_bellman_ford_oracle_parity(spark, oracle):
+    spdf = bellman_ford_3relax(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(bf_oracle()).df()
+    assert_frames_match(spdf, opdf, "bellman_ford_3relax")
+    assert (spdf["dist"] >= 0).all()
+    assert (spdf["dist"] == 0).sum() == 1  # exactly the source
+
+
+# -- greedy_assign_topmatch --------------------------------------------------
+#
+# Global one-to-one assignment: greedily match each of the 5 anchor
+# queries to a distinct corpus vector by highest cosine (the
+# unique-assignment variant of cosine top-k — dedup-aware retrieval /
+# annotator routing). Scores quantized ONCE to 1e-6 integer units, the
+# greedy argmax totally ordered by (score DESC, query, item); the
+# oracle unrolls all five steps with NOT-IN exclusions (the MMR
+# pattern). Each Spark step is a 1-row argmax collect (the BPE
+# pattern) — the pair table itself never leaves the cluster.
+
+_GA_STEPS = 5
+
+
+def ga_oracle() -> str:
+    base = f"""
+    exploded AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
+    ), dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+               sum(a.x * b.x) AS dot
+        FROM exploded a JOIN exploded b ON a.i = b.i
+        WHERE a.vec_id < {_GA_STEPS} AND b.vec_id >= {_GA_STEPS}
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT d.query_id, d.item_id,
+               CAST(round(d.dot / (nq.norm * ni.norm) * 1000000, 0)
+                    AS BIGINT) AS s_u
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms ni ON d.item_id = ni.vec_id
+        WHERE nq.norm > 0 AND ni.norm > 0
+    )"""
+    ctes = [base.strip()]
+    sel = []
+    for j in range(1, _GA_STEPS + 1):
+        excl = ""
+        if j > 1:
+            prev = " UNION ALL ".join(
+                f"SELECT query_id FROM g{p}" for p in range(1, j)
+            )
+            previ = " UNION ALL ".join(
+                f"SELECT item_id FROM g{p}" for p in range(1, j)
+            )
+            excl = (
+                f" WHERE query_id NOT IN ({prev})"
+                f" AND item_id NOT IN ({previ})"
+            )
+        ctes.append(
+            f"g{j} AS (SELECT {j} AS step, query_id, item_id, s_u"
+            f" FROM scored{excl}"
+            f" ORDER BY s_u DESC, query_id, item_id LIMIT 1)"
+        )
+        sel.append(
+            f"SELECT CAST(step AS BIGINT) AS step, query_id, item_id,"
+            f" s_u FROM g{j}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+def greedy_assign_topmatch(spark, sf_dir):
+    from etl_earthquake_gcp_spark.functions.vectors import (
+        cast_double_with_norm,
+    )
+
+    emb = cast_double_with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(
+        (F.col("vec_id") < _GA_STEPS) & (F.col("norm") > 0)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    items = emb.filter(
+        (F.col("vec_id") >= _GA_STEPS) & (F.col("norm") > 0)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        items.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("item_id"),
+            F.round(dot / (F.col("norm") * F.col("qnorm")) * 1_000_000, 0)
+            .cast("long")
+            .alias("s_u"),
+        )
+        .persist()  # five argmax passes read it
+    )
+    rows = []
+    taken_q: list[int] = []
+    taken_i: list[int] = []
+    for step in range(1, _GA_STEPS + 1):
+        best = (
+            scored.filter(
+                ~F.col("query_id").isin(taken_q)
+                & ~F.col("item_id").isin(taken_i)
+            )
+            .orderBy(F.desc("s_u"), "query_id", "item_id")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        r = best[0]
+        rows.append((step, r["query_id"], r["item_id"], r["s_u"]))
+        taken_q.append(r["query_id"])
+        taken_i.append(r["item_id"])
+    return spark.createDataFrame(
+        rows, schema="step long, query_id long, item_id long, s_u long"
+    )
+
+
+def test_greedy_assign_oracle_parity(spark, oracle):
+    spdf = greedy_assign_topmatch(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(ga_oracle()).df()
+    assert_frames_match(spdf, opdf, "greedy_assign_topmatch")
+    assert len(spdf) == _GA_STEPS
+    # one-to-one: no query or item repeats
+    assert spdf["query_id"].is_unique and spdf["item_id"].is_unique
+    # greedy scores are non-increasing
+    s = spdf.sort_values("step")["s_u"].tolist()
+    assert s == sorted(s, reverse=True)

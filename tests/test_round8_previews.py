@@ -174,12 +174,9 @@ def bpe_fertility_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    merges = bpe.merge_induction(
-        docs.select("doc_id", "text"), n_merges=_FERT_K
-    )
-    enc = docs
-    for m in merges:
-        enc = bpe.apply_merge(enc, m["tok_a"], m["tok_b"])
+    # induction tolerates (and preserves) the extra source column, and
+    # returns the encoded corpus directly — no re-application pass
+    _, enc = bpe.induce_and_encode(docs, n_merges=_FERT_K)
 
     def stats(df, suffix):
         tok = df.select(

@@ -998,23 +998,30 @@ _TRIANGLE_EDGES_SQL = f"""
             UNION ALL
             SELECT v, u, shared FROM edges0
         ), kept AS (
-            SELECT src, dst FROM (
-                SELECT src, dst, row_number() OVER (
+            SELECT src, dst, shared FROM (
+                SELECT src, dst, shared, row_number() OVER (
                     PARTITION BY src ORDER BY shared DESC, dst) AS rn
                 FROM directed)
             WHERE rn <= {_TRIANGLE_DEGREE_CAP}
-        ), edges AS (
-            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        ), edges_w AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v,
+                   shared
             FROM kept
+        ), edges AS (
+            SELECT u, v FROM edges_w
         )
 """
 
 
-def _capped_user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The degree-capped co-activity graph shared by the triangle and BFS
-    queries (edge semantics documented on triangle_count_user_graph;
-    replayed in SQL by _TRIANGLE_EDGES_SQL). Returned persisted — both
-    consumers traverse it multiple times."""
+def _capped_user_edges_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The degree-capped co-activity graph shared by the triangle, BFS,
+    and banked LPA / Bellman-Ford queries (edge semantics documented on
+    triangle_count_user_graph; replayed in SQL by _TRIANGLE_EDGES_SQL's
+    edges_w CTE). Keeps the symmetric ``shared`` co-activity count as
+    the edge weight. Returned persisted — every consumer traverses it
+    multiple times."""
     e = load_table(spark, sf_dir, "events")
     # persist: both self-join branches read this frame — without the cache
     # the events scan + distinct runs twice (measured 4× slower at sf0.1)
@@ -1049,10 +1056,18 @@ def _capped_user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least("src", "dst").alias("u"),
             F.greatest("src", "dst").alias("v"),
+            "shared",
         )
         .distinct()
         .persist()
     )
+
+
+def _capped_user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unweighted view of :func:`_capped_user_edges_weighted` —
+    the shape the triangle/BFS consumers traverse (projection of the
+    persisted weighted frame, so both variants share one cache)."""
+    return _capped_user_edges_weighted(spark, sf_dir).select("u", "v")
 
 
 @register(

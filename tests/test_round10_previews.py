@@ -281,50 +281,51 @@ def label_propagation_3iter(spark, sf_dir):
 
 
 def test_label_propagation_oracle_parity(spark, oracle):
+    from etl_earthquake_gcp_spark.plans.analytics_queries import (
+        _capped_user_edges,
+    )
+
     spdf = label_propagation_3iter(spark, SF_DIR).toPandas()
     opdf = oracle.execute(lpa_oracle()).df()
     assert_frames_match(spdf, opdf, "label_propagation_3iter")
-    # every community label is one of its... a node id that exists; and
-    # communities partition the node set (sizes sum to distinct nodes)
-    assert spdf["n_nodes"].sum() == opdf["n_nodes"].sum()
+    # communities PARTITION the node set: sizes sum to the independent
+    # distinct-node count of the shared graph (a bug dropping nodes
+    # identically in plan AND oracle would pass parity; this won't)
+    edges = _capped_user_edges(spark, SF_DIR).toPandas()
+    nodes = set(edges["u"]) | set(edges["v"])
+    assert spdf["n_nodes"].sum() == len(nodes)
+    # every surviving community label is a real node id
+    assert set(spdf["community"]) <= nodes
     assert (spdf["n_nodes"] >= 1).all()
 
 
 # -- bellman_ford_3relax -----------------------------------------------------
 #
-# Weighted shortest paths on the co-activity graph (the weighted
-# sibling of bfs_hops_user_graph): edge cost = 1000000 div shared
-# (stronger co-activity = cheaper), three Bellman-Ford relaxations
-# from the smallest user id. Min-plus over integers — every distance
-# exact, the oracle unrolls the three relaxations. Unreached nodes are
-# absent (the frontier-growth formulation), matching both engines.
+# Weighted shortest paths on the SAME degree-capped co-activity graph
+# the triangle/BFS/LPA queries ride (the weighted sibling of
+# bfs_hops_user_graph): edge cost = _BF_COST div shared (stronger
+# co-activity = cheaper), three Bellman-Ford relaxations from the
+# smallest user id. Min-plus over integers — every distance exact, the
+# oracle unrolls the three relaxations over the shared edges_w CTE.
+# Unreached nodes are absent (the frontier-growth formulation),
+# matching both engines.
 
-_BF_COST = "1000000"
-
-_BF_EDGES_SQL = """
-        cells AS (
-            SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
-            FROM events
-        ), edges0 AS (
-            SELECT a.user_id AS u, b.user_id AS v,
-                   CAST(count(*) AS BIGINT) AS shared
-            FROM cells a JOIN cells b
-              ON a.event_type = b.event_type AND a.day = b.day
-             AND a.user_id < b.user_id
-            GROUP BY 1, 2
-            HAVING count(*) >= 25
-        ), wdir AS (
-            SELECT u AS src, v AS dst, 1000000 // shared AS cost
-            FROM edges0
-            UNION ALL
-            SELECT v, u, 1000000 // shared FROM edges0
-        )
-"""
+_BF_COST = 1_000_000
 
 
 def bf_oracle() -> str:
+    from etl_earthquake_gcp_spark.plans.analytics_queries import (
+        _TRIANGLE_EDGES_SQL,
+    )
+
     ctes = [
-        _BF_EDGES_SQL.strip(),
+        _TRIANGLE_EDGES_SQL.strip(),
+        f"""wdir AS (
+            SELECT u AS src, v AS dst, {_BF_COST} // shared AS cost
+            FROM edges_w
+            UNION ALL
+            SELECT v, u, {_BF_COST} // shared FROM edges_w
+        )""",
         "s AS (SELECT min(src) AS sid FROM wdir)",
         "d0 AS (SELECT sid AS node, CAST(0 AS BIGINT) AS dist FROM s)",
     ]
@@ -348,39 +349,21 @@ def bf_oracle() -> str:
 
 
 def bellman_ford_3relax(spark, sf_dir):
-    e = load_table(spark, sf_dir, "events")
-    cells = (
-        e.select(
-            "user_id", "event_type", F.col("ts").cast("date").alias("day")
-        )
-        .distinct()
-        .persist()  # both self-join branches read it (the graph-family
-        # pattern shared with _capped_user_edges)
+    from etl_earthquake_gcp_spark.plans.analytics_queries import (
+        _capped_user_edges_weighted,
     )
-    a, b = cells.alias("a"), cells.alias("b")
-    edges0 = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.day") == F.col("b.day"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
-        )
-        .agg(F.count("*").alias("shared"))
-        .filter(F.col("shared") >= 25)
-    )
+
+    edges_w = _capped_user_edges_weighted(spark, sf_dir)  # persisted
     cost = F.expr(f"{_BF_COST} div shared").cast("long")
-    wdir = edges0.select(
+    wdir = edges_w.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), cost.alias("cost")
     ).unionByName(
-        edges0.select(
+        edges_w.select(
             F.col("v").alias("src"),
             F.col("u").alias("dst"),
             cost.alias("cost"),
         )
-    ).persist()  # traversed once per relaxation
+    )
     src = wdir.agg(F.min("src").alias("sid"))
     dist = src.select(
         F.col("sid").alias("node"), F.lit(0).cast("long").alias("dist")

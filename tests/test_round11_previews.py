@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
 from .conftest import SF_DIR, assert_frames_match
+from . import test_round9_previews as r9
 
 
 # -- rfm_quartile_scores -----------------------------------------------------
@@ -41,7 +42,8 @@ RFM_ORACLE = """
         FROM p GROUP BY user_id
     ), ranked AS (
         SELECT *,
-               row_number() OVER (ORDER BY r_days, user_id) AS rr,
+               row_number() OVER (ORDER BY r_days NULLS LAST,
+                                  user_id) AS rr,
                row_number() OVER (ORDER BY f_cnt DESC, user_id) AS rf,
                row_number() OVER (ORDER BY m_cents DESC, user_id) AS rm,
                count(*) OVER () AS n
@@ -72,14 +74,16 @@ def rfm_quartile_scores(spark, sf_dir):
         F.count("*").cast("long").alias("f_cnt"),
         F.sum("cents").cast("long").alias("m_cents"),
     )
-    gmax = p.agg(F.max("d").alias("gmax_d"))
+    # max of per-user maxes == global max: a |users|-row aggregate
+    # instead of a second fact scan
+    gmax = per_user.agg(F.max("last_d").alias("gmax_d"))
     per_user = per_user.crossJoin(F.broadcast(gmax)).select(
         "user_id",
         F.datediff("gmax_d", "last_d").cast("long").alias("r_days"),
         "f_cnt",
         "m_cents",
     )
-    rr = Window.orderBy("r_days", "user_id")
+    rr = Window.orderBy(F.asc_nulls_last("r_days"), "user_id")
     rf = Window.orderBy(F.desc("f_cnt"), "user_id")
     rm = Window.orderBy(F.desc("m_cents"), "user_id")
     ranked = (
@@ -127,55 +131,22 @@ def test_rfm_oracle_parity(spark, oracle):
 # of per-doc ratios), the slope from the integer-unit log OLS; the
 # oracle replays the whole composition.
 
-_DC_R = 100  # zipf top ranks
-_DC_N = 5  # novelty n-gram width
-
 DATACARD_ORACLE = f"""
-    WITH freq AS (
-        SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
-        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
-              FROM documents)
-        GROUP BY 1, 2
-    ), lex AS (
+    WITH {r9.FREQ_SQL},
+    lex AS (
         SELECT source,
                CAST(sum(cnt) AS BIGINT) AS n_tokens,
                CAST(count(*) AS BIGINT) AS n_types,
                round(count(*) * 1.0 / sum(cnt), 6) AS ttr6
         FROM freq GROUP BY source
-    ), zr AS (
-        SELECT source, cnt,
-               row_number() OVER (PARTITION BY source
-                   ORDER BY cnt DESC, tok) AS r
-        FROM freq QUALIFY r <= {_DC_R}
-    ), zu AS (
-        SELECT source,
-               CAST(round(ln(r) * 1000, 0) AS BIGINT) AS x_u,
-               CAST(round(ln(cnt) * 1000, 0) AS BIGINT) AS y_u
-        FROM zr
-    ), zs AS (
-        SELECT source, CAST(count(*) AS BIGINT) AS nr,
-               CAST(sum(x_u) AS BIGINT) AS sx,
-               CAST(sum(y_u) AS BIGINT) AS sy,
-               CAST(sum(x_u * y_u) AS BIGINT) AS sxy,
-               CAST(sum(x_u * x_u) AS BIGINT) AS sxx
-        FROM zu GROUP BY source
-    ), zipf AS (
-        SELECT source,
-               round((nr * sxy - sx * sy) * 1.0
-                     / (nr * sxx - sx * sx), 6) AS zipf_slope6
-        FROM zs WHERE nr > 1
-    ), grams AS (
-        SELECT DISTINCT d.doc_id, d.source,
-               array_to_string(toks[s.i:s.i + {_DC_N} - 1], ' ') AS gram
-        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
-              FROM documents) d,
-             LATERAL (SELECT unnest(generate_series(1,
-                 len(toks) - {_DC_N} + 1)) AS i) s
-        WHERE len(toks) >= {_DC_N}
-    ), reach AS (
-        SELECT gram, CAST(count(*) AS BIGINT) AS n_docs_with
-        FROM (SELECT DISTINCT doc_id, gram FROM grams) GROUP BY gram
-    ), nov AS (
+    ),
+    {r9.zipf_sql_stages(r9._ZIPF_R)},
+    zipf AS (
+        SELECT source, {r9.ZIPF_SLOPE_SQL} AS zipf_slope6
+        FROM zs WHERE n_ranks > 1
+    ),
+    {r9.GRAM_SQL_STAGES},
+    nov AS (
         SELECT g.source,
                CAST(count(*) AS BIGINT) AS n_grams,
                CAST(sum(CASE WHEN r.n_docs_with > 1 THEN 1 ELSE 0 END)
@@ -201,68 +172,24 @@ def source_datacard_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    freq = (
-        docs.select(
-            "source", F.explode(F.split("text", " ")).alias("tok")
-        )
-        .groupBy("source", "tok")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .persist()  # feeds the lexical aggregate AND the zipf ranks
-    )
+    freq = r9.token_freq(docs).persist()
+    # persisted: feeds the lexical aggregate AND the zipf ranks
     lex = freq.groupBy("source").agg(
         F.sum("cnt").cast("long").alias("n_tokens"),
         F.count("*").cast("long").alias("n_types"),
         F.round(F.count("*") * 1.0 / F.sum("cnt"), 6).alias("ttr6"),
     )
-    zw = Window.partitionBy("source").orderBy(F.desc("cnt"), "tok")
-    zu = (
-        freq.withColumn("r", F.row_number().over(zw))
-        .filter(F.col("r") <= _DC_R)
-        .select(
-            "source",
-            F.round(F.log("r") * 1000, 0).cast("long").alias("x_u"),
-            F.round(F.log("cnt") * 1000, 0).cast("long").alias("y_u"),
-        )
+    zipf = (
+        r9.zipf_sums(freq, r9._ZIPF_R)
+        .filter(F.col("n_ranks") > 1)
+        .select("source", r9.zipf_slope6_col().alias("zipf_slope6"))
     )
-    zs = zu.groupBy("source").agg(
-        F.count("*").cast("long").alias("nr"),
-        F.sum("x_u").cast("long").alias("sx"),
-        F.sum("y_u").cast("long").alias("sy"),
-        F.sum(F.col("x_u") * F.col("y_u")).cast("long").alias("sxy"),
-        F.sum(F.col("x_u") * F.col("x_u")).cast("long").alias("sxx"),
-    )
-    num = F.col("nr") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("nr") * F.col("sxx") - F.col("sx") * F.col("sx")
-    zipf = zs.filter(F.col("nr") > 1).select(
-        "source", F.round(num * 1.0 / den, 6).alias("zipf_slope6")
-    )
-    toks = F.split("text", " ")
-    grams = (
-        docs.filter(F.size(toks) >= _DC_N)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(split(text, ' ')) - {_DC_N} + 1),"
-                    f" i -> array_join(slice(split(text, ' '), i, {_DC_N}), ' '))"
-                )
-            ).alias("gram"),
-        )
-        .distinct()
-        .persist()  # feeds doc-frequency AND the join back
-    )
-    reach = (
-        grams.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count("*").cast("long").alias("n_docs_with"))
-    )
+    grams = r9.gram_frame(docs)
     shared = F.sum(
         F.when(F.col("n_docs_with") > 1, 1).otherwise(0)
     ).cast("long")
     nov = (
-        grams.join(reach, "gram")
+        grams.join(r9.reach_frame(grams), "gram")
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_grams"),

@@ -274,66 +274,101 @@ def test_source_overlap_oracle_parity(spark, oracle):
 
 _ZIPF_R = 100
 
-ZIPF_ORACLE = f"""
-    WITH freq AS (
+# Shared with the round-11 datacard (parity fixes must land ONCE):
+# the rank -> integer-log-unit -> OLS-sums SQL chain over a
+# freq(source, tok, cnt) CTE, ending in zs; and the slope expression
+# with the +0.0 fold (slope is negative-capable, and Spark F.round
+# gives +0.0 where DuckDB gives -0.0 on tiny negative rationals).
+
+FREQ_SQL = """freq AS (
         SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
         FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
               FROM documents)
         GROUP BY 1, 2
-    ), ranked AS (
+    )"""
+
+
+def zipf_sql_stages(top_r: int) -> str:
+    return f"""zr AS (
         SELECT source, cnt,
                row_number() OVER (PARTITION BY source
                    ORDER BY cnt DESC, tok) AS r
         FROM freq
-        QUALIFY r <= {_ZIPF_R}
-    ), u AS (
+        QUALIFY r <= {top_r}
+    ), zu AS (
         SELECT source,
                CAST(round(ln(r) * 1000, 0) AS BIGINT) AS x_u,
                CAST(round(ln(cnt) * 1000, 0) AS BIGINT) AS y_u
-        FROM ranked
-    ), s AS (
+        FROM zr
+    ), zs AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
                CAST(sum(x_u) AS BIGINT) AS sx,
                CAST(sum(y_u) AS BIGINT) AS sy,
                CAST(sum(x_u * y_u) AS BIGINT) AS sxy,
                CAST(sum(x_u * x_u) AS BIGINT) AS sxx
-        FROM u GROUP BY source
-    )
+        FROM zu GROUP BY source
+    )"""
+
+
+ZIPF_SLOPE_SQL = (
+    "round((n_ranks * sxy - sx * sy) * 1.0"
+    " / (n_ranks * sxx - sx * sx), 6) + 0.0"
+)
+
+ZIPF_ORACLE = f"""
+    WITH {FREQ_SQL},
+    {zipf_sql_stages(_ZIPF_R)}
     SELECT source, n_ranks, sx, sy, sxy, sxx,
-           round((n_ranks * sxy - sx * sy) * 1.0
-                 / (n_ranks * sxx - sx * sx), 6) AS slope6
-    FROM s
+           {ZIPF_SLOPE_SQL} AS slope6
+    FROM zs
     WHERE n_ranks > 1
 """
 
 
-def zipf_slope_fit(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    freq = (
+def token_freq(docs):
+    """(source, tok, cnt) token-frequency frame — the shared substrate
+    of the Zipf fit, lexical diversity, and the round-11 datacard."""
+    return (
         docs.select(
             "source", F.explode(F.split("text", " ")).alias("tok")
         )
         .groupBy("source", "tok")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def zipf_sums(freq, top_r):
+    """Per-source integer OLS sums over the top-R log-log rank points."""
     w = Window.partitionBy("source").orderBy(F.desc("cnt"), "tok")
-    ranked = freq.withColumn("r", F.row_number().over(w)).filter(
-        F.col("r") <= _ZIPF_R
+    zu = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= top_r)
+        .select(
+            "source",
+            F.round(F.log(F.col("r")) * 1000, 0).cast("long").alias("x_u"),
+            F.round(F.log(F.col("cnt")) * 1000, 0)
+            .cast("long")
+            .alias("y_u"),
+        )
     )
-    u = ranked.select(
-        "source",
-        F.round(F.log(F.col("r")) * 1000, 0).cast("long").alias("x_u"),
-        F.round(F.log(F.col("cnt")) * 1000, 0).cast("long").alias("y_u"),
-    )
-    s = u.groupBy("source").agg(
+    return zu.groupBy("source").agg(
         F.count("*").cast("long").alias("n_ranks"),
         F.sum("x_u").cast("long").alias("sx"),
         F.sum("y_u").cast("long").alias("sy"),
         F.sum(F.col("x_u") * F.col("y_u")).cast("long").alias("sxy"),
         F.sum(F.col("x_u") * F.col("x_u")).cast("long").alias("sxx"),
     )
+
+
+def zipf_slope6_col():
     num = F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return F.round(num * 1.0 / den, 6) + F.lit(0.0)
+
+
+def zipf_slope_fit(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    s = zipf_sums(token_freq(docs), _ZIPF_R)
     return s.filter(F.col("n_ranks") > 1).select(
         "source",
         "n_ranks",
@@ -341,7 +376,7 @@ def zipf_slope_fit(spark, sf_dir):
         "sy",
         "sxy",
         "sxx",
-        F.round(num * 1.0 / den, 6).alias("slope6"),
+        zipf_slope6_col().alias("slope6"),
     )
 
 
@@ -363,38 +398,48 @@ def test_zipf_slope_oracle_parity(spark, oracle):
 
 _NOV_N = 5
 
-NOVELTY_ORACLE = f"""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+# Shared with the round-11 datacard: the distinct-gram + doc-frequency
+# stages, carrying BOTH doc_id and source (doc -> source is functional,
+# so the per-doc semantics are unchanged and the per-source consumer
+# needs no second tokenize).
+
+GRAM_SQL_STAGES = f"""t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents
     ), grams AS (
-        SELECT DISTINCT doc_id,
+        SELECT DISTINCT doc_id, source,
                array_to_string(toks[i:i + {_NOV_N} - 1], ' ') AS gram
         FROM t, LATERAL (SELECT unnest(generate_series(1,
                  len(toks) - {_NOV_N} + 1)) AS i) s
         WHERE len(toks) >= {_NOV_N}
-    ), df AS (
+    ), reach AS (
         SELECT gram, CAST(count(*) AS BIGINT) AS n_docs_with
-        FROM grams GROUP BY gram
-    )
+        FROM (SELECT DISTINCT doc_id, gram FROM grams) GROUP BY gram
+    )"""
+
+NOVELTY_ORACLE = f"""
+    WITH {GRAM_SQL_STAGES}
     SELECT g.doc_id,
            CAST(count(*) AS BIGINT) AS n_grams,
-           CAST(sum(CASE WHEN d.n_docs_with > 1 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN r.n_docs_with > 1 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_shared,
-           round(sum(CASE WHEN d.n_docs_with > 1 THEN 1 ELSE 0 END)
+           round(sum(CASE WHEN r.n_docs_with > 1 THEN 1 ELSE 0 END)
                  * 1.0 / count(*), 6) AS shared6
-    FROM grams g JOIN df d USING (gram)
+    FROM grams g JOIN reach r USING (gram)
     GROUP BY g.doc_id
 """
 
 
-def doc_novelty_ngram(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    grams = (
-        d.select("doc_id", toks.alias("toks"))
+def gram_frame(docs):
+    """Persisted distinct (doc_id, source, gram) 5-gram frame —
+    tokenizes ONCE into a toks column (the split() stays out of the
+    transform lambda, where Catalyst cannot share it)."""
+    return (
+        docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= _NOV_N)
         .select(
             "doc_id",
+            "source",
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(toks) - {_NOV_N} + 1),"
@@ -403,16 +448,29 @@ def doc_novelty_ngram(spark, sf_dir):
             ).alias("gram"),
         )
         .distinct()
-        .persist()  # feeds both the doc-frequency agg and the join back
+        .persist()  # feeds the doc-frequency agg AND the join back
     )
-    df_counts = grams.groupBy("gram").agg(
-        F.count("*").cast("long").alias("n_docs_with")
+
+
+def reach_frame(grams):
+    return (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("n_docs_with"))
     )
+
+
+def doc_novelty_ngram(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    grams = gram_frame(docs)
     shared = F.sum(
         F.when(F.col("n_docs_with") > 1, 1).otherwise(0)
     ).cast("long")
     return (
-        grams.join(df_counts, "gram")
+        grams.join(reach_frame(grams), "gram")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
@@ -458,13 +516,7 @@ LEXDIV_ORACLE = """
 
 def lexical_diversity_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    freq = (
-        docs.select(
-            "source", F.explode(F.split("text", " ")).alias("tok")
-        )
-        .groupBy("source", "tok")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
+    freq = token_freq(docs)
     hapax = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long")
     return freq.groupBy("source").agg(
         F.sum("cnt").cast("long").alias("n_tokens"),

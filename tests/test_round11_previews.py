@@ -224,3 +224,188 @@ def test_source_datacard_oracle_parity(spark, oracle):
     assert_frames_match(spdf, opdf, "source_datacard_pipeline")
     assert (spdf["n_shared"] <= spdf["n_grams"]).all()
     assert (spdf["zipf_slope6"] <= 0).all()
+
+
+# -- hll_intersection_audit --------------------------------------------------
+#
+# Mergeable-sketch intersection: HLL registers cannot intersect
+# natively, so the estimate is inclusion-exclusion over the pairwise
+# register max-merge — the standard trick, audited here against the
+# EXACT intersection in the same result. Every estimate is quantized
+# ONCE into 1e-4 integer units, so the inclusion-exclusion subtraction
+# is exact integer arithmetic (three rounded doubles subtracted as
+# floats would re-enter the multi-step re-round hazard class). Hash,
+# rank ladder, and corrections are the proven sketch.py pipeline,
+# constants interpolated from the one source of truth.
+
+from etl_earthquake_gcp_spark.operators.sketch import (  # noqa: E402
+    HLL_ALPHA,
+    HLL_M,
+    HLL_SEED,
+    _rho_case_sql,
+)
+from etl_earthquake_gcp_spark.operators.dedup import (  # noqa: E402
+    _MERSENNE_P,
+    minhash_coeffs,
+)
+
+
+def _hll_est_u(s_col, v_col):
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s_col
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v_col > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_col),
+    ).otherwise(raw)
+    return F.round(est * 10000, 0).cast("long")
+
+
+def hll_intersection_oracle() -> str:
+    a, b = minhash_coeffs(1, HLL_SEED)[0]
+    h1 = f"((user_id * {a} + {b}) % {_MERSENNE_P})"
+    h = f"(({h1} * {h1}) % {_MERSENNE_P})"
+    rho = _rho_case_sql(f"({h} // {HLL_M})")
+    est_u = f"""CAST(round(CASE
+            WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / s <= {2.5 * HLL_M}
+                 AND v > 0
+            THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+            ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / s END * 10000, 0)
+            AS BIGINT)"""
+    return f"""
+    WITH regs AS (
+        SELECT event_type AS grp, ({h} % {HLL_M}) AS bucket,
+               max({rho}) AS m_j
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT g.grp, t.bucket
+        FROM (SELECT DISTINCT grp FROM regs) g
+        CROSS JOIN range({HLL_M}) t(bucket)
+    ), filled AS (
+        SELECT grid.grp, grid.bucket, coalesce(r.m_j, 0) AS m_j
+        FROM grid LEFT JOIN regs r USING (grp, bucket)
+    ), agg AS (
+        SELECT grp, sum(pow(2.0, -m_j)) AS s,
+               count(*) FILTER (WHERE m_j = 0) AS v
+        FROM filled GROUP BY 1
+    ), est AS (
+        SELECT grp, {est_u} AS e_u FROM agg
+    ), pagg AS (
+        SELECT a.grp AS type_a, b.grp AS type_b,
+               sum(pow(2.0, -greatest(a.m_j, b.m_j))) AS s,
+               count(*) FILTER (WHERE greatest(a.m_j, b.m_j) = 0) AS v
+        FROM filled a JOIN filled b
+          ON a.bucket = b.bucket AND a.grp < b.grp
+        GROUP BY 1, 2
+    ), uest AS (
+        SELECT type_a, type_b, {est_u} AS uu_u FROM pagg
+    ), sets AS (
+        SELECT DISTINCT event_type AS grp, user_id FROM events
+    ), sizes AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n FROM sets GROUP BY 1
+    ), inter AS (
+        SELECT a.grp AS type_a, b.grp AS type_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM sets a JOIN sets b
+          ON a.user_id = b.user_id AND a.grp < b.grp
+        GROUP BY 1, 2
+    )
+    SELECT u.type_a, u.type_b,
+           ea.e_u AS est_a_u, eb.e_u AS est_b_u, u.uu_u AS est_union_u,
+           CAST(ea.e_u + eb.e_u - u.uu_u AS BIGINT) AS est_inter_u,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter
+    FROM uest u
+    JOIN est ea ON u.type_a = ea.grp
+    JOIN est eb ON u.type_b = eb.grp
+    JOIN sizes sa ON u.type_a = sa.grp
+    JOIN sizes sb ON u.type_b = sb.grp
+    LEFT JOIN inter i ON u.type_a = i.type_a AND u.type_b = i.type_b
+    """
+
+
+def hll_intersection_audit(spark, sf_dir):
+    from etl_earthquake_gcp_spark.operators import sketch
+
+    e = load_table(spark, sf_dir, "events")
+    regs = sketch.hll_registers_by(e, "user_id", "event_type")
+    allb = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    grid = regs.select("grp").distinct().crossJoin(F.broadcast(allb))
+    filled = (
+        grid.join(regs, ["grp", "bucket"], "left")
+        .select("grp", "bucket", F.coalesce("m_j", F.lit(0)).alias("m_j"))
+        .persist()  # feeds per-type aggs AND both pair sides
+    )
+    agg = filled.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s"),
+        F.count_if(F.col("m_j") == 0).alias("v"),
+    )
+    est = agg.select("grp", _hll_est_u(F.col("s"), F.col("v")).alias("e_u"))
+    fa, fb = filled.alias("fa"), filled.alias("fb")
+    mj = F.greatest(F.col("fa.m_j"), F.col("fb.m_j"))
+    pagg = (
+        fa.join(
+            fb,
+            (F.col("fa.bucket") == F.col("fb.bucket"))
+            & (F.col("fa.grp") < F.col("fb.grp")),
+        )
+        .groupBy(
+            F.col("fa.grp").alias("type_a"), F.col("fb.grp").alias("type_b")
+        )
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -mj)).alias("s"),
+            F.count_if(mj == 0).alias("v"),
+        )
+    )
+    uest = pagg.select(
+        "type_a", "type_b", _hll_est_u(F.col("s"), F.col("v")).alias("uu_u")
+    )
+    sets = e.select(
+        F.col("event_type").alias("grp"), "user_id"
+    ).distinct().persist()
+    sizes = sets.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.user_id") == F.col("sb.user_id"))
+            & (F.col("sa.grp") < F.col("sb.grp")),
+        )
+        .groupBy(
+            F.col("sa.grp").alias("type_a"), F.col("sb.grp").alias("type_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    ea = est.select(F.col("grp").alias("type_a"), F.col("e_u").alias("est_a_u"))
+    eb = est.select(F.col("grp").alias("type_b"), F.col("e_u").alias("est_b_u"))
+    na = sizes.select(F.col("grp").alias("type_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("grp").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        uest.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a_u",
+            "est_b_u",
+            F.col("uu_u").alias("est_union_u"),
+            (F.col("est_a_u") + F.col("est_b_u") - F.col("uu_u"))
+            .cast("long")
+            .alias("est_inter_u"),
+            "n_a",
+            "n_b",
+            F.coalesce("n_inter", F.lit(0)).cast("long").alias("n_inter"),
+        )
+    )
+
+
+def test_hll_intersection_oracle_parity(spark, oracle):
+    spdf = hll_intersection_audit(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(hll_intersection_oracle()).df()
+    assert_frames_match(spdf, opdf, "hll_intersection_audit")
+    n_types = spdf[["type_a", "type_b"]].stack().nunique()
+    assert len(spdf) == n_types * (n_types - 1) // 2
+    # union estimate never below either side's estimate (register max
+    # dominates), so the inclusion-exclusion stays <= min(side ests)
+    assert (spdf["est_union_u"] >= spdf[["est_a_u", "est_b_u"]].max(axis=1)).all()

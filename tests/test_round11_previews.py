@@ -409,3 +409,155 @@ def test_hll_intersection_oracle_parity(spark, oracle):
     # union estimate never below either side's estimate (register max
     # dominates), so the inclusion-exclusion stays <= min(side ests)
     assert (spdf["est_union_u"] >= spdf[["est_a_u", "est_b_u"]].max(axis=1)).all()
+
+
+# -- length_emd_pairs --------------------------------------------------------
+#
+# Distribution drift between sources, third metric beside the
+# registered PSI/binned-KS: exact 1-D earth mover's distance between
+# per-source doc-length distributions. EMD_1D = sum over the union
+# support of |cdfA - cdfB| * gap; cross-multiplying by the two counts
+# keeps the whole accumulation in exact integers (|cumA*nB - cumB*nA|
+# * gap), with ONE int/int ratio round at display. Everything runs on
+# dimension-sized frames (per-source length histograms).
+
+LENGTH_EMD_ORACLE = """
+    WITH hist AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), sizes AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n AS n_a, b.n AS n_b
+        FROM sizes a JOIN sizes b ON a.source < b.source
+    ), support AS (
+        SELECT DISTINCT p.src_a, p.src_b, h.v
+        FROM pairs p JOIN hist h
+          ON h.source = p.src_a OR h.source = p.src_b
+    ), joined AS (
+        SELECT s.src_a, s.src_b, s.v,
+               coalesce(ha.cnt, 0) AS ca, coalesce(hb.cnt, 0) AS cb
+        FROM support s
+        LEFT JOIN hist ha ON ha.source = s.src_a AND ha.v = s.v
+        LEFT JOIN hist hb ON hb.source = s.src_b AND hb.v = s.v
+    ), cum AS (
+        SELECT src_a, src_b, v,
+               sum(ca) OVER (PARTITION BY src_a, src_b ORDER BY v) AS cum_a,
+               sum(cb) OVER (PARTITION BY src_a, src_b ORDER BY v) AS cum_b,
+               lead(v) OVER (PARTITION BY src_a, src_b ORDER BY v) - v
+                   AS gap
+        FROM joined
+    ), num AS (
+        SELECT src_a, src_b,
+               CAST(sum(abs(cum_a * p.n_b - cum_b * p.n_a) * gap)
+                    AS BIGINT) AS emd_num
+        FROM cum JOIN pairs p USING (src_a, src_b)
+        WHERE gap IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT n.src_a, n.src_b, p.n_a, p.n_b, n.emd_num,
+           round(n.emd_num * 1.0 / (p.n_a * p.n_b), 6) AS emd6
+    FROM num n JOIN pairs p USING (src_a, src_b)
+"""
+
+
+def length_emd_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.groupBy(
+            "source", F.col("n_chars").cast("long").alias("v")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .persist()  # feeds sizes, support, and both cdf sides
+    )
+    sizes = hist.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    a, b = sizes.alias("a"), sizes.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    h = hist.select("source", "v")
+    support = (
+        pairs.join(
+            F.broadcast(h),
+            (h["source"] == pairs["src_a"])
+            | (h["source"] == pairs["src_b"]),
+        )
+        .select("src_a", "src_b", "v")
+        .distinct()
+    )
+    ha = hist.select(
+        F.col("source").alias("src_a"),
+        F.col("v").alias("v"),
+        F.col("cnt").alias("ca"),
+    )
+    hb = hist.select(
+        F.col("source").alias("src_b"),
+        F.col("v").alias("v"),
+        F.col("cnt").alias("cb"),
+    )
+    joined = (
+        support.join(F.broadcast(ha), ["src_a", "v"], "left")
+        .join(F.broadcast(hb), ["src_b", "v"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("src_a", "src_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy("src_a", "src_b").orderBy("v")
+    cum = joined.select(
+        "src_a",
+        "src_b",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        (F.lead("v").over(wl) - F.col("v")).alias("gap"),
+    )
+    num = (
+        cum.filter(F.col("gap").isNotNull())
+        .join(F.broadcast(pairs), ["src_a", "src_b"])
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+                * F.col("gap")
+            )
+            .cast("long")
+            .alias("emd_num")
+        )
+    )
+    return num.join(F.broadcast(pairs), ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "emd_num",
+        F.round(
+            F.col("emd_num") * 1.0 / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("emd6"),
+    )
+
+
+def test_length_emd_oracle_parity(spark, oracle):
+    spdf = length_emd_pairs(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(LENGTH_EMD_ORACLE).df()
+    assert_frames_match(spdf, opdf, "length_emd_pairs")
+    n_src = spdf[["src_a", "src_b"]].stack().nunique()
+    assert len(spdf) == n_src * (n_src - 1) // 2
+    assert (spdf["emd6"] >= 0).all()

@@ -238,6 +238,30 @@ def _rho_case_sql(w: str) -> str:
     return f"CASE WHEN ({w}) = 0 THEN {_HLL_MAX_RHO}\n            {whens} ELSE {_HLL_MAX_RHO} END"
 
 
+def hll_raw_est_col(s_col: F.Column, v_col: F.Column) -> F.Column:
+    """The RAW (unrounded) HLL estimate from a register aggregate
+    (harmonic sum ``s``, empty-register count ``v``), including the
+    small-range linear-counting correction — ONE copy of the estimator
+    shape shared by every Spark-side consumer (display variants round
+    or quantize this column once)."""
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s_col
+    return F.when(
+        (raw <= 2.5 * HLL_M) & (v_col > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_col),
+    ).otherwise(raw)
+
+
+def hll_raw_est_sql(s: str = "s", v: str = "v") -> str:
+    """The identical estimator as an ANSI-SQL CASE fragment — the one
+    copy every oracle interpolates (callers wrap it in their own
+    round/quantize)."""
+    return f"""CASE
+            WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / {s} <= {2.5 * HLL_M}
+                 AND {v} > 0
+            THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / {v})
+            ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / {s} END"""
+
+
 def hll_registers(keys: DataFrame, key_col: str) -> DataFrame:
     """(bucket, m_j) register table: max rank per bucket over seeded-hashed
     keys. ONE partial-aggregated shuffle of at most HLL_M cells — constant
@@ -280,11 +304,7 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s"),
         F.count_if(F.col("m_j") == 0).alias("v"),
     )
-    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("s")
-    est = F.when(
-        (raw <= 2.5 * HLL_M) & (F.col("v") > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
-    ).otherwise(raw)
+    est = hll_raw_est_col(F.col("s"), F.col("v"))
     return agg.select(F.round(est, 4).alias("est_distinct"))
 
 
@@ -309,11 +329,7 @@ def hll_oracle_sql(table: str, key_col: str) -> str:
                    count(*) FILTER (WHERE m_j = 0) AS v
             FROM filled
         )
-        SELECT round(CASE
-            WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / s <= {2.5 * HLL_M}
-                 AND v > 0
-            THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
-            ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / s END, 4) AS est_distinct
+        SELECT round({hll_raw_est_sql()}, 4) AS est_distinct
         FROM agg
     """
 
@@ -357,11 +373,7 @@ def hll_estimate_by(registers: DataFrame) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s"),
         F.count_if(F.col("m_j") == 0).alias("v"),
     )
-    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("s")
-    est = F.when(
-        (raw <= 2.5 * HLL_M) & (F.col("v") > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
-    ).otherwise(raw)
+    est = hll_raw_est_col(F.col("s"), F.col("v"))
     return agg.select("grp", F.round(est, 4).alias("est_distinct"))
 
 
@@ -372,11 +384,7 @@ def hll_rollup_oracle_sql(table: str, key_col: str, group_col: str) -> str:
     h1 = f"(({key_col} * {a} + {b}) % {_MERSENNE_P})"
     h = f"(({h1} * {h1}) % {_MERSENNE_P})"
     rho = _rho_case_sql(f"({h} // {HLL_M})")
-    est_case = f"""round(CASE
-            WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / s <= {2.5 * HLL_M}
-                 AND v > 0
-            THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
-            ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / s END, 4)"""
+    est_case = f"""round({hll_raw_est_sql()}, 4)"""
     return f"""
         WITH regs AS (
             SELECT {group_col} AS grp, ({h} % {HLL_M}) AS bucket,
@@ -461,11 +469,7 @@ def hll_sliding_oracle_sql(
                    count(*) FILTER (WHERE mm = 0) AS v
             FROM merged GROUP BY d
         ), est AS (
-            SELECT d, round(CASE
-                WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / s <= {2.5 * HLL_M}
-                     AND v > 0
-                THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
-                ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / s END, 4)
+            SELECT d, round({hll_raw_est_sql()}, 4)
                 AS est_distinct
             FROM agg
         ), exact AS (

@@ -239,10 +239,11 @@ def test_source_datacard_oracle_parity(spark, oracle):
 # constants interpolated from the one source of truth.
 
 from etl_earthquake_gcp_spark.operators.sketch import (  # noqa: E402
-    HLL_ALPHA,
     HLL_M,
     HLL_SEED,
     _rho_case_sql,
+    hll_raw_est_col,
+    hll_raw_est_sql,
 )
 from etl_earthquake_gcp_spark.operators.dedup import (  # noqa: E402
     _MERSENNE_P,
@@ -251,12 +252,10 @@ from etl_earthquake_gcp_spark.operators.dedup import (  # noqa: E402
 
 
 def _hll_est_u(s_col, v_col):
-    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s_col
-    est = F.when(
-        (raw <= 2.5 * HLL_M) & (v_col > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_col),
-    ).otherwise(raw)
-    return F.round(est * 10000, 0).cast("long")
+    # the ONE sketch.py estimator, quantized once into 1e-4 units
+    return (
+        F.round(hll_raw_est_col(s_col, v_col) * 10000, 0).cast("long")
+    )
 
 
 def hll_intersection_oracle() -> str:
@@ -264,12 +263,9 @@ def hll_intersection_oracle() -> str:
     h1 = f"((user_id * {a} + {b}) % {_MERSENNE_P})"
     h = f"(({h1} * {h1}) % {_MERSENNE_P})"
     rho = _rho_case_sql(f"({h} // {HLL_M})")
-    est_u = f"""CAST(round(CASE
-            WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / s <= {2.5 * HLL_M}
-                 AND v > 0
-            THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
-            ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / s END * 10000, 0)
-            AS BIGINT)"""
+    est_u = (
+        f"CAST(round({hll_raw_est_sql()} * 10000, 0) AS BIGINT)"
+    )
     return f"""
     WITH regs AS (
         SELECT event_type AS grp, ({h} % {HLL_M}) AS bucket,
@@ -406,9 +402,11 @@ def test_hll_intersection_oracle_parity(spark, oracle):
     assert_frames_match(spdf, opdf, "hll_intersection_audit")
     n_types = spdf[["type_a", "type_b"]].stack().nunique()
     assert len(spdf) == n_types * (n_types - 1) // 2
-    # union estimate never below either side's estimate (register max
-    # dominates), so the inclusion-exclusion stays <= min(side ests)
-    assert (spdf["est_union_u"] >= spdf[["est_a_u", "est_b_u"]].max(axis=1)).all()
+    # structural invariants only: register-max dominance holds within
+    # one estimator regime but NOT across the linear-counting boundary,
+    # so it is not asserted. The exact side is always consistent:
+    assert (spdf["n_inter"] <= spdf[["n_a", "n_b"]].min(axis=1)).all()
+    assert (spdf["est_union_u"] > 0).all()
 
 
 # -- length_emd_pairs --------------------------------------------------------

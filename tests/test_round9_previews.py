@@ -414,7 +414,7 @@ GRAM_SQL_STAGES = f"""t AS (
         WHERE len(toks) >= {_NOV_N}
     ), reach AS (
         SELECT gram, CAST(count(*) AS BIGINT) AS n_docs_with
-        FROM (SELECT DISTINCT doc_id, gram FROM grams) GROUP BY gram
+        FROM grams GROUP BY gram
     )"""
 
 NOVELTY_ORACLE = f"""
@@ -453,11 +453,11 @@ def gram_frame(docs):
 
 
 def reach_frame(grams):
-    return (
-        grams.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count("*").cast("long").alias("n_docs_with"))
+    # gram_frame is already distinct on (doc_id, source, gram) and
+    # doc -> source is functional, so rows are unique per (doc_id,
+    # gram) — count directly, no second distinct shuffle
+    return grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_docs_with")
     )
 
 

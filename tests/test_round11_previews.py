@@ -559,3 +559,179 @@ def test_length_emd_oracle_parity(spark, oracle):
     n_src = spdf[["src_a", "src_b"]].stack().nunique()
     assert len(spdf) == n_src * (n_src - 1) // 2
     assert (spdf["emd6"] >= 0).all()
+
+
+# -- vocab_coverage_curve ----------------------------------------------------
+#
+# Tokenizer-design read: what share of the corpus token mass the top-K
+# vocabulary entries cover, at K = 10 / 100 / 1000 — the cumulative
+# companion to the Zipf slope. Ranks and cumulative masses are exact
+# integers (frequency histogram + rank filter); one ratio per row.
+
+_COV_KS = (10, 100, 1000)
+
+VOCAB_COVERAGE_ORACLE = f"""
+    WITH gfreq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_vocab
+        FROM gfreq
+    ), ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, tok) AS r
+        FROM gfreq
+    ), ks AS (
+        SELECT unnest(ARRAY{list(_COV_KS)}) AS k
+    )
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(sum(r.cnt) AS BIGINT) AS covered,
+           tot.n_total, tot.n_vocab,
+           round(sum(r.cnt) * 1.0 / tot.n_total, 6) AS coverage6
+    FROM ks JOIN ranked r ON r.r <= ks.k CROSS JOIN tot
+    GROUP BY ks.k, tot.n_total, tot.n_vocab
+"""
+
+
+def vocab_coverage_curve(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    gfreq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .persist()  # feeds totals AND the ranked prefix sums
+    )
+    tot = gfreq.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_vocab"),
+    )
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    ranked = gfreq.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= max(_COV_KS)
+    )
+    ks = spark.createDataFrame([(k,) for k in _COV_KS], "k long")
+    return (
+        F.broadcast(ks)
+        .join(ranked, ranked["r"] <= ks["k"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_total", "n_vocab")
+        .agg(
+            F.sum("cnt").cast("long").alias("covered"),
+            F.round(F.sum("cnt") * 1.0 / F.first("n_total"), 6).alias(
+                "coverage6"
+            ),
+        )
+        .select("k", "covered", "n_total", "n_vocab", "coverage6")
+    )
+
+
+def test_vocab_coverage_oracle_parity(spark, oracle):
+    spdf = vocab_coverage_curve(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(VOCAB_COVERAGE_ORACLE).df()
+    assert_frames_match(spdf, opdf, "vocab_coverage_curve")
+    s = spdf.sort_values("k")
+    assert s["covered"].is_monotonic_increasing  # more vocab, more mass
+    assert (s["coverage6"] <= 1.0).all()
+
+
+# -- bigram_entropy_stats ----------------------------------------------------
+#
+# Per-source conditional bigram entropy H(next | prev) =
+# (1/N) * sum over bigrams of c_ab * (ln c_a - ln c_ab) — the
+# language-health read that separates natural text from templated or
+# shuffled shards. Both logs are over EXACT integer counts, quantized
+# ONCE to 1e-6 units (the DSIR libm-absorption class); the weighted sum
+# is exact integer arithmetic; one display ratio (entropy in nats).
+
+BIGRAM_ENTROPY_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT source, toks[s.i] AS a, toks[s.i + 1] AS b
+        FROM t, LATERAL (SELECT unnest(generate_series(1,
+                 len(toks) - 1)) AS i) s
+        WHERE len(toks) >= 2
+    ), cab AS (
+        SELECT source, a, b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bg GROUP BY 1, 2, 3
+    ), ca AS (
+        SELECT source, a, CAST(sum(c_ab) AS BIGINT) AS c_a
+        FROM cab GROUP BY 1, 2
+    ), terms AS (
+        SELECT cab.source,
+               cab.c_ab,
+               CAST(round(ln(ca.c_a) * 1000000, 0) AS BIGINT) AS lna_u,
+               CAST(round(ln(cab.c_ab) * 1000000, 0) AS BIGINT) AS lnab_u
+        FROM cab JOIN ca USING (source, a)
+    )
+    SELECT source,
+           CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(sum(c_ab * (lna_u - lnab_u)) AS BIGINT) AS h_num_u,
+           round(sum(c_ab * (lna_u - lnab_u)) * 1.0
+                 / (sum(c_ab) * 1000000), 6) AS entropy6
+    FROM terms GROUP BY source
+"""
+
+
+def bigram_entropy_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = F.split("text", " ")
+    bg = (
+        docs.select("source", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS a,"
+                    "             element_at(toks, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("source", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    cab = bg.groupBy("source", "a", "b").agg(
+        F.count("*").cast("long").alias("c_ab")
+    ).persist()  # feeds the prev-token marginals AND the term join
+    ca = cab.groupBy("source", "a").agg(
+        F.sum("c_ab").cast("long").alias("c_a")
+    )
+    terms = cab.join(ca, ["source", "a"]).select(
+        "source",
+        "c_ab",
+        F.round(F.log("c_a") * 1_000_000, 0).cast("long").alias("lna_u"),
+        F.round(F.log("c_ab") * 1_000_000, 0)
+        .cast("long")
+        .alias("lnab_u"),
+    )
+    h_num = F.sum(
+        F.col("c_ab") * (F.col("lna_u") - F.col("lnab_u"))
+    ).cast("long")
+    return terms.groupBy("source").agg(
+        F.sum("c_ab").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_distinct_bigrams"),
+        h_num.alias("h_num_u"),
+        F.round(
+            h_num * 1.0 / (F.sum("c_ab") * 1_000_000), 6
+        ).alias("entropy6"),
+    )
+
+
+def test_bigram_entropy_oracle_parity(spark, oracle):
+    spdf = bigram_entropy_stats(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(BIGRAM_ENTROPY_ORACLE).df()
+    assert_frames_match(spdf, opdf, "bigram_entropy_stats")
+    assert (spdf["h_num_u"] >= 0).all()  # c_a >= c_ab always
+    # conditional entropy is bounded by ln of the branching factor
+    import numpy as np
+
+    assert (
+        spdf["entropy6"]
+        <= np.log(spdf["n_distinct_bigrams"].astype(float)) + 1e-9
+    ).all()

@@ -735,3 +735,107 @@ def test_bigram_entropy_oracle_parity(spark, oracle):
         spdf["entropy6"]
         <= np.log(spdf["n_distinct_bigrams"].astype(float)) + 1e-9
     ).all()
+
+
+# -- session_survival_curve --------------------------------------------------
+#
+# Survival analysis on session durations (Kaplan-Meier product-limit):
+# at-risk and event counts at each distinct duration are exact
+# integers from a duration histogram; the cumulative log-survival is
+# an EXACT integer sum of per-step ln(n-d) - ln(n) terms, each log of
+# an exact integer quantized once to 1e-6 units (the DSIR class) — the
+# float product the textbook formula implies never happens. One final
+# display exp/round. Steps where survival hits zero (n_risk == d) are
+# excluded symmetrically. Sessions come from the proven sessionize
+# construction (operators/sessions.py, oracle SQL reused verbatim).
+
+from etl_earthquake_gcp_spark.operators import sessions  # noqa: E402
+
+SURVIVAL_ORACLE = f"""
+    WITH sess AS ({sessions.sessionize_oracle_sql()}),
+    dur AS (
+        SELECT (epoch_ms(session_end) - epoch_ms(session_start)) // 1000
+                   AS t
+        FROM sess
+    ), hist AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS d FROM dur GROUP BY t
+    ), cum AS (
+        SELECT t, d,
+               CAST((SELECT count(*) FROM dur)
+                    - coalesce(sum(d) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM hist
+    ), terms AS (
+        SELECT t, d, n_risk,
+               CAST(round(ln(n_risk - d) * 1000000, 0) AS BIGINT)
+                   - CAST(round(ln(n_risk) * 1000000, 0) AS BIGINT)
+                   AS term_u
+        FROM cum WHERE n_risk > d
+    ), curve AS (
+        SELECT t, d, n_risk,
+               CAST(sum(term_u) OVER (ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ls_u
+        FROM terms
+    )
+    SELECT CAST(t AS BIGINT) AS t_s, n_risk, d AS d_events, ls_u,
+           round(exp(ls_u / 1000000.0), 6) AS surv6
+    FROM curve
+"""
+
+
+def session_survival_curve(spark, sf_dir):
+    sess = sessions.sessionize(load_table(spark, sf_dir, "events"))
+    dur = sess.select(
+        F.expr(
+            "(unix_millis(session_end) - unix_millis(session_start))"
+            " div 1000"
+        ).alias("t")
+    )
+    hist = dur.groupBy("t").agg(F.count("*").cast("long").alias("d"))
+    total = dur.agg(F.count("*").cast("long").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("d").over(w_prev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    lnq = lambda c: F.round(F.log(c) * 1_000_000, 0).cast("long")
+    terms = cum.filter(F.col("n_risk") > F.col("d")).select(
+        "t",
+        "d",
+        "n_risk",
+        (lnq(F.col("n_risk") - F.col("d")) - lnq(F.col("n_risk"))).alias(
+            "term_u"
+        ),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return terms.select(
+        F.col("t").cast("long").alias("t_s"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.sum("term_u").over(w_cum).cast("long").alias("ls_u"),
+    ).withColumn(
+        "surv6", F.round(F.exp(F.col("ls_u") / 1_000_000.0), 6)
+    )
+
+
+def test_session_survival_oracle_parity(spark, oracle):
+    spdf = session_survival_curve(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(SURVIVAL_ORACLE).df()
+    assert_frames_match(spdf, opdf, "session_survival_curve")
+    s = spdf.sort_values("t_s")
+    # survival is a non-increasing step function in (0, 1]
+    assert s["surv6"].is_monotonic_decreasing
+    assert ((s["surv6"] > 0) & (s["surv6"] <= 1)).all()
+    # at-risk counts shrink as duration grows
+    assert s["n_risk"].is_monotonic_decreasing

@@ -731,9 +731,12 @@ def test_bigram_entropy_oracle_parity(spark, oracle):
     # conditional entropy is bounded by ln of the branching factor
     import numpy as np
 
+    # slack covers the 1e-6-unit per-term log quantization plus the
+    # 5e-7 display round (the DSIR-class error budget) — 1e-9 would
+    # false-fail on a uniform source whose quantized logs round up
     assert (
         spdf["entropy6"]
-        <= np.log(spdf["n_distinct_bigrams"].astype(float)) + 1e-9
+        <= np.log(spdf["n_distinct_bigrams"].astype(float)) + 2e-6
     ).all()
 
 
@@ -834,8 +837,10 @@ def test_session_survival_oracle_parity(spark, oracle):
     opdf = oracle.execute(SURVIVAL_ORACLE).df()
     assert_frames_match(spdf, opdf, "session_survival_curve")
     s = spdf.sort_values("t_s")
-    # survival is a non-increasing step function in (0, 1]
+    # survival is a non-increasing step function in [0, 1]: the last
+    # included step is survivors/N >= 1/N, which the 6dp display
+    # rounds to 0.0 once N exceeds ~2e6 sessions — so >= 0, not > 0
     assert s["surv6"].is_monotonic_decreasing
-    assert ((s["surv6"] > 0) & (s["surv6"] <= 1)).all()
+    assert ((s["surv6"] >= 0) & (s["surv6"] <= 1)).all()
     # at-risk counts shrink as duration grows
     assert s["n_risk"].is_monotonic_decreasing

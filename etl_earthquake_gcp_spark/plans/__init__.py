@@ -14,61 +14,29 @@ from . import multimodal_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import core_queries  # noqa: E402,F401
 from . import function_queries  # noqa: E402,F401
+from . import mixing_queries  # noqa: E402,F401
 
 # The external correctness driver checks the first 50 queries in dict
-# order per round. Round-5 head, per the r4 verdict: (1) the three
-# queries whose r4 rework/schema change postdated their last driver row
-# (the verdict's #1 ask — pagerank's shuffle-hash plan, the HLL rollup's
-# is_total column, skyline's quantile buckets), (2) the queries NEW or
-# CHANGED in round 5 (streaming_dedup_audit closes the last rows-only
-# family member; holt_linear_state now folds the daily series, emits
-# n_days, and requires >= 2 days; incremental_rollup_merge /
-# funnel_3step_strict / decontaminate_by_embedding carry the r4 ADVICE
-# determinism fixes; ann_recall_audit's floors recalibrated to a uniform
-# 2-flip slack under the minimum recall across check scales;
-# ml_lag_features / interpolate_linear_gaps / seasonal_decompose_dow /
-# bigram_lm_loglik / source_kl_divergence hardened against the
-# quantized-then-coarser-re-round boundary divergence found by the r5
-# value-permutation rehearsal — integer-unit sums and display
-# arithmetic, proved bit-identical off the boundary on current data,
-# but fresh rows close the loop), then (3) the stalest
-# re-confirmations — the 36 oldest queries whose last driver row is
-# from round 1 (testdata regenerates between rounds, so old greens
-# decay). The 5 determinism-hardened queries took head slots over
-# stale refreshes: that is the verdict's own priority order (#1
-# changed queries before #2 stale debt — a stale-but-valid row beats a
-# fresh row that can silently go wrong at the next regeneration). The
-# remaining r1 set (window_rank_suite, moving_average, date_parts,
-# dim_date_generated, json_extract_props, tumbling_daily_counts,
-# window_distribution_suite — positions 51-57) + the r2-rowed set
-# rotate into round 6.
+# order per round. Round-6 head, per the SURVEY.md forward schedule
+# (written at the end of round 5): (1) the three NEW round-6
+# registrations promoted from the preview bank (temperature mixing,
+# epoch shuffle order, int8 embedding quantization — parity pairs
+# proven in round 5, including the perturbed-testdata rehearsal),
+# (2) the 7 remaining queries whose last driver row is from round 1
+# (the r1 set is then fully cleared), (3) the 45-query r2-rowed
+# re-confirmation set — the first 40 fit the 50-slot head; the last 5
+# (embedding_cosine_near_dup .. embedding_centroids_by_label) rotate
+# into round 7 together with the round-7 preview-bank registrations.
+# Everything r4/r5-rowed is fresh and stays behind the refresh debt.
 _DRIVER_PRIORITY = [
-    # -- r4-changed queries whose driver rows predate the change -----------
-    "pagerank_3iter", "hll_mergeable_rollup", "skyline_pareto_orders",
-    # -- new in round 5 ----------------------------------------------------
-    "streaming_dedup_audit",
-    # -- changed in round 5 (rework / determinism fixes) -------------------
-    "holt_linear_state", "incremental_rollup_merge", "funnel_3step_strict",
-    "decontaminate_by_embedding", "ann_recall_audit", "ml_lag_features",
-    "interpolate_linear_gaps", "seasonal_decompose_dow",
-    "bigram_lm_loglik", "source_kl_divergence",
-    # -- stalest re-confirmations (last row = round 1) ---------------------
-    "cosine_topk_bruteforce", "embedding_norm_stats", "explode_token_counts",
-    "bpe_token_counts", "countmin_token_freq", "array_access_first_last",
-    "exact_dedup_docs", "text_quality_stats", "lang_score",
-    "jaccard_near_dup_pairs", "near_dup_components", "clean_corpus_by_source",
-    "minhash_lsh_near_dup", "minhash_shingle_near_dup", "tf_idf_scores",
-    "fuzzy_pairs_levenshtein", "token_pmi", "doc_fingerprints",
-    "scrub_mask_tokens", "jaccard_bigram_pairs", "containment_subset_pairs",
-    "flagship_events_by_region", "pricing_summary", "validation_filter",
-    "case_buckets", "regex_extract", "latest_event_dedup",
-    "latest_event_dedup_maxby", "distinct_dim_with_key",
-    "date_hierarchy_rollup", "global_kpis", "approx_distinct_events",
-    "sum_by_two_keys", "top_orders", "union_priorities", "nation_set_ops",
+    # -- new in round 6 (promoted from the round-5 preview bank) -----------
+    "temperature_mix_weights", "epoch_shuffle_order",
+    "embedding_int8_quantize",
+    # -- last remaining r1-rowed re-confirmations --------------------------
     "window_rank_suite", "moving_average", "date_parts",
     "dim_date_generated", "json_extract_props", "tumbling_daily_counts",
     "window_distribution_suite",
-    # -- next-stalest (last row = round 2) fill the remaining order --------
+    # -- r2-rowed re-confirmations (positions 11-50 land round-6 rows) -----
     "stats_agg_suite", "string_ops_suite", "array_ops_suite",
     "null_handling_suite", "weighted_avg_order_price", "value_mad_robust",
     "range_frame_running_sum", "semi_anti_join_customers",
@@ -86,8 +54,28 @@ _DRIVER_PRIORITY = [
     "streaming_upsert_merge", "streaming_dedup_watermark",
     "asof_purchase_prior_click", "asof_cogroup_pandas", "asof_nearest_click",
     "sessionize_events", "session_window_agg", "streaming_sessionize_state",
+    # -- positions 51-55: complete the r2 set in round 7 -------------------
     "embedding_cosine_near_dup", "cosine_topk_pandas", "ann_ivf_topk",
     "ann_lsh_bucketed", "embedding_centroids_by_label",
+    # -- round-5-rowed (fresh; retain explicit order behind the debt) ------
+    "pagerank_3iter", "hll_mergeable_rollup", "skyline_pareto_orders",
+    "streaming_dedup_audit",
+    "holt_linear_state", "incremental_rollup_merge", "funnel_3step_strict",
+    "decontaminate_by_embedding", "ann_recall_audit", "ml_lag_features",
+    "interpolate_linear_gaps", "seasonal_decompose_dow",
+    "bigram_lm_loglik", "source_kl_divergence",
+    "cosine_topk_bruteforce", "embedding_norm_stats", "explode_token_counts",
+    "bpe_token_counts", "countmin_token_freq", "array_access_first_last",
+    "exact_dedup_docs", "text_quality_stats", "lang_score",
+    "jaccard_near_dup_pairs", "near_dup_components", "clean_corpus_by_source",
+    "minhash_lsh_near_dup", "minhash_shingle_near_dup", "tf_idf_scores",
+    "fuzzy_pairs_levenshtein", "token_pmi", "doc_fingerprints",
+    "scrub_mask_tokens", "jaccard_bigram_pairs", "containment_subset_pairs",
+    "flagship_events_by_region", "pricing_summary", "validation_filter",
+    "case_buckets", "regex_extract", "latest_event_dedup",
+    "latest_event_dedup_maxby", "distinct_dim_with_key",
+    "date_hierarchy_rollup", "global_kpis", "approx_distinct_events",
+    "sum_by_two_keys", "top_orders", "union_priorities", "nation_set_ops",
 ]
 
 

@@ -31,7 +31,30 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import portable_hash8
 
-MERGE_JOINER = "_"  # corpus tokens are [a-z0-9]+, so '_' cannot collide
+# Merged tokens are joined with '_', so INPUT corpus tokens must not
+# contain it (else "a_b" from a merge conflates with a literal "a_b"
+# token in pair_counts and corrupts the audit). validate_corpus guards
+# this; induce_and_encode calls it once on the input (merges themselves
+# introduce '_', which is fine — the guard runs before iteration 1).
+MERGE_JOINER = "_"
+
+
+def validate_corpus(corpus: DataFrame, text_col: str = "text") -> None:
+    """Raise if any input text would break the merge machinery: a
+    literal ``MERGE_JOINER`` in a token conflates distinct pairs after
+    the first merge, and leading/trailing/double spaces break the
+    doubled-space rewrite's token-boundary invariant. One cheap
+    ``take(1)`` scan, run once per induction (not per iteration)."""
+    bad = corpus.filter(
+        F.col(text_col).rlike(f"{MERGE_JOINER}|^ | $|  ")
+    ).take(1)
+    if bad:
+        raise ValueError(
+            f"BPE corpus precondition violated: {text_col!r} contains "
+            f"{MERGE_JOINER!r} or irregular spacing "
+            f"(example: {bad[0][text_col][:80]!r}); tokens must be "
+            f"single-space separated and free of the merge joiner"
+        )
 
 
 def pair_counts(corpus: DataFrame, text_col: str = "text") -> DataFrame:
@@ -95,12 +118,18 @@ def induce_and_encode(
     The per-iteration driver collect is exactly one (a, b, cnt) row;
     the corpus itself never leaves the cluster.
 
+    Precondition (validated up front by :func:`validate_corpus`, one
+    ``take(1)`` scan): input tokens are single-space separated and do
+    not contain ``MERGE_JOINER`` ('_') — a literal '_' token would
+    silently conflate with merge-produced tokens in ``pair_counts``.
+
     ``checkpoint`` truncates the rewrite lineage with a per-iteration
     ``localCheckpoint()`` (the repo's BFS lesson): without it the lazy
     chain re-executes for each iteration's two actions — O(k²) scans
     total (measured decade ratio 4.1 at k=3, SCALING.md round-5); with
     it each iteration materializes the corpus once and every scan reads
     the checkpointed state — O(k) scans."""
+    validate_corpus(corpus, text_col)
     out: list[dict] = []
     cur = corpus
     for it in range(1, n_merges + 1):

@@ -204,28 +204,59 @@ def grouped_budget_allocation(
     special case and delegates here so the bit-parity-critical
     quantize/renormalize/tie logic exists exactly once). Returns
     (part, key, weight, quota) with sum(quota) == budget in every
-    part."""
+    part.
+
+    Weights must be NON-NEGATIVE (w_u <= t relies on it). Degenerate
+    groups where every weight quantizes to 0 (all < 5e-7, so t = 0)
+    fall back DETERMINISTICALLY to uniform apportionment (w_u = 1,
+    t = |keys|) — the sum(quota) == budget contract holds instead of
+    silently yielding NULL quotas from an integer division by zero.
+
+    Overflow contract: the floor quota div(w_u*b, t) is computed via
+    the exact split b = q*t + r as w_u*q + div(w_u*r, t) (and the
+    remainder as (w_u*r) mod t — identical since w_u*q*t ≡ 0 mod t).
+    Both products stay inside BIGINT for ANY budget up to 2^63-1:
+    w_u*q <= t*(b div t) <= b because w_u <= t, and w_u*r < t^2,
+    safe while t < 3.03e9 — i.e. group weights summing to ~3000 with
+    1e-6 quantization; normalized weights give t ≈ 1e6. (The naive
+    w_u*b product overflows past b ≈ 9.2e12 — a plausible token
+    budget at 100 TB scale.)"""
     from pyspark.sql import Window
 
-    w_u = F.round(F.col(weight_col) * 1_000_000, 0).cast("long")
+    w_u0 = F.round(F.col(weight_col) * 1_000_000, 0).cast("long")
     part_w = Window.partitionBy(part_col)
-    base = (
+    staged = (
         weights.select(
             part_col,
             key_col,
             F.col(weight_col),
             F.col(budget_col).cast("long").alias("_b"),
-            w_u.alias("w_u"),
+            w_u0.alias("w_u0"),
         )
-        .withColumn("t", F.sum("w_u").over(part_w))
-        .select(
-            part_col,
-            key_col,
-            weight_col,
-            "_b",
-            F.expr("div(w_u * _b, t)").alias("floor_quota"),
-            ((F.col("w_u") * F.col("_b")) % F.col("t")).alias("rem"),
+        .withColumn("_t0", F.sum("w_u0").over(part_w))
+        .withColumn(
+            "w_u",
+            F.when(F.col("_t0") == 0, F.lit(1)).otherwise(F.col("w_u0")),
         )
+        .withColumn(
+            "t",
+            F.when(F.col("_t0") == 0, F.count("*").over(part_w))
+            .otherwise(F.col("_t0"))
+            .cast("long"),
+        )
+    )
+    base = staged.select(
+        part_col,
+        key_col,
+        weight_col,
+        "_b",
+        (
+            F.col("w_u") * F.expr("_b div t")
+            + F.expr("(w_u * (_b % t)) div t")
+        ).alias("floor_quota"),
+        ((F.col("w_u") * (F.col("_b") % F.col("t"))) % F.col("t")).alias(
+            "rem"
+        ),
     )
     rr_w = Window.partitionBy(part_col).orderBy(F.desc("rem"), key_col)
     return (

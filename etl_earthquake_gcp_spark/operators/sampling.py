@@ -31,8 +31,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HASH_A = 2654435761  # Knuth multiplicative constant (shared house hash)
-HASH_P = 2147483647  # 2^31 - 1; squares stay below 2^62 under ANSI
+HASH_P = 2147483647  # 2^31 - 1; products stay below 2^62 under ANSI
 HASH_A_RED = HASH_A % HASH_P  # 506952114: (A·x) mod p == ((A mod p)·x) mod p
+HASH_B = 2246822519  # xxhash PRIME32_2 — second, independent multiplier
+HASH_B_RED = HASH_B % HASH_P  # 99338872, same mod-p reduction argument
+HASH_C = 1013904223  # Numerical Recipes LCG increment (odd additive)
 KEY_UNIT = 1_000_000_000  # 1e-9-unit integer keys
 
 
@@ -42,15 +45,24 @@ def portable_uniform(id_col: Column) -> Column:
     HLL sketch), then scale into the unit interval as an exact dyadic
     rational.
 
-    Both multiplications stay below 2^62 under ANSI for ARBITRARY ids:
-    the id is reduced mod p first and the Knuth constant is used in its
-    mod-p-reduced form (mathematically identical for ids < p, and the
-    consistent extension beyond — a raw ``id * A`` would overflow BIGINT
-    past id ≈ 3.47e9, well inside a 100 TB corpus)."""
-    h1 = (
-        (id_col.cast("long") % F.lit(HASH_P)) * F.lit(HASH_A_RED)
-    ) % F.lit(HASH_P)
-    h2 = (h1 * h1) % F.lit(HASH_P)
+    The second round is a MULTIPLY-ADD with an independent constant,
+    not a squaring: h → (h·h) mod p only lands on quadratic residues
+    (~half the range, each hit twice — r5 ADVICE), which skews
+    Efraimidis–Spirakis inclusion probabilities; (h·B + C) mod p is a
+    bijection on [0, p), so the output is exactly as equidistributed
+    as h1. The id is pmod-reduced first — Spark/DuckDB ``%`` keeps the
+    dividend's sign, and a negative remainder would push u ≤ 0 and
+    NULL the ln-key (same ADVICE item).
+
+    All products stay below 2^62 under ANSI for ARBITRARY BIGINT ids:
+    r < p, so r·A_RED < p·5.07e8 ≈ 1.1e18 and h1·B_RED + C <
+    p·9.94e7 + 1e9 ≈ 2.2e17 (a raw ``id * A`` would overflow past
+    id ≈ 3.47e9, well inside a 100 TB corpus)."""
+    r = (id_col.cast("long") % F.lit(HASH_P) + F.lit(HASH_P)) % F.lit(
+        HASH_P
+    )
+    h1 = (r * F.lit(HASH_A_RED)) % F.lit(HASH_P)
+    h2 = (h1 * F.lit(HASH_B_RED) + F.lit(HASH_C)) % F.lit(HASH_P)
     return (h2 + 1) / F.lit(2147483648.0)
 
 

@@ -185,3 +185,36 @@ def test_budget_allocation_full_budget_when_units_do_not_sum_to_1e6(spark):
              mixing.budget_allocation(w, budget=1000).collect()}
     assert sum(alloc.values()) == 1000
     assert sorted(alloc.values()) == [333, 333, 334]
+
+
+def test_budget_allocation_token_scale_budget_no_overflow(spark):
+    """Budgets past ~9.2e12 overflowed the naive w_u*b BIGINT product
+    (r5 ADVICE); the q/r-split form must apportion a 100-TB-scale token
+    budget exactly. 2^62 div 1e6 would have been the naive ceiling."""
+    w = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.3), ("c", 0.2)],
+        "source string, weight double",
+    )
+    budget = 30_000_000_000_000  # 30T tokens
+    alloc = {r["source"]: r["quota"] for r in
+             mixing.budget_allocation(w, budget=budget).collect()}
+    assert sum(alloc.values()) == budget
+    assert alloc["a"] == 15_000_000_000_000
+    assert alloc["b"] == 9_000_000_000_000
+    assert alloc["c"] == 6_000_000_000_000
+
+
+def test_budget_allocation_all_zero_units_uniform_fallback(spark):
+    """Every weight < 5e-7 quantizes to 0 units (t = 0): the guard falls
+    back to deterministic uniform apportionment instead of NULL quotas
+    from div-by-zero (r5 ADVICE)."""
+    w = spark.createDataFrame(
+        [("a", 1e-7), ("b", 2e-7), ("c", 3e-7)],
+        "source string, weight double",
+    )
+    alloc = {r["source"]: r["quota"] for r in
+             mixing.budget_allocation(w, budget=10).collect()}
+    assert sum(alloc.values()) == 10
+    # uniform: floor 3 each, shortfall 1 topped up by key order (all
+    # remainders tie at 1, tie-break source ASC)
+    assert alloc == {"a": 4, "b": 3, "c": 3}

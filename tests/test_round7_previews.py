@@ -253,6 +253,20 @@ def test_bpe_merge_induction_oracle_parity(spark, oracle):
     assert cnts == sorted(cnts, reverse=True)
 
 
+def test_bpe_rejects_joiner_and_irregular_spacing(spark):
+    """r5 ADVICE: a literal '_' token (or irregular spacing) in the
+    INPUT corpus would silently conflate merge-produced pairs — the
+    up-front guard must refuse it loudly."""
+    import pytest
+
+    for bad_text in ("a_b c", "a  b", " a b", "a b "):
+        df = spark.createDataFrame(
+            [(1, bad_text), (2, "ok tokens")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="precondition"):
+            bpe.induce_and_encode(df, n_merges=1)
+
+
 def test_apply_merge_is_greedy_leftmost(spark):
     """BPE semantics pin: "a a a" merges leftmost-first -> "a_a a"; the
     doubled-space construction never merges across a freshly-made token."""

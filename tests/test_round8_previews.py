@@ -25,16 +25,22 @@ from .test_round7_previews import bpe_merge_ctes
 
 # the portable integer id-hash, built from the ONE source of truth in
 # operators/sampling.py (same convention as the minhash oracles) — the
-# reduced-multiplier form stays ANSI-safe for arbitrary ids
+# reduced-multiplier form stays ANSI-safe for arbitrary ids, and the
+# pmod keeps the residue non-negative for negative ids (r5 ADVICE)
 _KEY_SQL = (
-    f"(((doc_id % {sampling.HASH_P}) * {sampling.HASH_A_RED})"
+    f"((((doc_id % {sampling.HASH_P}) + {sampling.HASH_P})"
+    f" % {sampling.HASH_P} * {sampling.HASH_A_RED})"
     f" % {sampling.HASH_P})"
 )
 
 
 def _key_col():
     return (
-        (F.col("doc_id") % F.lit(sampling.HASH_P))
+        (
+            F.col("doc_id") % F.lit(sampling.HASH_P)
+            + F.lit(sampling.HASH_P)
+        )
+        % F.lit(sampling.HASH_P)
         * F.lit(sampling.HASH_A_RED)
     ) % F.lit(sampling.HASH_P)
 
@@ -300,7 +306,8 @@ WEIGHTED_SAMPLE_ORACLE = f"""
     ), k AS (
         SELECT doc_id, source, w,
                CAST(floor({float(sampling.KEY_UNIT)}
-                   * ln((((h1 * h1) % {sampling.HASH_P}) + 1)
+                   * ln((((h1 * {sampling.HASH_B_RED}
+                           + {sampling.HASH_C}) % {sampling.HASH_P}) + 1)
                         / {float(sampling.HASH_P + 1)})
                    / w) AS BIGINT) AS key_n
         FROM h
@@ -328,6 +335,20 @@ def test_weighted_sample_oracle_parity(spark, oracle):
     assert_frames_match(spdf, opdf, "weighted_sample_docs")
     assert len(spdf) == _WS_N
     assert (spdf["key_n"] < 0).all()  # u < 1 by construction
+
+
+def test_portable_uniform_negative_ids_and_range(spark):
+    """r5 ADVICE regressions: a negative id must still hash into (0, 1]
+    (the pre-fix truncated % gave u <= 0 and NULLed the ln-key), and the
+    multiply-add second round must populate keys for every row."""
+    df = spark.createDataFrame(
+        [(-5, 10), (-1, 10), (0, 10), (7, 10), (2**40, 10)],
+        "doc_id long, w long",
+    )
+    keyed = sampling.es_sample_keys(df, "w", "doc_id").toPandas()
+    assert len(keyed) == 5
+    assert keyed["key_n"].notna().all()
+    assert (keyed["key_n"] < 0).all()  # ln(u) < 0 for u < 1
 
 
 def test_weighted_sample_biases_toward_heavy_docs(spark):

@@ -42,18 +42,28 @@ MERGE_JOINER = "_"
 def validate_corpus(corpus: DataFrame, text_col: str = "text") -> None:
     """Raise if any input text would break the merge machinery: a
     literal ``MERGE_JOINER`` in a token conflates distinct pairs after
-    the first merge, and leading/trailing/double spaces break the
-    doubled-space rewrite's token-boundary invariant. One cheap
-    ``take(1)`` scan, run once per induction (not per iteration)."""
+    the first merge, leading/trailing/double spaces break the
+    doubled-space rewrite's token-boundary invariant, and a NULL text
+    would silently vanish from pair counts and the corpus checksum
+    (``rlike(NULL)`` is NULL, so NULLs need their own predicate).
+
+    Honest cost: the happy path is one full scan of ``text_col``
+    (``take(1)`` on a filter that matches nothing visits every
+    partition) — induction becomes O(k+1) corpus scans instead of
+    O(k). Callers re-running induction over a corpus already certified
+    once can pass ``validate=False`` to :func:`induce_and_encode`."""
     bad = corpus.filter(
-        F.col(text_col).rlike(f"{MERGE_JOINER}|^ | $|  ")
+        F.col(text_col).isNull()
+        | F.col(text_col).rlike(f"{MERGE_JOINER}|^ | $|  ")
     ).take(1)
     if bad:
+        example = bad[0][text_col]
+        example = "NULL" if example is None else repr(example[:80])
         raise ValueError(
-            f"BPE corpus precondition violated: {text_col!r} contains "
-            f"{MERGE_JOINER!r} or irregular spacing "
-            f"(example: {bad[0][text_col][:80]!r}); tokens must be "
-            f"single-space separated and free of the merge joiner"
+            f"BPE corpus precondition violated: {text_col!r} is NULL or "
+            f"contains {MERGE_JOINER!r} or irregular spacing "
+            f"(example: {example}); tokens must be single-space "
+            f"separated, non-NULL, and free of the merge joiner"
         )
 
 
@@ -107,6 +117,7 @@ def induce_and_encode(
     n_merges: int,
     text_col: str = "text",
     checkpoint: bool = True,
+    validate: bool = True,
 ) -> tuple[list[dict], DataFrame]:
     """Run ``n_merges`` BPE iterations; return one audit dict per
     iteration — the merged pair, its pre-merge count, and an
@@ -118,10 +129,11 @@ def induce_and_encode(
     The per-iteration driver collect is exactly one (a, b, cnt) row;
     the corpus itself never leaves the cluster.
 
-    Precondition (validated up front by :func:`validate_corpus`, one
-    ``take(1)`` scan): input tokens are single-space separated and do
-    not contain ``MERGE_JOINER`` ('_') — a literal '_' token would
-    silently conflate with merge-produced tokens in ``pair_counts``.
+    Precondition (validated up front by :func:`validate_corpus` unless
+    ``validate=False`` — one extra corpus scan): input texts are
+    non-NULL, single-space separated, and do not contain
+    ``MERGE_JOINER`` ('_') — a literal '_' token would silently
+    conflate with merge-produced tokens in ``pair_counts``.
 
     ``checkpoint`` truncates the rewrite lineage with a per-iteration
     ``localCheckpoint()`` (the repo's BFS lesson): without it the lazy
@@ -129,7 +141,8 @@ def induce_and_encode(
     total (measured decade ratio 4.1 at k=3, SCALING.md round-5); with
     it each iteration materializes the corpus once and every scan reads
     the checkpointed state — O(k) scans."""
-    validate_corpus(corpus, text_col)
+    if validate:
+        validate_corpus(corpus, text_col)
     out: list[dict] = []
     cur = corpus
     for it in range(1, n_merges + 1):
@@ -165,6 +178,9 @@ def merge_induction(
     n_merges: int,
     text_col: str = "text",
     checkpoint: bool = True,
+    validate: bool = True,
 ) -> list[dict]:
     """The audit table alone — see :func:`induce_and_encode`."""
-    return induce_and_encode(corpus, n_merges, text_col, checkpoint)[0]
+    return induce_and_encode(
+        corpus, n_merges, text_col, checkpoint, validate
+    )[0]

@@ -206,7 +206,10 @@ def grouped_budget_allocation(
     (part, key, weight, quota) with sum(quota) == budget in every
     part.
 
-    Weights must be NON-NEGATIVE (w_u <= t relies on it). Degenerate
+    Weights must be NON-NEGATIVE (w_u <= t, which the overflow proof
+    below relies on) — enforced with a map-side raise_error, so a
+    negative weight fails the job loudly instead of silently producing
+    negative quotas that no longer sum to the budget. Degenerate
     groups where every weight quantizes to 0 (all < 5e-7, so t = 0)
     fall back DETERMINISTICALLY to uniform apportionment (w_u = 1,
     t = |keys|) — the sum(quota) == budget contract holds instead of
@@ -223,7 +226,16 @@ def grouped_budget_allocation(
     budget at 100 TB scale.)"""
     from pyspark.sql import Window
 
-    w_u0 = F.round(F.col(weight_col) * 1_000_000, 0).cast("long")
+    w_u0 = F.when(
+        F.col(weight_col) < 0,
+        F.raise_error(
+            F.format_string(
+                "grouped_budget_allocation: negative weight %s for key %s",
+                F.col(weight_col).cast("string"),
+                F.col(key_col).cast("string"),
+            )
+        ),
+    ).otherwise(F.round(F.col(weight_col) * 1_000_000, 0).cast("long"))
     part_w = Window.partitionBy(part_col)
     staged = (
         weights.select(

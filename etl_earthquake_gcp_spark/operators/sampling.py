@@ -5,10 +5,12 @@ Efraimidis–Spirakis A-Res: to draw N items WITHOUT replacement with
 probability proportional to a weight ``w``, give every item the key
 ``u^(1/w)`` for an independent uniform ``u`` and keep the N largest —
 equivalently the N largest ``ln(u)/w``, which is what we compute. The
-"randomness" is the repo's portable two-round multiplicative hash of
-the item id (Knuth constant, squaring round for mixing — the HLL
-lesson), so the draw is fully deterministic and replayable by an ANSI
-oracle: both engines hash, transform, and select the exact same set.
+"randomness" is the repo's portable two-round hash of the item id
+(Knuth multiplicative round, then an independent multiply-add round —
+bijective on [0, p), unlike a squaring round, which only lands on
+quadratic residues and skews the draw), so the draw is fully
+deterministic and replayable by an ANSI oracle: both engines hash,
+transform, and select the exact same set.
 
 Parity note: ``ln`` is the one libm call; its argument is an exact
 dyadic rational (hash/2^31) and the result is immediately floored at

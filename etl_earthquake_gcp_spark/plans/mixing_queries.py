@@ -92,22 +92,26 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ) WHERE rn <= {SHUFFLE_HEAD}
     """,
-    doc="deterministic per-epoch training order: global sort on "
-    "portable_hash8(doc_id:epoch) — map-side key, one range exchange, "
-    "no RNG state (operators/mixing.py::epoch_order). Head-100 of epoch "
-    "3 with the explicit row_number so the oracle replays the exact "
-    "total order.",
+    doc="deterministic per-epoch training order: map-side "
+    "portable_hash8(doc_id:epoch) key, no RNG state "
+    "(operators/mixing.py::epoch_order). The head-100 selection is "
+    "TakeOrderedAndProject (per-partition top-k, one k-sized merge) — "
+    "the row_number that replays the exact order for the oracle runs "
+    "AFTER the limit, over the 100-row head, never a single-partition "
+    "window over the corpus.",
 )
 def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    ordered = mixing.epoch_order(docs, epoch=SHUFFLE_EPOCH)
+    head = (
+        mixing.epoch_order(docs, epoch=SHUFFLE_EPOCH)
+        .orderBy("shuffle_key", "doc_id")
+        .limit(SHUFFLE_HEAD)
+    )
     w = Window.orderBy("shuffle_key", "doc_id")
-    return (
-        ordered.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= SHUFFLE_HEAD)
-        .select(
-            "doc_id", "shuffle_key", F.col("rn").cast("long").alias("rn")
-        )
+    return head.select(
+        "doc_id",
+        "shuffle_key",
+        F.row_number().over(w).cast("long").alias("rn"),
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.sampling import HASH_B_RED, HASH_C
 from ..operators.skew import salted_join
 from ..sources.tables import load_table
 from .registry import register
@@ -1141,8 +1142,11 @@ def merge_overlapping_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ARES_K = 100
-# portable uniform: one linear + one squaring round of the Mersenne hash
-# (same construction as operators/sketch.py HLL), scaled to (0, 1]
+# portable uniform: one linear round, then an independent multiply-add
+# round of the Mersenne hash (bijective on [0, p) — a squaring round
+# only lands on quadratic residues, ~half the range each hit twice,
+# which skews the Efraimidis-Spirakis inclusion probabilities; reworked
+# round 6 per the r5 ADVICE, constants shared with operators/sampling.py)
 _ARES_P = (1 << 31) - 1
 _ARES_A, _ARES_B = 48271, 11
 
@@ -1154,7 +1158,7 @@ _ARES_A, _ARES_B = 48271, 11
             SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
                    round(pow(
                        ((((o_orderkey * {_ARES_A} + {_ARES_B}) % {_ARES_P})
-                         * ((o_orderkey * {_ARES_A} + {_ARES_B}) % {_ARES_P}))
+                         * {HASH_B_RED} + {HASH_C})
                         % {_ARES_P} + 1.0) / {_ARES_P + 1}.0,
                        1.0 / o_totalprice), 6) AS k
             FROM orders WHERE o_totalprice > 0
@@ -1177,7 +1181,7 @@ _ARES_A, _ARES_B = 48271, 11
 def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     h1 = (F.col("o_orderkey") * _ARES_A + _ARES_B) % _ARES_P
-    h = (h1 * h1) % _ARES_P
+    h = (h1 * HASH_B_RED + HASH_C) % _ARES_P
     u = (h + 1.0) / float(_ARES_P + 1)
     key = F.round(F.pow(u, 1.0 / F.col("o_totalprice")), 6)
     return (

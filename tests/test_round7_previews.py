@@ -259,12 +259,18 @@ def test_bpe_rejects_joiner_and_irregular_spacing(spark):
     up-front guard must refuse it loudly."""
     import pytest
 
-    for bad_text in ("a_b c", "a  b", " a b", "a b "):
+    for bad_text in ("a_b c", "a  b", " a b", "a b ", None):
         df = spark.createDataFrame(
             [(1, bad_text), (2, "ok tokens")], "doc_id long, text string"
         )
         with pytest.raises(ValueError, match="precondition"):
             bpe.induce_and_encode(df, n_merges=1)
+    # validate=False skips the guard (re-run over a certified corpus)
+    ok = spark.createDataFrame(
+        [(1, "a a b"), (2, "a a c")], "doc_id long, text string"
+    )
+    rows, _ = bpe.induce_and_encode(ok, n_merges=1, validate=False)
+    assert rows[0]["tok_a"] == "a" and rows[0]["tok_b"] == "a"
 
 
 def test_apply_merge_is_greedy_leftmost(spark):

@@ -506,19 +506,14 @@ NDCG_ORACLE = f"""
 
 
 def ndcg_at10_exact(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("vec"),
+    from etl_earthquake_gcp_spark.functions.vectors import (
+        cast_double_with_norm,
     )
-    withn = emb.withColumn(
-        "norm",
-        F.sqrt(
-            F.aggregate(
-                "vec", F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        ),
-    ).filter(F.col("norm") > 0)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = cast_double_with_norm(emb, keep=("vec_id", "label")).filter(
+        F.col("norm") > 0
+    )
     q = withn.filter(F.col("vec_id") < _NDCG_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),

@@ -250,15 +250,19 @@ def test_gini_known_values(spark):
 # Exact 8-gram-overlap decontamination (the n-gram sibling of the
 # registered decontaminate_by_embedding, and the find stage of the
 # GPT-3/Llama eval-contamination protocol): the held-out eval shard is
-# the deterministic doc_id % 97 == 0 slice; a corpus doc is contaminated
-# if any of its distinct 8-grams appears in any eval doc. Scale shape:
-# the eval gram set is dim-sized (|corpus|/97 docs) -> distinct-gram
-# semi-join is broadcast-able; candidate volume is linear in corpus
-# grams, never quadratic. Output: per contaminated doc, its gram count,
-# hit count, and hit share (integers + one single-ratio round).
+# the deterministic doc_id % 7 == 0 slice; a corpus doc is contaminated
+# if any of its distinct 8-grams appears in any eval doc. The mod-7
+# shard is a TEST-HARNESS choice: the synthetic corpus is mostly
+# unique text, so a 1/97 shard yields zero 8-gram overlap at sf0.01
+# and the driver row would be a vacuous 0=0; production eval sets are
+# fixed benchmark suites — dimension-sized regardless of corpus scale
+# — which is the contract the broadcast semi-join plan encodes.
+# Candidate volume is linear in corpus grams, never quadratic.
+# Output: per contaminated doc, its gram count, hit count, and hit
+# share (integers + one single-ratio round).
 
 _DECON_N = 8
-_DECON_MOD = 97
+_DECON_MOD = 7
 
 NGRAM_DECON_ORACLE = f"""
     WITH t AS (

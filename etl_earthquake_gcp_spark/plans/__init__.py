@@ -22,22 +22,28 @@ from . import mixing_queries  # noqa: E402,F401
 # registrations promoted from the preview bank (temperature mixing,
 # epoch shuffle order, int8 embedding quantization — parity pairs
 # proven in round 5, including the perturbed-testdata rehearsal),
-# (2) weighted_sample_ares, whose second hash round was reworked this
-# round (squaring -> multiply-add, the r5 ADVICE defect class) — a
-# changed query needs a fresh row under its current definition, and the
-# schedule's own rule is that a round-6 rework displaces an r2 refresh,
-# (3) the 7 remaining queries whose last driver row is from round 1
-# (the r1 set is then fully cleared), (4) the 45-query r2-rowed
-# re-confirmation set — the first 39 fit the 50-slot head; the last 6
-# (streaming_sessionize_state .. embedding_centroids_by_label) rotate
-# into round 7 together with the round-7 preview-bank registrations.
-# Everything r4/r5-rowed is fresh and stays behind the refresh debt.
+# (2) the two queries REWORKED this round — weighted_sample_ares
+# (second hash round squaring -> multiply-add, the r5 ADVICE defect
+# class) and boilerplate_ngrams (reach threshold 5 -> 3; the old floor
+# was vacuous-empty on regenerated data) — changed queries need fresh
+# rows under their current definitions, and the schedule's own rule is
+# that each round-6 rework displaces an r2 refresh, (3) the 7 remaining
+# queries whose last driver row is from round 1 (the r1 set is then
+# fully cleared), (4) the 45-query r2-rowed re-confirmation set — the
+# first 38 fit the 50-slot head; the last 7 (session_window_agg ..
+# embedding_centroids_by_label) rotate into round 7 together with the
+# round-7 preview-bank registrations. Everything r4/r5-rowed is fresh
+# and stays behind the refresh debt.
 _DRIVER_PRIORITY = [
     # -- new in round 6 (promoted from the round-5 preview bank) -----------
     "temperature_mix_weights", "epoch_shuffle_order",
     "embedding_int8_quantize",
     # -- reworked in round 6 (hash second round: squaring -> multiply-add) -
     "weighted_sample_ares",
+    # -- reworked in round 6 (threshold 5 -> 3: the regenerated corpus
+    #    peaks at 3-4 docs per shared 8-gram, so the old floor returned a
+    #    vacuous empty result; a changed query needs a fresh row) --------
+    "boilerplate_ngrams",
     # -- last remaining r1-rowed re-confirmations --------------------------
     "window_rank_suite", "moving_average", "date_parts",
     "dim_date_generated", "json_extract_props", "tumbling_daily_counts",
@@ -59,9 +65,9 @@ _DRIVER_PRIORITY = [
     "streaming_stream_stream_join", "streaming_static_enrich",
     "streaming_upsert_merge", "streaming_dedup_watermark",
     "asof_purchase_prior_click", "asof_cogroup_pandas", "asof_nearest_click",
-    "sessionize_events", "session_window_agg",
-    # -- positions 51-56: complete the r2 set in round 7 -------------------
-    "streaming_sessionize_state",
+    "sessionize_events",
+    # -- positions 51-57: complete the r2 set in round 7 -------------------
+    "session_window_agg", "streaming_sessionize_state",
     "embedding_cosine_near_dup", "cosine_topk_pandas", "ann_ivf_topk",
     "ann_lsh_bucketed", "embedding_centroids_by_label",
     # -- round-5-rowed (fresh; retain explicit order behind the debt) ------

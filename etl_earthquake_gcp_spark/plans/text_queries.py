@@ -1810,10 +1810,13 @@ def bigram_lm_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_docs
         FROM grams
         GROUP BY gram
-        HAVING count(*) >= 5
+        HAVING count(*) >= 3
     """,
     doc="cross-document boilerplate detection: 8-token windows appearing "
-    "in >= 5 DISTINCT documents — headers, templates, licence blocks; "
+    "in >= 3 DISTINCT documents — headers, templates, licence blocks "
+    "(threshold lowered from 5 in round 6: the regenerated corpus peaks "
+    "at 3-4 docs per shared 8-gram, so >= 5 returned a vacuous empty "
+    "result; >= 3 is non-trivial at every scale and perturbation); "
     "the n-gram-level contamination/boilerplate sweep (the bounded "
     "cousin of suffix-array substring dedup). Distinct (gram, doc) "
     "before the count so within-doc repetition can't inflate reach; "
@@ -1841,7 +1844,7 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grams.groupBy("gram")
         .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") >= 5)
+        .filter(F.col("n_docs") >= 3)
     )
 
 

@@ -27,9 +27,12 @@ def spark():
 def oracle():
     con = duckdb.connect()
     for name in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
-        )
+        # layout-perturbed rehearsal data writes each table as a
+        # DIRECTORY of part files (Spark reads both natively); DuckDB
+        # needs the glob form for directories
+        path = f"{SF_DIR}/{name}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     yield con
     con.close()
 

@@ -1,0 +1,86 @@
+"""Physical-plan pins for the banked (round-12..15) preview surfaces:
+the scale-critical shape claims their SURVEY/SCALING entries make must
+hold in the executed plan, not just in prose — the same contract
+tests/test_physical_strategies.py enforces for registered queries.
+"""
+
+from __future__ import annotations
+
+from .conftest import SF_DIR
+
+
+def _plan_of(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_epoch_shuffle_order_is_take_ordered(spark):
+    """The registered round-6 rework: head-k selection must be
+    TakeOrderedAndProject, never a single-partition corpus window."""
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    plan = _plan_of(QUERIES["epoch_shuffle_order"].spark_fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ndcg_query_side_broadcasts(spark):
+    """The 5-query anchor frame must broadcast against the corpus scan —
+    a shuffle of the corpus onto 5 keys would be the skew anti-pattern."""
+    from tests.test_round13_previews import ndcg_at10_exact
+
+    plan = _plan_of(ndcg_at10_exact(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_centroids_broadcast_not_sortmerge(spark):
+    """Every Lloyd distance join must broadcast the k x dims centroid
+    side; the exploded coordinate table must never sort-merge."""
+    from tests.test_round13_previews import kmeans_lloyd_2iter
+
+    plan = _plan_of(kmeans_lloyd_2iter(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ngram_decontaminate_eval_side_broadcasts(spark):
+    """The eval gram set joins broadcast (the production contract:
+    eval suites are dimension-sized)."""
+    from tests.test_round12_previews import ngram_decontaminate
+
+    plan = _plan_of(ngram_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_roc_auc_window_runs_on_histogram_not_facts(spark):
+    """The cumulative window must consume the distinct-score histogram
+    (post-aggregation), i.e. the plan aggregates BEFORE the window."""
+    from tests.test_round12_previews import roc_auc_exact
+
+    plan = _plan_of(roc_auc_exact(spark, SF_DIR))
+    # window over the aggregated frame: the Window node appears above
+    # a HashAggregate in the tree (string order: Window printed before
+    # its child aggregate)
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index(
+        "HashAggregate", plan.index("Window")
+    ), plan
+
+
+def test_countmin_sketch_join_is_not_broadcast_of_facts(spark):
+    """The sketch-side join runs on |D x W| frames; neither raw fact
+    table may appear under a broadcast exchange (only the tiny lags
+    frame and the 1-row exact count broadcast)."""
+    from tests.test_round15_previews import countmin_join_size
+
+    plan = _plan_of(countmin_join_size(spark, SF_DIR))
+    # the d/w-keyed sketch join aggregates both sides before joining
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_basket_prefilter_join_broadcasts_part_marginals(spark):
+    """The a-priori prefilter joins the dimension-sized part marginals
+    broadcast against the basket scan."""
+    from tests.test_round14_previews import basket_pair_rules
+
+    plan = _plan_of(basket_pair_rules(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan

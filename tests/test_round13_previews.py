@@ -555,11 +555,12 @@ def ndcg_at10_exact(spark, sf_dir):
         .alias("dcg_units")
     )
     rel = (
-        q.join(c, q["qlabel"] == c["label"])
+        F.broadcast(q.select("query_id", "qlabel"))
+        .join(c, F.col("qlabel") == c["label"])
         .groupBy("query_id")
         .agg(F.count("*").cast("long").alias("n_rel"))
     )
-    out = dcg.join(rel, "query_id").filter(F.col("n_rel") > 0)
+    out = dcg.join(F.broadcast(rel), "query_id").filter(F.col("n_rel") > 0)
     idcg = F.element_at(
         pfx_arr, F.least(F.col("n_rel"), F.lit(_NDCG_K)).cast("int")
     )
@@ -717,8 +718,13 @@ def kmeans_lloyd_2iter(spark, sf_dir):
         )
 
     def recompute(assigned):
+        # shuffle_hash on the node-sized assignment side: sort-merge
+        # would re-sort the |vectors x dims| coordinate table per
+        # iteration (the pagerank lesson); neither side broadcasts at
+        # 1e9-vector scale
         return (
             assigned.select("vec_id", "cluster_id")
+            .hint("shuffle_hash")
             .join(xu, "vec_id")
             .groupBy("cluster_id", "i")
             .agg(
@@ -748,7 +754,7 @@ def kmeans_lloyd_2iter(spark, sf_dir):
     checksums = c2.groupBy("cluster_id").agg(
         F.sum("cu").cast("long").alias("centroid_checksum")
     )
-    return members.join(checksums, "cluster_id")
+    return members.join(F.broadcast(checksums), "cluster_id")
 
 
 def test_kmeans_oracle_parity(spark, oracle):

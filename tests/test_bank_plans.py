@@ -84,3 +84,34 @@ def test_basket_prefilter_join_broadcasts_part_marginals(spark):
 
     plan = _plan_of(basket_pair_rules(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hard_negative_anchor_scan_is_single_broadcast_nlj(spark):
+    """The contrastive anchor set broadcasts against one corpus scan —
+    no sort-merge, no cartesian."""
+    from tests.test_round7_previews import hard_negative_mining
+
+    plan = _plan_of(hard_negative_mining(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_stratified_split_bounds_join_broadcasts(spark):
+    """The |strata x splits| quota-interval table broadcasts against
+    the ranked corpus (the builder's explicit F.broadcast(bounds))."""
+    from tests.test_round9_previews import exact_stratified_split
+
+    plan = _plan_of(exact_stratified_split(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_source_overlap_no_cartesian_or_sortmerge(spark):
+    """The |sources|^2 pair frame is dimension-sized: every join is a
+    broadcast, never a cartesian product or a fact-sized sort-merge."""
+    from tests.test_round9_previews import source_overlap_minhash
+
+    plan = _plan_of(source_overlap_minhash(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan

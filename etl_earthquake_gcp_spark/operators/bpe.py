@@ -42,10 +42,14 @@ MERGE_JOINER = "_"
 def validate_corpus(corpus: DataFrame, text_col: str = "text") -> None:
     """Raise if any input text would break the merge machinery: a
     literal ``MERGE_JOINER`` in a token conflates distinct pairs after
-    the first merge, leading/trailing/double spaces break the
-    doubled-space rewrite's token-boundary invariant, and a NULL text
-    would silently vanish from pair counts and the corpus checksum
-    (``rlike(NULL)`` is NULL, so NULLs need their own predicate).
+    the first merge; leading/trailing/double spaces break the
+    doubled-space rewrite's token-boundary invariant; non-space
+    whitespace (tab/newline/NBSP) or an empty string would be treated
+    as part of a single token rather than a separator (r6 ADVICE: the
+    guard certifies SINGLE-SPACE separation, so these must fail too);
+    and a NULL text would silently vanish from pair counts and the
+    corpus checksum (``rlike(NULL)`` is NULL, so NULLs need their own
+    predicate).
 
     Honest cost: the happy path is one full scan of ``text_col``
     (``take(1)`` on a filter that matches nothing visits every
@@ -54,16 +58,19 @@ def validate_corpus(corpus: DataFrame, text_col: str = "text") -> None:
     once can pass ``validate=False`` to :func:`induce_and_encode`."""
     bad = corpus.filter(
         F.col(text_col).isNull()
-        | F.col(text_col).rlike(f"{MERGE_JOINER}|^ | $|  ")
+        # [^\S ] = any whitespace other than the plain space separator;
+        # (?U) makes Java's \s Unicode-aware so NBSP etc. count too
+        | F.col(text_col).rlike(f"(?U){MERGE_JOINER}|^ | $|  |[^\\S ]|^$")
     ).take(1)
     if bad:
         example = bad[0][text_col]
         example = "NULL" if example is None else repr(example[:80])
         raise ValueError(
-            f"BPE corpus precondition violated: {text_col!r} is NULL or "
-            f"contains {MERGE_JOINER!r} or irregular spacing "
-            f"(example: {example}); tokens must be single-space "
-            f"separated, non-NULL, and free of the merge joiner"
+            f"BPE corpus precondition violated: {text_col!r} is NULL, "
+            f"empty, contains {MERGE_JOINER!r}, irregular spacing, or "
+            f"non-space whitespace (example: {example}); tokens must be "
+            f"single-space separated, non-NULL, and free of the merge "
+            f"joiner"
         )
 
 

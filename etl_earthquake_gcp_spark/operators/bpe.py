@@ -129,8 +129,11 @@ def induce_and_encode(
     """Run ``n_merges`` BPE iterations; return one audit dict per
     iteration — the merged pair, its pre-merge count, and an
     order-insensitive integer checksum of the ENTIRE rewritten corpus
-    (sum of ``portable_hash8(text)``), certifying every intermediate
-    corpus state, not just the merge table — plus the final encoded
+    (``bit_xor`` of ``portable_hash8(text)`` — XOR, not SUM: a sum of
+    2^32-range hashes overflows BIGINT past ~2^31 docs, while the XOR
+    fold is closed over 64 bits at any corpus size), certifying every
+    intermediate corpus state, not just the merge table — plus the final
+    encoded
     corpus (so downstream evaluation never re-applies the merge chain).
 
     The per-iteration driver collect is exactly one (a, b, cnt) row;
@@ -165,16 +168,18 @@ def induce_and_encode(
             break
         a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
         cur = apply_merge(cur, a, b, text_col)
-        checksum = cur.agg(
-            F.sum(portable_hash8(F.col(text_col))).cast("long").alias("s")
-        ).collect()[0]["s"]
+        checksum = (
+            cur.select(portable_hash8(F.col(text_col)).alias("_h"))
+            .agg(F.expr("bit_xor(_h)").cast("long").alias("s"))
+            .collect()[0]["s"]
+        )
         out.append(
             {
                 "iter": it,
                 "tok_a": a,
                 "tok_b": b,
                 "pair_count": cnt,
-                "corpus_key_sum": checksum,
+                "corpus_key_xor": checksum,
             }
         )
     return out, cur

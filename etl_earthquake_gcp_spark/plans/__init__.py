@@ -33,11 +33,16 @@ from . import curation_queries  # noqa: E402,F401
 # four testdata regenerations old (this completes the r2 cohort), plus
 # ann_recall_audit re-rowed alongside them so the two rows-only ANN
 # refreshes (ann_ivf_topk, ann_lsh_bucketed) land WITH their hash-green
-# audit sibling in the same round, (4) the 35 stalest r3-rowed
-# re-confirmations, in their round-3 driver order. That fills exactly
-# 50; the remaining 7 r3-rowed queries (positions 51-57) complete in
-# round 8 together with the round-8 preview bank, then the 42-query r4
-# cohort follows.
+# audit sibling in the same round, (4) 35 of the 42 r3-last-rowed
+# queries. Section (4) is ordered by overall row HISTORY age (names
+# first rowed in r1 before r2-history before r3-only names, each
+# sub-group in its first round's driver order) — NOT by round-3 driver
+# order — and the 7 deferred names were hand-picked, not derived from
+# a position rule. The NAME LISTS here and in SURVEY.md's forward
+# schedule are the schedule of record; re-derive nothing from prose.
+# That fills exactly 50; the 7 deferred r3-rowed queries (positions
+# 51-57 below) complete in round 8 together with the round-8 preview
+# bank, then the 42-query r4 cohort follows.
 _DRIVER_PRIORITY = [
     # -- new in round 7 (promoted from the rounds-5/6 preview bank) --------
     "hard_negative_mining", "cluster_quota_sample", "bpe_merge_induction",

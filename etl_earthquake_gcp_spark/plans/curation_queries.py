@@ -154,7 +154,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assignment (broadcast centroids, argmax over 6dp-collapsed cosine) "
     "+ per-cluster portable-hash quota cap "
     "(operators/cluster_sample.py). The kept SET is certified by an "
-    "integer keep-key hash-sum checksum. One corpus scan for "
+    "integer keep-key hash-sum checksum (bounded by quota * 2^31, "
+    "BIGINT-safe for any quota < 2^31). One corpus scan for "
     "assignment, one per-cluster window for the quota — no corpus "
     "self-join; scale-safe for any bounded centroid count.",
 )
@@ -202,13 +203,13 @@ def bpe_merge_ctes(k: int) -> tuple[list[str], list[str]]:
         FROM c{i}
     )""")
         ctes.append(
-            f"h{i + 1} AS (SELECT CAST(sum({_HASH8_TEXT}) AS BIGINT) AS s"
-            f" FROM c{i + 1})"
+            f"h{i + 1} AS (SELECT CAST(bit_xor({_HASH8_TEXT}) AS BIGINT)"
+            f" AS s FROM c{i + 1})"
         )
         rows.append(
             f"SELECT CAST({i + 1} AS BIGINT) AS iter, a AS tok_a,"
             f" b AS tok_b, cnt AS pair_count,"
-            f" (SELECT s FROM h{i + 1}) AS corpus_key_sum FROM b{i}"
+            f" (SELECT s FROM h{i + 1}) AS corpus_key_xor FROM b{i}"
         )
     return ctes, rows
 
@@ -232,7 +233,8 @@ def bpe_oracle(k: int) -> str:
     "map-side rewrite per iteration; the only collect is the 1-row "
     "argmax; per-iteration checkpoint keeps lineage O(1) so k scans "
     "stay O(k). Every intermediate corpus state is certified by an "
-    "integer hash-sum checksum; zero floats anywhere.",
+    "integer bit_xor hash checksum (overflow-free at any corpus "
+    "size); zero floats anywhere.",
 )
 def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -244,12 +246,12 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r["tok_a"],
                 r["tok_b"],
                 r["pair_count"],
-                r["corpus_key_sum"],
+                r["corpus_key_xor"],
             )
             for r in rows
         ],
         schema="iter long, tok_a string, tok_b string,"
-        " pair_count long, corpus_key_sum long",
+        " pair_count long, corpus_key_xor long",
     )
 
 

@@ -23,7 +23,6 @@ from etl_earthquake_gcp_spark.plans.curation_queries import (
     WIN_K,
     WIN_MIN_SHARED,
     WIN_W,
-    bpe_merge_ctes,  # noqa: F401  (re-export: round-8 preview reuses it)
 )
 from etl_earthquake_gcp_spark.sources.tables import load_table
 

@@ -229,7 +229,9 @@ def test_bpe_fertility_oracle_parity(spark, oracle):
 # Per-source top-p truncation by cumulative weight: keep each source's
 # heaviest documents until ceil(p * total_chars) is covered (the row
 # crossing the boundary included). Pure integer arithmetic end to end;
-# the kept SET is certified by a portable-hash key sum.
+# the kept SET is certified by a portable-hash key XOR (a SUM of
+# 2^32-range keys overflows BIGINT once a source keeps ~2^31 docs;
+# bit_xor is closed over 64 bits at any scale).
 
 _TOPP_NUM, _TOPP_DEN = 1, 2  # keep the heaviest half of each source's chars
 
@@ -257,8 +259,8 @@ TOP_P_ORACLE = f"""
            CAST(sum(w) AS BIGINT) AS chars_kept,
            CAST(max(grp_total) AS BIGINT) AS total_chars,
            CAST(max(budget) AS BIGINT) AS budget,
-           CAST(sum({_KEY_SQL}) AS BIGINT)
-               AS kept_key_sum
+           CAST(bit_xor({_KEY_SQL}) AS BIGINT)
+               AS kept_key_xor
     FROM kept GROUP BY source
 """
 
@@ -270,13 +272,12 @@ def top_p_token_budget(spark, sf_dir):
     kept = mixing.token_budget_truncate(
         docs, "w", "source", "doc_id", _TOPP_NUM, _TOPP_DEN
     )
-    key = _key_col()
     return kept.groupBy("source").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.sum("w").cast("long").alias("chars_kept"),
         F.max("grp_total").cast("long").alias("total_chars"),
         F.max("budget").cast("long").alias("budget"),
-        F.sum(key).cast("long").alias("kept_key_sum"),
+        F.expr(f"bit_xor({_KEY_SQL})").cast("long").alias("kept_key_xor"),
     )
 
 
@@ -451,9 +452,10 @@ def test_robust_scale_mad_oracle_parity(spark, oracle):
 # The full-order sibling of the registered epoch_shuffle_order (r6
 # VERDICT next-step #6): the head-100 query certifies the order's head;
 # this certifies the WHOLE training order via monotone key-range
-# buckets — per-bucket count/min/max/key-sum + cumulative start
+# buckets — per-bucket count/min/max/key-XOR + cumulative start
 # position, with disjointness proven in-row against the closed-form
-# bucket bounds. No global sort, no corpus-sized collect.
+# bucket bounds. No global sort, no corpus-sized collect; XOR (not
+# SUM) membership checksums stay inside BIGINT at any corpus size.
 
 _ESR_EPOCH = 3
 _ESR_B = 64
@@ -474,11 +476,11 @@ EPOCH_RANGES_ORACLE = f"""
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(min(shuffle_key) AS BIGINT) AS min_key,
                CAST(max(shuffle_key) AS BIGINT) AS max_key,
-               CAST(sum(shuffle_key) AS BIGINT) AS key_sum,
-               CAST(sum(doc_id) AS BIGINT) AS id_sum
+               CAST(bit_xor(shuffle_key) AS BIGINT) AS key_xor,
+               CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
         FROM b GROUP BY 1
     )
-    SELECT bucket_id, n_docs, min_key, max_key, key_sum, id_sum,
+    SELECT bucket_id, n_docs, min_key, max_key, key_xor, id_xor,
            CAST(coalesce(sum(n_docs) OVER (
                ORDER BY bucket_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

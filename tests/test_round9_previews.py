@@ -81,8 +81,8 @@ STRATIFIED_SPLIT_ORACLE = f"""
     )
     SELECT r.source, b.split,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum({_KEY_SQL}) AS BIGINT)
-               AS key_sum
+           CAST(bit_xor({_KEY_SQL}) AS BIGINT)
+               AS key_xor
     FROM ranked r
     JOIN bounds b ON r.source = b.source AND b.lo < r.rn AND r.rn <= b.hi
     GROUP BY 1, 2
@@ -94,10 +94,9 @@ def exact_stratified_split(spark, sf_dir):
     assigned = splits.stratified_split_assign(
         docs, "source", "doc_id", _SPLITS
     )
-    key = _key_col()
     return assigned.groupBy("source", "split").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.sum(key).cast("long").alias("key_sum"),
+        F.expr(f"bit_xor({_KEY_SQL})").cast("long").alias("key_xor"),
     )
 
 

@@ -29,6 +29,15 @@ query (histogram build + the rank join), never once per statistic.
 rows per source should widen the quantile numerator to DECIMAL(38,0) —
 noted rather than paid here.)
 
+Boundedness contract: every broadcast here is of the HISTOGRAM, so the
+scale story holds only while |distinct scores| stays broadcast-sized.
+That is automatic for integer-valued scores (lengths, counts — bounded
+by the value range, not the corpus) and for quantized doubles; callers
+with raw continuous scores must quantize first (house style: one
+F.round to 6dp), or the histogram degenerates toward corpus
+cardinality and the broadcast becomes the jaccard-sizes anti-pattern
+the r6 verdict flagged.
+
 No reference counterpart (the reference's ETL ends at a star schema);
 this extends the tier-4 LLM-pipeline surface like operators/mixing.py.
 """

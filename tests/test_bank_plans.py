@@ -128,3 +128,82 @@ def test_epoch_ranges_no_corpus_range_exchange(spark):
     plan = _plan_of(epoch_shuffle_ranges(spark, SF_DIR))
     assert "Exchange rangepartitioning" not in plan, plan
     assert "TakeOrderedAndProject" not in plan, plan
+
+
+def test_quantile_normalize_hist_cached_no_corpus_sort(spark):
+    """The grouped histogram must be persisted and reused (ranks, sizes,
+    global total, global histogram all read the cache — the docstring's
+    'scanned exactly twice' contract), and the corpus must never reach a
+    sort-merge join or cartesian product: every selection is a broadcast
+    range join against the bounded histogram."""
+    from tests.test_round8_previews import quantile_normalize_scores
+
+    plan = _plan_of(quantile_normalize_scores(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_robust_scale_mad_selection_broadcasts_histogram(spark):
+    """Median/MAD are rank selections via broadcast joins against the
+    per-group histogram — the corpus side must never sort-merge."""
+    from tests.test_round8_previews import robust_scale_mad
+
+    plan = _plan_of(robust_scale_mad(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_top_p_token_budget_single_scan_no_join(spark):
+    """Per-source top-p truncation is one corpus scan + per-source
+    windows — no join of any kind, no second scan (the group totals
+    ride the same windows)."""
+    from tests.test_round8_previews import top_p_token_budget
+
+    plan = _plan_of(top_p_token_budget(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    for node in ("Join", "CartesianProduct"):
+        assert node not in plan, plan
+
+
+def test_weighted_sample_docs_is_take_ordered(spark):
+    """Efraimidis-Spirakis top-N selection must be
+    TakeOrderedAndProject (map-side partial top-N), never a global
+    sort."""
+    from tests.test_round8_previews import weighted_sample_docs
+
+    plan = _plan_of(weighted_sample_docs(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_heavy_change_topk_is_take_ordered(spark):
+    """The scored top-k head must be TakeOrderedAndProject over the
+    per-user aggregate, never a global sort of the score frame."""
+    from tests.test_round15_previews import heavy_change_detect
+
+    plan = _plan_of(heavy_change_detect(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_doc_novelty_ngram_equijoins_only(spark):
+    """The distinct-gram doc-frequency join-back must stay an
+    equi-join: no cartesian product, no nested-loop join of
+    gram-scale frames."""
+    from tests.test_round9_previews import doc_novelty_ngram
+
+    plan = _plan_of(doc_novelty_ngram(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_trigram_prefilter_no_cartesian_no_sortmerge(spark):
+    """Posting lookups are hash equi-joins on the bounded pattern-
+    trigram set; the only nested-loop nodes are the 1-row summary
+    combines. No cartesian product, no sort-merge of the postings."""
+    from tests.test_round15_previews import trigram_like_prefilter
+
+    plan = _plan_of(trigram_like_prefilter(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -791,7 +791,9 @@ def sales_share_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     rg = load_table(spark, sf_dir, "region")
     sales = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with SF → unhinted (stats broadcast it when
+        # small); nation/region are fixed-size → hinted
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(rg), n.n_regionkey == rg.r_regionkey)
         .groupBy("r_name")

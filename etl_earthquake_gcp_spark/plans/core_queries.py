@@ -45,12 +45,14 @@ def flagship_events_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    # nation/region/customer are dims → broadcast them; lineitem (the fact)
-    # never shuffles for the dim joins, only for the final groupBy (partial
-    # agg map-side first). At 100 TB the same plan holds: dims stay KB-MB.
+    # nation/region are FIXED-size dims (25/5 rows) → hint them broadcast.
+    # customer GROWS with SF (15B rows at the 100 TB point) → unhinted:
+    # the planner's size stats broadcast it at small SF and shuffle
+    # orders⋈customer on custkey at scale — the doc contract ("customer ⋈
+    # orders ⋈ lineitem shuffle on keys") without forcing either shape.
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
@@ -233,7 +235,9 @@ def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     c = load_table(spark, sf_dir, "customer")
     return (
-        p.join(F.broadcast(c), p.p_partkey % 1500 == c.c_custkey)
+        # both part and customer scale with SF — no broadcast hint; the
+        # planner broadcasts the smaller side at test scale, shuffles at 100 TB
+        p.join(c, p.p_partkey % 1500 == c.c_custkey)
         .select(
             "p_partkey",
             F.trim(F.regexp_extract("p_name", r"^(\w+)", 1)).alias("first_word"),

@@ -761,9 +761,11 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TF-IDF term weighting (tier-4 text analysis): per-(doc, token) "
     "term frequency × ln(N/df). One explode + two partial-agg shuffles; "
-    "the document-frequency table and the corpus count are broadcast back "
-    "onto the tf rows (df is vocabulary-sized — tiny at any corpus scale), "
-    "so the big tf side never reshuffles.",
+    "the corpus count is a 1-row broadcast; the document-frequency join "
+    "is an UNHINTED token equi-join — the vocabulary grows with the "
+    "corpus (Heaps' law: ~1e9 unique tokens at web scale), so a forced "
+    "broadcast would OOM the driver; AQE broadcasts df when it is "
+    "actually small and shuffles both token-keyed sides when it is not.",
 )
 def tf_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -774,7 +776,7 @@ def tf_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = d.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -903,8 +905,11 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = dfreq.select(F.col("token").alias("tok_a"), F.col("df").alias("df_a"))
     db = dfreq.select(F.col("token").alias("tok_b"), F.col("df").alias("df_b"))
     return (
-        co.join(F.broadcast(da), "tok_a")
-        .join(F.broadcast(db), "tok_b")
+        # unhinted like the recurring semi-join above: the marginal tables
+        # are vocabulary-sized, which grows with the corpus — AQE picks
+        # broadcast only when they are actually small
+        co.join(da, "tok_a")
+        .join(db, "tok_b")
         .crossJoin(F.broadcast(n))
         .select(
             "tok_a",
@@ -1262,9 +1267,10 @@ def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter (KenLM-style pipelines score against a reference LM; the "
     "self-corpus unigram model is the dependency-free analog): per-doc "
     "mean log p(token) under corpus frequencies. The frequency table is "
-    "vocabulary-sized (broadcast back onto the token stream) and the "
-    "corpus total is one scalar — at 100 TB the scoring pass is "
-    "scan-shaped with a single (doc_id) partial agg. Low avg_logprob = "
+    "vocabulary-sized — which GROWS with the corpus, so its join onto "
+    "the token stream is unhinted (AQE broadcasts when small, shuffles "
+    "on the token key when not); the corpus total is one scalar. At "
+    "100 TB the scoring pass is one token-keyed shuffle at worst. Low avg_logprob = "
     "rare-token-heavy docs (OCR noise, boilerplate IDs) → drop "
     "candidates.",
 )
@@ -1274,7 +1280,7 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("token").agg(F.count("*").alias("n"))
     total = tok.agg(F.count("*").alias("n_total"))
     return (
-        tok.join(F.broadcast(freq), "token")
+        tok.join(freq, "token")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -332,3 +332,36 @@ def test_jaccard_inverted_never_hints_doc_sizes_broadcast(spark):
     )
     opt = qe.optimizedPlan().toString()
     assert "strategy=broadcast" not in opt, opt
+
+
+def test_rework_wave_hint_budget(spark):
+    """Round-7 broadcast audit regression pin: every F.broadcast hint
+    left in these queries' analyzed plans is of a BOUNDED frame (fixed
+    25/5-row nation/region dims, 1-row corpus totals, the <=64-token
+    bitmask vocabulary, dimension-sized benchmark gram sets). The
+    forced broadcasts of SF/corpus-scaling frames (customer, token
+    vocabularies, per-doc bitmask maps) were removed — a count bump
+    here means someone re-added one; justify and update the budget, or
+    drop the hint."""
+    from etl_earthquake_gcp_spark.plans import QUERIES
+    from .conftest import SF_DIR
+
+    budgets = {
+        "flagship_events_by_region": 2,  # nation, region
+        "regex_extract": 0,
+        "sales_share_by_region": 2,  # nation, region
+        "tf_idf_scores": 1,  # 1-row n_docs
+        "token_pmi": 1,  # 1-row n
+        "unigram_logprob_scores": 1,  # 1-row total
+        "minhash_lsh_near_dup": 4,  # bounded vocab + verify internals
+        "corpus_curation_pipeline": 4,  # same path + benchmark grams
+        "ppjoin_prefix_pairs": 2,  # bounded vocab (rarity order)
+        "incremental_dedup_probe": 4,  # same signature path
+        "minhash_grouped_mask_near_dup": 0,
+        "jaccard_bigram_pairs": 0,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name].spark_fn(spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        got = analyzed.count("ResolvedHint")
+        assert got == budget, f"{name}: {got} hints, budget {budget}"

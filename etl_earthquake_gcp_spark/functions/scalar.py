@@ -151,3 +151,26 @@ def quantized_half_away(
         / F.lit(float(out_scale))
         + F.lit(0.0)
     )
+
+
+# Modulus for corpus-scale membership checksums: 2^61 - 1 (prime).
+# A raw BIGINT sum of 2^32-range hash keys overflows past ~2^31 rows; a
+# bit_xor fold never overflows but is multiplicity-BLIND (an even number
+# of identical divergent rows cancels out — and the corpus contains
+# exact-duplicate texts by construction, so that failure mode is live).
+# The modular sum keeps both properties: accumulate exactly in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact to ~4e28 rows of
+# 2^32-range keys, ~1e19 rows of full-range BIGINTs — then reduce mod
+# 2^61-1 and emit BIGINT. Multiplicity-sensitive, order-insensitive,
+# engine-portable (both sides floor-mod non-negative accumulators).
+# DuckDB twin: CAST(sum(x) % 2305843009213693951 AS BIGINT).
+CHECKSUM_MOD = 2305843009213693951
+
+
+def checksum_modsum(col: Column) -> Column:
+    """Aggregate: exact decimal sum of ``col`` reduced mod 2^61-1, as
+    BIGINT. See CHECKSUM_MOD for the overflow/multiplicity rationale."""
+    return (
+        (F.sum(col.cast("decimal(38,0)")) % F.lit(CHECKSUM_MOD))
+        .cast("long")
+    )

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalar import portable_hash8
+from ..functions.scalar import checksum_modsum, portable_hash8
 
 # Merged tokens are joined with '_', so INPUT corpus tokens must not
 # contain it (else "a_b" from a merge conflates with a literal "a_b"
@@ -129,11 +129,13 @@ def induce_and_encode(
     """Run ``n_merges`` BPE iterations; return one audit dict per
     iteration — the merged pair, its pre-merge count, and an
     order-insensitive integer checksum of the ENTIRE rewritten corpus
-    (``bit_xor`` of ``portable_hash8(text)`` — XOR, not SUM: a sum of
-    2^32-range hashes overflows BIGINT past ~2^31 docs, while the XOR
-    fold is closed over 64 bits at any corpus size), certifying every
-    intermediate corpus state, not just the merge table — plus the final
-    encoded
+    (``checksum_modsum`` of ``portable_hash8(text)``: exact decimal
+    accumulation reduced mod 2^61-1 — a raw BIGINT sum overflows past
+    ~2^31 docs and a bit_xor fold is multiplicity-blind, so a bug that
+    rewrites both copies of a duplicated text identically wrong would
+    cancel out of an XOR; the modular sum catches it at any corpus
+    size), certifying every intermediate corpus state, not just the
+    merge table — plus the final encoded
     corpus (so downstream evaluation never re-applies the merge chain).
 
     The per-iteration driver collect is exactly one (a, b, cnt) row;
@@ -170,7 +172,7 @@ def induce_and_encode(
         cur = apply_merge(cur, a, b, text_col)
         checksum = (
             cur.select(portable_hash8(F.col(text_col)).alias("_h"))
-            .agg(F.expr("bit_xor(_h)").cast("long").alias("s"))
+            .agg(checksum_modsum(F.col("_h")).alias("s"))
             .collect()[0]["s"]
         )
         out.append(
@@ -179,7 +181,7 @@ def induce_and_encode(
                 "tok_a": a,
                 "tok_b": b,
                 "pair_count": cnt,
-                "corpus_key_xor": checksum,
+                "corpus_key_sum": checksum,
             }
         )
     return out, cur

@@ -113,8 +113,9 @@ def cluster_quota_summary(sampled: DataFrame) -> DataFrame:
     size) in an order-insensitive, oracle-replayable way. The sum is
     bounded by quota * HASH_P (< quota * 2^31): BIGINT-safe for any
     quota < 2^31, because the kept set is quota-capped per cluster —
-    unlike corpus-scale membership checksums, which use bit_xor (see
-    bpe.induce_and_encode, mixing.epoch_order_ranges)."""
+    unlike corpus-scale membership checksums, which use the modular
+    decimal sum (scalar.checksum_modsum; see bpe.induce_and_encode,
+    mixing.epoch_order_ranges)."""
     return sampled.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("n_assigned"),
         F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),

@@ -205,6 +205,12 @@ def jaccard_pairs_bitmask(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     inter = F.bit_count(F.col("ga.mask").bitwiseAND(F.col("gb.mask")))
     union = F.bit_count(F.col("ga.mask").bitwiseOR(F.col("gb.mask")))
     jac = inter * F.lit(1.0) / union
+    # the broadcast here is of the DISTINCT-MASK frame — bounded by the
+    # algorithm's own cost model (this is the certified quadratic
+    # baseline whose pairwise work is distinct-mask², useful exactly
+    # while distinct masks stay small; the scale path is MinHash
+    # banding), not by one of the fixed-size classes — deliberate, see
+    # SCALING.md round-7 broadcast audit
     qual = (
         ga.join(F.broadcast(gb), F.col("ga.mask") <= F.col("gb.mask"))
         .filter(jac >= threshold)
@@ -1096,6 +1102,8 @@ def containment_pairs_bitmask(docs: DataFrame, threshold: float = 1.0) -> DataFr
         F.bit_count(F.col("ga.mask")), F.bit_count(F.col("gb.mask"))
     )
     cont = inter * F.lit(1.0) / smaller
+    # deliberate distinct-mask broadcast — the certified quadratic
+    # baseline's own cost model, same note as jaccard_pairs_bitmask
     qual = (
         ga.join(F.broadcast(gb), F.col("ga.mask") <= F.col("gb.mask"))
         .filter(cont >= threshold)

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalar import portable_hash8
+from ..functions.scalar import checksum_modsum, portable_hash8
 
 
 def temperature_weights(
@@ -143,23 +143,27 @@ def epoch_order_ranges(
     integer map of the shuffle key (keys are uniform in [0, 2^32) from
     ``portable_hash8``), so bucket key-ranges are disjoint and ordered
     by construction — certified in-row by ``in_bounds`` against the
-    closed-form bucket bounds. Per-bucket count / min / max / key-XOR /
-    id-XOR plus the cumulative start position then certify the ENTIRE
+    closed-form bucket bounds. Per-bucket count / min / max / key-sum /
+    id-sum plus the cumulative start position then certify the ENTIRE
     training order: every doc's global position is ``cum_start(bucket)
     + its (shuffle_key, id) rank within the bucket``, and within-bucket
     order is independently replayable per bucket. Cost: one scan + one
     |buckets|-row aggregate + a |buckets|-row window — no global sort,
     no corpus-sized collect, scale-free in the corpus size.
 
-    The membership checksums are ``bit_xor`` folds, not sums: a
-    per-bucket SUM of corpus-scale keys/ids overflows BIGINT around
-    2^31 docs/bucket (keys) or sooner for large ids — XOR is closed
-    over 64 bits at ANY corpus size, order-insensitive, and certifies
-    the same exact set (keys are distinct hashes, ids are distinct by
-    contract). The only remaining products are the bucket-bound
-    constants (≤ 2^38) and ``cum_start`` (bounded by the corpus row
-    count), so the certificate is all-integer and bit-identical across
-    engines at any scale.
+    The membership checksums are MODULAR sums (scalar.checksum_modsum:
+    exact DECIMAL(38,0)/HUGEINT accumulation reduced mod 2^61-1,
+    emitted as BIGINT): a raw BIGINT sum overflows around 2^31
+    docs/bucket, while a bit_xor fold is multiplicity-blind (hash
+    collisions and even-count duplicates cancel — at corpus scale
+    32-bit shuffle keys WILL collide by the birthday bound). The
+    modular sum is multiplicity-sensitive, order-insensitive, exact to
+    ~1e19 rows/bucket even for full-range ids, and floor-mods
+    identically in both engines on the non-negative accumulator. The
+    only other products are the bucket-bound constants (≤ 2^38) and
+    ``cum_start`` (bounded by the corpus row count), so the
+    certificate is all-integer and bit-identical across engines at any
+    scale.
     """
     lo = f"(bucket_id * 4294967296 + {n_buckets} - 1) DIV {n_buckets}"
     hi = f"((bucket_id + 1) * 4294967296 + {n_buckets} - 1) DIV {n_buckets} - 1"
@@ -177,8 +181,8 @@ def epoch_order_ranges(
             F.count("*").cast("long").alias("n_docs"),
             F.min("shuffle_key").alias("min_key"),
             F.max("shuffle_key").alias("max_key"),
-            F.expr("bit_xor(shuffle_key)").cast("long").alias("key_xor"),
-            F.expr(f"bit_xor({id_col})").cast("long").alias("id_xor"),
+            checksum_modsum(F.col("shuffle_key")).alias("key_sum"),
+            checksum_modsum(F.col(id_col)).alias("id_sum"),
         )
     )
     from pyspark.sql import Window
@@ -191,8 +195,8 @@ def epoch_order_ranges(
         "n_docs",
         "min_key",
         "max_key",
-        "key_xor",
-        "id_xor",
+        "key_sum",
+        "id_sum",
         F.coalesce(F.sum("n_docs").over(w), F.lit(0))
         .cast("long")
         .alias("cum_start"),

@@ -23,13 +23,15 @@ from . import curation_queries  # noqa: E402,F401
 # round-7 registrations promoted from the preview bank (hard-negative
 # mining, cluster-quota sampling, BPE merge induction, DSIR selection,
 # winnowing match, RRF fusion — parity pairs proven in rounds 5-6
-# including the perturbed-testdata rehearsals), (2) the TEN queries
-# REWORKED this round — jaccard_bigram_pairs (its helper
-# jaccard_pairs_inverted dropped the corpus-cardinality sizes
-# broadcast, the r6 VERDICT `weak`) plus nine more that dropped forced
-# broadcasts of corpus/SF-scaling frames in the same audit (a changed
-# plan needs a fresh row; the standing rule is that each rework
-# displaces a refresh slot), (3) the 7 queries whose last driver row
+# including the perturbed-testdata rehearsals), (2) the TWELVE queries
+# REWORKED this round, TEN of which needed new head slots (the other
+# two — unigram_logprob_scores, minhash_grouped_mask_near_dup —
+# already held one in their refresh sections): jaccard_bigram_pairs
+# (its helper jaccard_pairs_inverted dropped the corpus-cardinality
+# sizes broadcast, the r6 VERDICT `weak`) plus the broadcast-audit
+# reworks that dropped forced broadcasts of corpus/SF-scaling frames
+# (a changed plan needs a fresh row; the standing rule is that each
+# rework displaces a refresh slot), (3) the 7 queries whose last driver row
 # is from round 2 — the oldest external signal in the repo, four
 # testdata regenerations old (this completes the r2 cohort), plus
 # ann_recall_audit re-rowed alongside them so the two rows-only ANN
@@ -50,8 +52,9 @@ _DRIVER_PRIORITY = [
     "hard_negative_mining", "cluster_quota_sample", "bpe_merge_induction",
     "dsir_importance_weights", "winnowing_match_pairs", "rrf_fusion_topk",
     # -- reworked in round 7 (plan changes need fresh rows; each displaced
-    #    a refresh slot): jaccard's inverted-index helper dropped its sizes
-    #    broadcast, and nine more queries dropped FORCED broadcasts of
+    #    a refresh slot; two further reworks sit in their refresh sections
+    #    below): jaccard's inverted-index helper dropped its sizes
+    #    broadcast, and the broadcast audit dropped FORCED broadcasts of
     #    corpus/SF-scaling frames (customer dims, token vocabularies,
     #    per-doc bitmask maps) in favor of stats/AQE-picked strategies —
     #    results identical, physical plans at driver scale verified

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import quantized_half_away
+from ..functions.scalar import CHECKSUM_MOD, quantized_half_away
 from ..functions.vectors import cast_double_with_norm
 from ..operators import (
     bpe,
@@ -203,13 +203,13 @@ def bpe_merge_ctes(k: int) -> tuple[list[str], list[str]]:
         FROM c{i}
     )""")
         ctes.append(
-            f"h{i + 1} AS (SELECT CAST(bit_xor({_HASH8_TEXT}) AS BIGINT)"
-            f" AS s FROM c{i + 1})"
+            f"h{i + 1} AS (SELECT CAST(sum({_HASH8_TEXT})"
+            f" % {CHECKSUM_MOD} AS BIGINT) AS s FROM c{i + 1})"
         )
         rows.append(
             f"SELECT CAST({i + 1} AS BIGINT) AS iter, a AS tok_a,"
             f" b AS tok_b, cnt AS pair_count,"
-            f" (SELECT s FROM h{i + 1}) AS corpus_key_xor FROM b{i}"
+            f" (SELECT s FROM h{i + 1}) AS corpus_key_sum FROM b{i}"
         )
     return ctes, rows
 
@@ -232,9 +232,10 @@ def bpe_oracle(k: int) -> str:
     "(operators/bpe.py::merge_induction). One scan + one groupBy + a "
     "map-side rewrite per iteration; the only collect is the 1-row "
     "argmax; per-iteration checkpoint keeps lineage O(1) so k scans "
-    "stay O(k). Every intermediate corpus state is certified by an "
-    "integer bit_xor hash checksum (overflow-free at any corpus "
-    "size); zero floats anywhere.",
+    "stay O(k). Every intermediate corpus state is certified by a "
+    "modular hash-sum checksum (exact decimal accumulation mod 2^61-1 "
+    "— overflow-free AND multiplicity-sensitive at any corpus size); "
+    "zero floats anywhere.",
 )
 def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -246,12 +247,12 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r["tok_a"],
                 r["tok_b"],
                 r["pair_count"],
-                r["corpus_key_xor"],
+                r["corpus_key_sum"],
             )
             for r in rows
         ],
         schema="iter long, tok_a string, tok_b string,"
-        " pair_count long, corpus_key_xor long",
+        " pair_count long, corpus_key_sum long",
     )
 
 

@@ -18,6 +18,7 @@ from etl_earthquake_gcp_spark.operators import (
     mixing,
     sampling,
 )
+from etl_earthquake_gcp_spark.functions.scalar import checksum_modsum
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
 from .conftest import SF_DIR, assert_frames_match
@@ -32,17 +33,6 @@ _KEY_SQL = (
     f" % {sampling.HASH_P} * {sampling.HASH_A_RED})"
     f" % {sampling.HASH_P})"
 )
-
-
-def _key_col():
-    return (
-        (
-            F.col("doc_id") % F.lit(sampling.HASH_P)
-            + F.lit(sampling.HASH_P)
-        )
-        % F.lit(sampling.HASH_P)
-        * F.lit(sampling.HASH_A_RED)
-    ) % F.lit(sampling.HASH_P)
 
 
 # -- quantile_normalize_scores -----------------------------------------------
@@ -229,9 +219,10 @@ def test_bpe_fertility_oracle_parity(spark, oracle):
 # Per-source top-p truncation by cumulative weight: keep each source's
 # heaviest documents until ceil(p * total_chars) is covered (the row
 # crossing the boundary included). Pure integer arithmetic end to end;
-# the kept SET is certified by a portable-hash key XOR (a SUM of
-# 2^32-range keys overflows BIGINT once a source keeps ~2^31 docs;
-# bit_xor is closed over 64 bits at any scale).
+# the kept SET is certified by a modular portable-hash key sum
+# (exact decimal accumulation reduced mod 2^61-1: a raw BIGINT sum
+# overflows once a source keeps ~2^31 docs, and a bit_xor fold is
+# multiplicity-blind; the modular sum is neither).
 
 _TOPP_NUM, _TOPP_DEN = 1, 2  # keep the heaviest half of each source's chars
 
@@ -259,8 +250,8 @@ TOP_P_ORACLE = f"""
            CAST(sum(w) AS BIGINT) AS chars_kept,
            CAST(max(grp_total) AS BIGINT) AS total_chars,
            CAST(max(budget) AS BIGINT) AS budget,
-           CAST(bit_xor({_KEY_SQL}) AS BIGINT)
-               AS kept_key_xor
+           CAST(sum({_KEY_SQL}) % 2305843009213693951 AS BIGINT)
+               AS kept_key_sum
     FROM kept GROUP BY source
 """
 
@@ -277,7 +268,7 @@ def top_p_token_budget(spark, sf_dir):
         F.sum("w").cast("long").alias("chars_kept"),
         F.max("grp_total").cast("long").alias("total_chars"),
         F.max("budget").cast("long").alias("budget"),
-        F.expr(f"bit_xor({_KEY_SQL})").cast("long").alias("kept_key_xor"),
+        checksum_modsum(F.expr(_KEY_SQL)).alias("kept_key_sum"),
     )
 
 
@@ -452,10 +443,12 @@ def test_robust_scale_mad_oracle_parity(spark, oracle):
 # The full-order sibling of the registered epoch_shuffle_order (r6
 # VERDICT next-step #6): the head-100 query certifies the order's head;
 # this certifies the WHOLE training order via monotone key-range
-# buckets — per-bucket count/min/max/key-XOR + cumulative start
-# position, with disjointness proven in-row against the closed-form
-# bucket bounds. No global sort, no corpus-sized collect; XOR (not
-# SUM) membership checksums stay inside BIGINT at any corpus size.
+# buckets — per-bucket count/min/max/modular-key-sum + cumulative
+# start position, with disjointness proven in-row against the
+# closed-form bucket bounds. No global sort, no corpus-sized collect;
+# checksums are exact decimal sums reduced mod 2^61-1 (BIGINT on the
+# wire, overflow-free at any corpus size, multiplicity-sensitive where
+# a bit_xor fold would cancel duplicate keys).
 
 _ESR_EPOCH = 3
 _ESR_B = 64
@@ -476,11 +469,11 @@ EPOCH_RANGES_ORACLE = f"""
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(min(shuffle_key) AS BIGINT) AS min_key,
                CAST(max(shuffle_key) AS BIGINT) AS max_key,
-               CAST(bit_xor(shuffle_key) AS BIGINT) AS key_xor,
-               CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+               CAST(sum(shuffle_key) % 2305843009213693951 AS BIGINT) AS key_sum,
+               CAST(sum(doc_id) % 2305843009213693951 AS BIGINT) AS id_sum
         FROM b GROUP BY 1
     )
-    SELECT bucket_id, n_docs, min_key, max_key, key_xor, id_xor,
+    SELECT bucket_id, n_docs, min_key, max_key, key_sum, id_sum,
            CAST(coalesce(sum(n_docs) OVER (
                ORDER BY bucket_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

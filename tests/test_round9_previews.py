@@ -14,10 +14,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_earthquake_gcp_spark.operators import dedup, sampling, splits
+from etl_earthquake_gcp_spark.functions.scalar import checksum_modsum
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
 from .conftest import SF_DIR, assert_frames_match
-from .test_round8_previews import _KEY_SQL, _key_col
+from .test_round8_previews import _KEY_SQL
 
 _P = 2147483647  # Mersenne 2^31-1, the shared (a*x+b) mod p modulus
 assert _P == sampling.HASH_P  # the minhash modulus IS the house modulus
@@ -81,8 +82,8 @@ STRATIFIED_SPLIT_ORACLE = f"""
     )
     SELECT r.source, b.split,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(bit_xor({_KEY_SQL}) AS BIGINT)
-               AS key_xor
+           CAST(sum({_KEY_SQL}) % 2305843009213693951 AS BIGINT)
+               AS key_sum
     FROM ranked r
     JOIN bounds b ON r.source = b.source AND b.lo < r.rn AND r.rn <= b.hi
     GROUP BY 1, 2
@@ -96,7 +97,7 @@ def exact_stratified_split(spark, sf_dir):
     )
     return assigned.groupBy("source", "split").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.expr(f"bit_xor({_KEY_SQL})").cast("long").alias("key_xor"),
+        checksum_modsum(F.expr(_KEY_SQL)).alias("key_sum"),
     )
 
 

@@ -2050,9 +2050,13 @@ _PARETO_TIERS = (10, 20, 50)  # top-% customer tiers
     "is engine-identical), ranked desc with id tie-break, cumulative "
     "share of each top-N% tier. The ordered walk runs over CUSTOMER "
     "aggregates, not order facts — |customers| rows after one partial "
-    "agg — the concentration-curve shape at any scale. Tie-broken "
-    "row_number (not rank) keeps tier boundaries deterministic under "
-    "equal revenues.",
+    "agg. |customers| still grows with SF, so this exact global "
+    "row_number is the certified baseline form; at 100 TB swap it for "
+    "the histogram-rank selection in operators/calibrate.py (ranks "
+    "from a distinct-rounded-revenue histogram cumsum — the "
+    "quantile_normalize plan), which never sorts the customer frame "
+    "in one task. Tie-broken row_number (not rank) keeps tier "
+    "boundaries deterministic under equal revenues.",
 )
 def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -2239,7 +2243,12 @@ def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ntile(5) rankings with (metric, custkey) total orders so quintile "
     "boundaries are deterministic under ties, then segment labels and "
     "cell counts. The ordered walks rank CUSTOMER aggregates (one row "
-    "per customer), not order facts.",
+    "per customer), not order facts — but |customers| grows with SF, "
+    "so the exact global ntiles are the certified baseline form; the "
+    "100 TB path computes the four quintile boundaries per metric by "
+    "histogram-rank selection (operators/calibrate.py) and assigns "
+    "scores with a broadcast range join, never sorting the customer "
+    "frame in one task.",
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

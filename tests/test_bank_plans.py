@@ -207,3 +207,13 @@ def test_trigram_prefilter_no_cartesian_no_sortmerge(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_vocab_coverage_head_is_take_ordered(spark):
+    """The top-maxK vocabulary head must be TakeOrderedAndProject (the
+    post-limit row_number pattern), never a row_number single-partition
+    sort of the full corpus-growing vocabulary."""
+    from tests.test_round11_previews import vocab_coverage_curve
+
+    plan = _plan_of(vocab_coverage_curve(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan

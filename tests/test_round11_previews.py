@@ -26,7 +26,13 @@ from . import test_round9_previews as r9
 # exactly, and each quartile as the pure rank formula ceil(4r/n) =
 # (4r + n − 1) div n — no NTILE, no interpolation. The ranking windows
 # run over the USER dimension (|users| rows, orders of magnitude below
-# the fact table — the skyline/SCD2 class of dimension-sized frames).
+# the fact table) — still a frame that GROWS with the data, so the
+# exact global row_numbers are the certified baseline form; the 100 TB
+# path computes the three quartile boundaries by histogram-rank
+# selection (operators/calibrate.py, the quantile_normalize plan) and
+# assigns scores with a broadcast range join, never sorting the user
+# frame in one task (same note as the registered rfm_segmentation /
+# pareto_revenue_share).
 
 RFM_ORACLE = """
     WITH p AS (
@@ -608,10 +614,13 @@ def vocab_coverage_curve(spark, sf_dir):
         F.sum("cnt").cast("long").alias("n_total"),
         F.count("*").cast("long").alias("n_vocab"),
     )
+    # top-maxK FIRST via TakeOrderedAndProject (map-side partial
+    # top-k), THEN rank the bounded head — a row_number over the full
+    # vocabulary would single-partition-sort a corpus-growing frame
+    # (Heaps' law), the epoch_shuffle_order lesson
+    head = gfreq.orderBy(F.desc("cnt"), "tok").limit(max(_COV_KS))
     w = Window.orderBy(F.desc("cnt"), "tok")
-    ranked = gfreq.withColumn("r", F.row_number().over(w)).filter(
-        F.col("r") <= max(_COV_KS)
-    )
+    ranked = head.withColumn("r", F.row_number().over(w))
     ks = spark.createDataFrame([(k,) for k in _COV_KS], "k long")
     return (
         F.broadcast(ks)

@@ -162,7 +162,9 @@ def quantized_half_away(
 # DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact to ~4e28 rows of
 # 2^32-range keys, ~1e19 rows of full-range BIGINTs — then reduce mod
 # 2^61-1 and emit BIGINT. Multiplicity-sensitive, order-insensitive,
-# engine-portable (both sides floor-mod non-negative accumulators).
+# engine-portable: both engines use sign-of-dividend remainder, so the
+# emitted value is in [0, M) for non-negative inputs (hash keys) and in
+# (-M, M) — still identical across engines — if inputs can be negative.
 # DuckDB twin: CAST(sum(x) % 2305843009213693951 AS BIGINT).
 CHECKSUM_MOD = 2305843009213693951
 

@@ -158,8 +158,12 @@ def epoch_order_ranges(
     collisions and even-count duplicates cancel — at corpus scale
     32-bit shuffle keys WILL collide by the birthday bound). The
     modular sum is multiplicity-sensitive, order-insensitive, exact to
-    ~1e19 rows/bucket even for full-range ids, and floor-mods
-    identically in both engines on the non-negative accumulator. The
+    ~1e19 rows/bucket even for full-range ids, and both engines apply
+    the same sign-of-dividend remainder — so for non-negative inputs
+    (hash keys, the usual id contract) the checksum lies in [0, M),
+    and if ids can be negative it lies in (-M, M), identically on both
+    sides (parity holds either way; only assume non-negativity of the
+    emitted value when the inputs are non-negative). The
     only other products are the bucket-bound constants (≤ 2^38) and
     ``cum_start`` (bounded by the corpus row count), so the
     certificate is all-integer and bit-identical across engines at any

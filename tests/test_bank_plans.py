@@ -1,7 +1,8 @@
-"""Physical-plan pins for the banked (round-12..15) preview surfaces:
-the scale-critical shape claims their SURVEY/SCALING entries make must
-hold in the executed plan, not just in prose — the same contract
-tests/test_physical_strategies.py enforces for registered queries.
+"""Physical-plan pins for banked preview surfaces (rounds 8-15) and
+recently reworked registered heads: the scale-critical shape claims
+their SURVEY/SCALING entries make must hold in the executed plan, not
+just in prose — the same contract tests/test_physical_strategies.py
+enforces for long-registered queries.
 """
 
 from __future__ import annotations

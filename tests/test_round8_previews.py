@@ -18,7 +18,10 @@ from etl_earthquake_gcp_spark.operators import (
     mixing,
     sampling,
 )
-from etl_earthquake_gcp_spark.functions.scalar import checksum_modsum
+from etl_earthquake_gcp_spark.functions.scalar import (
+    CHECKSUM_MOD,
+    checksum_modsum,
+)
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
 from .conftest import SF_DIR, assert_frames_match
@@ -250,7 +253,7 @@ TOP_P_ORACLE = f"""
            CAST(sum(w) AS BIGINT) AS chars_kept,
            CAST(max(grp_total) AS BIGINT) AS total_chars,
            CAST(max(budget) AS BIGINT) AS budget,
-           CAST(sum({_KEY_SQL}) % 2305843009213693951 AS BIGINT)
+           CAST(sum({_KEY_SQL}) % {CHECKSUM_MOD} AS BIGINT)
                AS kept_key_sum
     FROM kept GROUP BY source
 """
@@ -469,8 +472,8 @@ EPOCH_RANGES_ORACLE = f"""
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(min(shuffle_key) AS BIGINT) AS min_key,
                CAST(max(shuffle_key) AS BIGINT) AS max_key,
-               CAST(sum(shuffle_key) % 2305843009213693951 AS BIGINT) AS key_sum,
-               CAST(sum(doc_id) % 2305843009213693951 AS BIGINT) AS id_sum
+               CAST(sum(shuffle_key) % {CHECKSUM_MOD} AS BIGINT) AS key_sum,
+               CAST(sum(doc_id) % {CHECKSUM_MOD} AS BIGINT) AS id_sum
         FROM b GROUP BY 1
     )
     SELECT bucket_id, n_docs, min_key, max_key, key_sum, id_sum,

@@ -14,7 +14,10 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_earthquake_gcp_spark.operators import dedup, sampling, splits
-from etl_earthquake_gcp_spark.functions.scalar import checksum_modsum
+from etl_earthquake_gcp_spark.functions.scalar import (
+    CHECKSUM_MOD,
+    checksum_modsum,
+)
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
 from .conftest import SF_DIR, assert_frames_match
@@ -82,7 +85,7 @@ STRATIFIED_SPLIT_ORACLE = f"""
     )
     SELECT r.source, b.split,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum({_KEY_SQL}) % 2305843009213693951 AS BIGINT)
+           CAST(sum({_KEY_SQL}) % {CHECKSUM_MOD} AS BIGINT)
                AS key_sum
     FROM ranked r
     JOIN bounds b ON r.source = b.source AND b.lo < r.rn AND r.rn <= b.hi

@@ -50,7 +50,11 @@ def materialize(df: DataFrame) -> None:
 # count() materialization, which Catalyst could prune); using r1 times
 # would conflate the harness delta with box noise. Cross-round
 # comparisons should read value_normalized; the controls' code and
-# plans must stay frozen.
+# plans must stay frozen. (One audited exception: the round-7 broadcast
+# audit removed flagship's F.broadcast(customer) HINT — the planner's
+# size statistics re-derive the identical BroadcastHashJoin at every
+# bench SF, verified plan-for-plan at sf0.1 before and after, so the
+# control's executed plan and timing series are unchanged.)
 _CONTROLS_BASELINE = {
     "flagship_events_by_region": 0.780,
     "join_broadcast_hint": 0.299,

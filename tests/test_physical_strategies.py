@@ -365,3 +365,28 @@ def test_rework_wave_hint_budget(spark):
         analyzed = df._jdf.queryExecution().analyzed().toString()
         got = analyzed.count("ResolvedHint")
         assert got == budget, f"{name}: {got} hints, budget {budget}"
+
+
+def test_forced_broadcast_site_count_is_adjudicated():
+    """Source-level tripwire for the round-7 broadcast audit: every
+    F.broadcast( in the engine package was adjudicated bounded (fixed
+    dims, 1-row totals, the <=64-token vocab contract, quota caps,
+    histogram/benchmark frames, the documented distinct-mask baseline
+    exception). A NEW site must be adjudicated the same way — frames
+    that grow with the data (vocabularies, per-doc maps, SF-scaling
+    dims) stay UNHINTED so stats/AQE pick the strategy per scale — and
+    then this count bumped with a justifying comment at the site."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "etl_earthquake_gcp_spark"
+    )
+    n = sum(
+        f.read_text().count("F.broadcast(")
+        for f in pkg.rglob("*.py")
+    )
+    assert n == 81, (
+        f"F.broadcast site count changed ({n} != 81): adjudicate the "
+        "new/removed site per the round-7 audit rule (SCALING.md) and "
+        "update this pin"
+    )

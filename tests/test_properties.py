@@ -138,3 +138,41 @@ def test_sessionize_matches_brute_force(spark, times, gap):
             cur += 1
     sizes.append(cur)
     assert got == [(i + 1, n) for i, n in enumerate(sizes)]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=40
+    )
+)
+def test_checksum_modsum_matches_python_and_duckdb(spark, vals):
+    """The modular membership checksum (exact decimal accumulation
+    reduced mod 2^61-1) must equal the plain Python big-int sum mod M
+    AND DuckDB's HUGEINT twin on arbitrary hash-range inputs —
+    including duplicate values (the multiplicity sensitivity that
+    bit_xor lacks)."""
+    import duckdb
+
+    from etl_earthquake_gcp_spark.functions.scalar import (
+        CHECKSUM_MOD,
+        checksum_modsum,
+    )
+    from pyspark.sql import functions as F
+
+    expected = sum(vals) % CHECKSUM_MOD
+    df = spark.createDataFrame([(v,) for v in vals], "h long")
+    got_spark = df.agg(checksum_modsum(F.col("h")).alias("s")).collect()[0][
+        "s"
+    ]
+    con = duckdb.connect()
+    got_duck = con.execute(
+        f"SELECT CAST(sum(h) % {CHECKSUM_MOD} AS BIGINT) FROM "
+        f"(SELECT unnest(?::BIGINT[]) AS h)",
+        [vals],
+    ).fetchone()[0]
+    assert got_spark == expected == got_duck

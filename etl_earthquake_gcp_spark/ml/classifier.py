@@ -65,6 +65,8 @@ def train_classifier(
         c for c, t in labeled.dtypes if c != label_col and t == "double"
     ]
     df = labeled.withColumn("label", F.col(label_col).cast("double"))
+    # PERSIST: balanced training frame (<= 2x minority class), read by
+    # the split, the fit and the eval; session-LRU lifetime
     balanced = balance_classes(df, "label").persist()
     train, test = balanced.randomSplit([0.8, 0.2], seed=SEED)
     model = build_pipeline(feature_cols, "label").fit(train)

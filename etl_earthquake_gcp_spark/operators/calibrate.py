@@ -146,6 +146,10 @@ def quantile_normalize(
     (the quantile, one int/int ratio rounded once — the measured-safe
     class), and ``calib_score``. One grouped histogram, persisted,
     feeds ranks, sizes, the global total AND the global histogram."""
+    # PERSIST: |group x distinct score| histogram rows (bounded by the
+    # quantized-score contract above), read by four consumers within
+    # this one query; lifetime = session LRU (the returned frame is
+    # lazy, so an eager unpersist would drop the cache before use)
     hist = score_histogram(df, score_col, group_col).persist()
     ranked = exact_group_ranks(df, score_col, group_col, id_col, hist=hist)
     total = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
@@ -184,6 +188,8 @@ def group_lower_median(
     scanned once). Lower-median semantics sidestep the even-count
     interpolation whose last-ulp form differs across engines. Returns
     one (group, value) row per group."""
+    # PERSIST: histogram rows (see quantile_normalize note); feeds the
+    # group-size targets AND the selection join; session-LRU lifetime
     hist = score_histogram(df, score_col, group_col).persist()
     targets = (
         hist.groupBy(group_col)
@@ -205,4 +211,101 @@ def group_lower_median(
             & (r <= h["cum_prev"] + h["cnt"]),
         )
         .select(group_col, out_col)
+    )
+
+
+def desc_rank_boundaries(
+    df: DataFrame,
+    value_col: str,
+    targets: DataFrame,
+    cut_col: str,
+    out_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Boundary-value selection under DESCENDING order, without ever
+    sorting ``df`` in one task: for each target row (a unique ``_tag``
+    column + ``cut_col`` = C, 1-based over df rows ordered by
+    ``value_col`` DESC), return the unique boundary value v with
+
+        cnt_above(v) < C <= cnt_above(v) + cnt(v)
+
+    — i.e. "sort desc and take position C" collapsed onto values —
+    plus ``n_above`` (rows strictly greater than v) and ``cnt_at``
+    (rows equal to v). Those three numbers are all a top-C SUM or a
+    rank-to-quantile assignment needs (ties share one value, so no
+    per-row order inside the tied run is ever required).
+
+    Shape: one distributed groupBy to the value histogram, a coarse
+    range-bucket rollup of the histogram (bucket width
+    ceil(range/n_buckets) — pure integer, overflow-free for any BIGINT
+    value range), an ordered cumsum over <= n_buckets rows, then
+    per-target refinement over ONLY the boundary bucket's slice of the
+    histogram (expected |distinct|/n_buckets rows per target). The two
+    broadcasts are the <= n_buckets bucket rollup and the |targets|
+    frame — both bounded independently of data scale, so the hints are
+    sound under the round-7 broadcast rule. Corpus-sized single-task
+    sorts never appear; at extreme value skew (one bucket holding most
+    DISTINCT values) raise ``n_buckets`` or recurse — noted, not paid
+    here.
+
+    ``value_col`` must be integral (quantize doubles first — house
+    style: carry cents/1e-6 units as BIGINT); ``targets`` must carry a
+    unique ``_tag`` key; 1 <= C <= |df| for every target.
+    """
+    vals = df.select(F.col(value_col).cast("long").alias("_v"))
+    hist = vals.groupBy("_v").agg(F.count("*").cast("long").alias("_cnt"))
+    bounds = hist.agg(
+        F.min("_v").alias("_lo"),
+        # integer bucket width: ceil(range / n_buckets), >= 1
+        F.expr(
+            f"(max(_v) - min(_v) + {n_buckets}) div {n_buckets}"
+        ).alias("_w"),
+    )
+    hb = hist.crossJoin(F.broadcast(bounds)).select(
+        "_v",
+        "_cnt",
+        F.expr("(_v - _lo) div _w").cast("long").alias("_b"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("_b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # <= n_buckets rows: the only empty-partitionBy window in the plan
+    bagg = (
+        hb.groupBy("_b")
+        .agg(F.sum("_cnt").cast("long").alias("_bcnt"))
+        .withColumn(
+            "_babove",
+            F.coalesce(F.sum("_bcnt").over(w_desc), F.lit(0)).cast("long"),
+        )
+    )
+    cut = F.col(cut_col)
+    with_bucket = targets.join(
+        F.broadcast(bagg),
+        (F.col("_babove") < cut) & (cut <= F.col("_babove") + F.col("_bcnt")),
+    ).drop("_bcnt")
+    # refinement: histogram rows of the boundary bucket only, cumsum
+    # desc inside the (target, bucket) slice
+    cand = hb.join(F.broadcast(with_bucket), "_b")
+    w_val = (
+        Window.partitionBy("_tag")
+        .orderBy(F.col("_v").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    refined = cand.withColumn(
+        "_vabove",
+        (
+            F.col("_babove")
+            + F.coalesce(F.sum("_cnt").over(w_val), F.lit(0))
+        ).cast("long"),
+    )
+    return (
+        refined.filter(
+            (F.col("_vabove") < cut)
+            & (cut <= F.col("_vabove") + F.col("_cnt"))
+        )
+        .withColumnRenamed("_v", out_col)
+        .withColumnRenamed("_vabove", "n_above")
+        .withColumnRenamed("_cnt", "cnt_at")
+        .drop("_b", "_babove")
     )

@@ -80,6 +80,8 @@ def token_dictionary_distributed(tok: DataFrame, n_parts: int | None = None) -> 
         .distinct()
         .repartitionByRange(n_parts, "token")
         .withColumn("pid", F.spark_partition_id())
+        # PERSIST: distinct-token dictionary (vocabulary-sized), read by
+        # every posting consumer; session-LRU lifetime (lazy return)
         .persist()
     )
     sizes = {r.pid: r.n for r in parts.groupBy("pid").agg(F.count("*").alias("n")).collect()}
@@ -198,6 +200,9 @@ def jaccard_pairs_bitmask(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     to document pairs; at sf0.1 this is ~4k masks vs 5k docs and turns a
     250 s inverted-index join into seconds.
     """
+    # PERSIST: distinct 64-bit masks (<= vocabulary-bounded distinct
+    # token sets, in practice << docs), read by the group census AND
+    # the pair join; session-LRU lifetime (lazy return)
     masks = doc_bitmasks(docs).persist()
     groups = masks.groupBy("mask").agg(F.count("*").alias("n_docs"))
 
@@ -418,6 +423,8 @@ def _signature_mask_agg(
                 )
             ).alias("mask"),
         )
+        # PERSIST: per-doc (signature, mask) rows — one row per doc,
+        # read by the band explode AND the verify join; session-LRU
         .persist()
     )
 
@@ -497,6 +504,8 @@ def ppjoin_pairs(docs: DataFrame, threshold_num: int = 4, threshold_den: int = 5
     # persist the tokenized postings: they feed the frequency census AND
     # the per-doc rank lists — without the cache the corpus is re-scanned
     # and re-split once per consumer
+    # PERSIST: tokenized postings (distinct doc-token pairs), feeding
+    # the frequency census AND the per-doc rank lists; session-LRU
     tok = tokenize_distinct(docs).persist()
     freq = tok.groupBy("token").agg(F.count("*").alias("df"))
     # global rarity rank; the vocabulary is KB-scale by the <=64-token
@@ -536,6 +545,8 @@ def ppjoin_pairs(docs: DataFrame, threshold_num: int = 4, threshold_den: int = 5
     )
     # masks persisted: the verify reads the same frame on both sides of
     # the pair join (equi-joins on doc ids — see _bitmask_verify)
+    # PERSIST: per-doc masks read on BOTH sides of the verify pair
+    # join (equi-joins on doc ids); one row per doc; session-LRU
     masks = doc_bitmasks(docs).persist()
     return _bitmask_verify(
         cand, masks, "doc_a", "doc_b", threshold_num / threshold_den
@@ -610,6 +621,8 @@ def minhash_band_pairs_grouped(
     r = n_hashes // n_bands
     coeffs = minhash_coeffs(n_hashes, seed)
 
+    # PERSIST: per-doc masks feeding the distinct-mask signature build
+    # AND the doc expansion join; one row per doc; session-LRU
     masks = doc_bitmasks(docs).persist()
     dmask = masks.select("mask").distinct()
 
@@ -921,6 +934,8 @@ def minhash_band_pairs_open(
             F.sort_array(F.collect_set("tid")).alias("tids"),
         )
         .withColumn("n", F.size("tids").cast("long"))
+        # PERSIST: fused per-doc signature frame (one row per doc),
+        # read by the band join AND both verify sides; session-LRU
         .persist()
     )
     # band key = xxhash64(band index, r signature values): a single BIGINT
@@ -1093,6 +1108,9 @@ def containment_pairs_bitmask(docs: DataFrame, threshold: float = 1.0) -> DataFr
     as :func:`jaccard_pairs_bitmask`: popcount arithmetic over ≤64-token
     vocabulary masks, expanded back to doc pairs at the end.
     """
+    # PERSIST: distinct 64-bit masks (<= vocabulary-bounded distinct
+    # token sets, in practice << docs), read by the group census AND
+    # the pair join; session-LRU lifetime (lazy return)
     masks = doc_bitmasks(docs).persist()
     groups = masks.groupBy("mask").agg(F.count("*").alias("n_docs"))
 

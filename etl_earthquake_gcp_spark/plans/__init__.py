@@ -16,81 +16,63 @@ from . import core_queries  # noqa: E402,F401
 from . import function_queries  # noqa: E402,F401
 from . import mixing_queries  # noqa: E402,F401
 from . import curation_queries  # noqa: E402,F401
+from . import calibration_queries  # noqa: E402,F401
 
 # The external correctness driver checks the first 50 queries in dict
-# order per round. Round-7 head, per the SURVEY.md forward schedule
-# (written at the end of round 5, refined in round 6): (1) the six NEW
-# round-7 registrations promoted from the preview bank (hard-negative
-# mining, cluster-quota sampling, BPE merge induction, DSIR selection,
-# winnowing match, RRF fusion — parity pairs proven in rounds 5-6
-# including the perturbed-testdata rehearsals), (2) the TWELVE queries
-# REWORKED this round, TEN of which needed new head slots (the other
-# two — unigram_logprob_scores, minhash_grouped_mask_near_dup —
-# already held one in their refresh sections): jaccard_bigram_pairs
-# (its helper jaccard_pairs_inverted dropped the corpus-cardinality
-# sizes broadcast, the r6 VERDICT `weak`) plus the broadcast-audit
-# reworks that dropped forced broadcasts of corpus/SF-scaling frames
-# (a changed plan needs a fresh row; the standing rule is that each
-# rework displaces a refresh slot), (3) the 7 queries whose last driver row
-# is from round 2 — the oldest external signal in the repo, four
-# testdata regenerations old (this completes the r2 cohort), plus
-# ann_recall_audit re-rowed alongside them so the two rows-only ANN
-# refreshes (ann_ivf_topk, ann_lsh_bucketed) land WITH their hash-green
-# audit sibling in the same round, (4) 26 of the 42 r3-last-rowed
-# queries. Section (4) is ordered by overall row HISTORY age (names
-# first rowed in r1 before r2-history before r3-only names, each
-# sub-group in its first round's driver order) — NOT by round-3 driver
-# order — and the deferred names were hand-picked, not derived from
-# a position rule. The NAME LISTS here and in SURVEY.md's forward
-# schedule are the schedule of record; re-derive nothing from prose.
-# That fills exactly 50; the 16 deferred r3-rowed queries (positions
-# 51-66 below: 9 displaced by the rework wave + the original 7-query
-# tail) complete in round 8 together with the round-8 preview bank,
-# then the 42-query r4 cohort follows.
+# order per round. Round-8 head, per the SURVEY.md forward schedule:
+# (1) the six NEW round-8 registrations promoted from the rounds-6/7
+# preview bank (quantile normalization, BPE fertility, top-p budget,
+# weighted sampling, robust MAD, epoch shuffle ranges — parity pairs
+# proven in tests/test_round8_previews.py including the perturbed-
+# testdata rehearsals), (2) the two NEW scale-safe siblings that
+# retire the r7 VERDICT's two `weak`s (pareto_revenue_share_scaled
+# shares the primary's oracle — bit-identity certified by the driver
+# hash; rfm_segmentation_scaled carries its own rank()-quintile
+# oracle; plan pins in tests/test_scaled_siblings.py assert neither
+# sorts the customer frame in one task), (3) the 16 r3-last-rowed
+# queries deferred from the round-7 head (positions 51-66 there —
+# this completes the r3 cohort), (4) 26 of the 39 r4-last-rowed
+# queries, ordered by overall row HISTORY age (the two names with
+# r3-history first, then the r4-only names in their round-4 driver
+# order). The NAME LISTS here and in SURVEY.md's forward schedule are
+# the schedule of record; re-derive nothing from prose. That fills
+# exactly 50; the 13 deferred r4-rowed queries (positions 51-63
+# below) complete in round 9 together with the round-9 preview bank.
 _DRIVER_PRIORITY = [
-    # -- new in round 7 (promoted from the rounds-5/6 preview bank) --------
-    "hard_negative_mining", "cluster_quota_sample", "bpe_merge_induction",
-    "dsir_importance_weights", "winnowing_match_pairs", "rrf_fusion_topk",
-    # -- reworked in round 7 (plan changes need fresh rows; each displaced
-    #    a refresh slot; two further reworks sit in their refresh sections
-    #    below): jaccard's inverted-index helper dropped its sizes
-    #    broadcast, and the broadcast audit dropped FORCED broadcasts of
-    #    corpus/SF-scaling frames (customer dims, token vocabularies,
-    #    per-doc bitmask maps) in favor of stats/AQE-picked strategies —
-    #    results identical, physical plans at driver scale verified
-    #    unchanged; pins in test_physical_strategies.py ----------------------
-    "jaccard_bigram_pairs", "flagship_events_by_region", "regex_extract",
-    "sales_share_by_region", "tf_idf_scores", "token_pmi",
-    "minhash_lsh_near_dup", "corpus_curation_pipeline", "ppjoin_prefix_pairs",
-    "incremental_dedup_probe",
-    # -- last r2-rowed re-confirmations (completes the r2 cohort) ----------
-    "session_window_agg", "streaming_sessionize_state",
-    "embedding_cosine_near_dup", "cosine_topk_pandas", "ann_ivf_topk",
-    "ann_lsh_bucketed", "embedding_centroids_by_label",
-    # -- audit sibling for the two rows-only ANN refreshes above -----------
-    "ann_recall_audit",
-    # -- stalest r3-rowed re-confirmations (positions 25-50) ---------------
-    "simhash_near_pairs", "cube_order_counts", "pivot_status_by_priority",
-    "range_join_value_buckets", "date_part_join_weekday",
-    "event_value_percentiles", "salted_join_user_nation",
-    "join_broadcast_hint", "join_sortmerge_hint", "approx_value_percentiles",
-    "ewma_user_values", "ml_predictions", "ml_class_balance",
-    "multimodal_meta_stats", "multimodal_decode_features",
-    "multimodal_frame_sample", "minhash_grouped_mask_near_dup",
-    "equidepth_histogram_approx", "bucketed_join_orders_customer",
-    "minhash_open_vocab_near_dup", "pack_sequences_by_budget",
-    "decontaminate_ngram_overlap", "quality_filter_verdicts",
-    "variant_extract_props", "recursive_event_chains",
-    "unigram_logprob_scores",
-    # -- positions 51-59: refreshes displaced by the round-7 rework wave ---
+    # -- new in round 8 (promoted from the rounds-6/7 preview bank) --------
+    "quantile_normalize_scores", "bpe_fertility_stats",
+    "top_p_token_budget", "weighted_sample_docs", "robust_scale_mad",
+    "epoch_shuffle_ranges",
+    # -- new in round 8: scale-safe siblings retiring the r7 `weak`s -------
+    "pareto_revenue_share_scaled", "rfm_segmentation_scaled",
+    # -- last r3-rowed re-confirmations (completes the r3 cohort; the
+    #    16 names deferred from the round-7 head in its 51-66 order) -------
     "source_mixing_weights", "select_top_quality_within_budget",
     "top_bigram_share", "dup_ngram_ratio", "cross_source_exact_dups",
     "resample_ohlc_5min", "map_ops_suite", "join_shufflehash_hint",
-    "bm25_scores",
-    # -- positions 60-66: the r3 cohort tail, completes in round 8 ---------
-    "pq_adc_topk", "minhash_candidate_quality", "sql_entry_lateral_topk",
-    "merge_overlapping_intervals", "streaming_ewma_state",
-    "fpgrowth_brand_itemsets", "ivf_pq_topk",
+    "bm25_scores", "pq_adc_topk", "minhash_candidate_quality",
+    "sql_entry_lateral_topk", "merge_overlapping_intervals",
+    "streaming_ewma_state", "fpgrowth_brand_itemsets", "ivf_pq_topk",
+    # -- stalest r4-rowed re-confirmations (positions 25-50): r3-history
+    #    names first, then round-4 driver order -----------------------------
+    "dedup_keep_canonical", "triangle_count_user_graph",
+    "segment_dedup_rewrite", "mmr_diversified_topk",
+    "heavy_hitters_mergeable", "group_shuffle_split",
+    "streaming_topk_state", "quantile_summary_mergeable",
+    "random_projection_reduce", "trimmed_mean_grouped_agg",
+    "bfs_hops_user_graph", "moving_median_7", "rag_index_pipeline",
+    "skipgram_pairs", "distribution_drift_metrics", "grouped_bootstrap_ci",
+    "passjoin_edit_pairs", "time_weighted_avg_user",
+    "cumulative_unique_users", "pareto_revenue_share", "rfm_segmentation",
+    "cusum_changepoints", "session_path_trigrams", "hll_sliding_7d_users",
+    "multimodal_real_decode", "doc_chunks_udtf",
+    # -- positions 51-63: the r4 cohort tail, completes in round 9 ---------
+    "doc_chunks_catalyst", "chunk_fixed_context", "approx_distinct_audit",
+    "approx_percentile_audit", "stratified_sample_audit",
+    "equidepth_approx_audit", "ml_accuracy_audit",
+    "semantic_dedup_signbucket", "cosine_topk_arrow",
+    "char_entropy_scores", "zorder_layout_stats", "multimodal_resize_nn",
+    "grouped_ols_trend",
 ]
 
 

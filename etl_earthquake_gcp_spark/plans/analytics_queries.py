@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import quantized_half_away
+from ..operators import calibrate
 from ..operators.dedup import jaccard_pairs_bitmask
 from ..sources.tables import load_table
 from .registry import register
@@ -365,11 +366,15 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so NOTHING vertex- or edge-sized is ever broadcast (r3 verdict #1 —
     # at 100 TB the rank table outgrows any broadcast limit; AQE is still
     # free to pick a runtime broadcast when the actual size allows).
+    # PERSIST: edge list in its reused hash layout (see note above);
+    # read by deg + every iteration; session-LRU lifetime
     edges = edges.repartition("src").persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # shuffle_hash on the vertex-sized deg side: skips sorting the edge
     # side while building the edges_deg cache (same rationale as the
     # per-iteration rank join below).
+    # PERSIST: degree-weighted edges, read by all three PageRank
+    # iterations; session-LRU lifetime
     edges_deg = edges.join(deg.hint("shuffle_hash"), "src").persist()
 
     vertices = d.select(F.col("doc_id").alias("id"))
@@ -976,6 +981,9 @@ def recursive_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lead(t).over(w) - t <= _CHAIN_GAP_MS, F.lead("event_id").over(w)
         ).alias("next_id"),
+    # PERSIST (below): per-event successor frame (one row per event),
+    # read by the chain-start filter AND the chained self-joins;
+    # session-LRU lifetime
     ).persist()
     nxt.createOrReplaceTempView("nxt")
     return spark.sql(_chain_sql("unix_millis", inline_nxt=False))
@@ -1027,6 +1035,8 @@ def _capped_user_edges_weighted(
     e = load_table(spark, sf_dir, "events")
     # persist: both self-join branches read this frame — without the cache
     # the events scan + distinct runs twice (measured 4× slower at sf0.1)
+    # PERSIST: (user, type, day) distinct cells read by both self-join
+    # branches; session-LRU lifetime
     cells = e.select(
         "user_id", "event_type", F.col("ts").cast("date").alias("day")
     ).distinct().persist()
@@ -1061,6 +1071,8 @@ def _capped_user_edges_weighted(
             "shared",
         )
         .distinct()
+        # PERSIST: degree-capped co-activity edges, read by the wedge
+        # build AND the closing-edge probe; session-LRU lifetime
         .persist()
     )
 
@@ -1150,6 +1162,8 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "events")
+    # PERSIST: |types x 2^p| register rows (sketch-sized, SF-free),
+    # read by the per-type estimates AND the merged rollup; session-LRU
     regs = hll_registers_by(e, "user_id", "event_type").persist()
     # is_total disambiguates the rollup row from a hypothetical genuine
     # 'ALL' group value — the join keys on (grp, is_total) so a domain
@@ -2021,41 +2035,48 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PARETO_TIERS = (10, 20, 50)  # top-% customer tiers
 
+# shared by the certified-baseline form and its scale-safe sibling: the
+# sibling reproduces these EXACT values from a revenue histogram (tier
+# revenue only ever sums whole tied runs plus a count x value remainder
+# at the boundary, so the row_number is never actually needed), which
+# is what sharing one oracle string certifies.
+_PARETO_ORACLE = f"""
+    WITH rev AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS r
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT r,
+               row_number() OVER (ORDER BY r DESC, o_custkey) AS rn,
+               count(*) OVER () AS n,
+               round(sum(r) OVER (), 2) AS total
+        FROM rev
+    ), tiers AS (
+        SELECT unnest([{", ".join(str(t) for t in _PARETO_TIERS)}]) AS pct
+    )
+    SELECT CAST(t.pct AS BIGINT) AS top_pct,
+           CAST(ceil(max(rk.n) * t.pct / 100.0) AS BIGINT) AS n_customers,
+           round(sum(rk.r), 2) AS tier_revenue,
+           round(sum(rk.r) / max(rk.total), 4) AS revenue_share
+    FROM tiers t
+    JOIN ranked rk ON rk.rn <= ceil(rk.n * t.pct / 100.0)
+    GROUP BY t.pct
+"""
+
 
 @register(
     "pareto_revenue_share",
-    oracle=f"""
-        WITH rev AS (
-            SELECT o_custkey, round(sum(o_totalprice), 2) AS r
-            FROM orders GROUP BY o_custkey
-        ), ranked AS (
-            SELECT r,
-                   row_number() OVER (ORDER BY r DESC, o_custkey) AS rn,
-                   count(*) OVER () AS n,
-                   round(sum(r) OVER (), 2) AS total
-            FROM rev
-        ), tiers AS (
-            SELECT unnest([{", ".join(str(t) for t in _PARETO_TIERS)}]) AS pct
-        )
-        SELECT CAST(t.pct AS BIGINT) AS top_pct,
-               CAST(ceil(max(rk.n) * t.pct / 100.0) AS BIGINT) AS n_customers,
-               round(sum(rk.r), 2) AS tier_revenue,
-               round(sum(rk.r) / max(rk.total), 4) AS revenue_share
-        FROM tiers t
-        JOIN ranked rk ON rk.rn <= ceil(rk.n * t.pct / 100.0)
-        GROUP BY t.pct
-    """,
+    oracle=_PARETO_ORACLE,
     doc="Pareto (80/20) revenue-concentration analysis: per-customer "
     "revenue (rounded BEFORE ranking — moments-first, so the rank order "
     "is engine-identical), ranked desc with id tie-break, cumulative "
     "share of each top-N% tier. The ordered walk runs over CUSTOMER "
     "aggregates, not order facts — |customers| rows after one partial "
     "agg. |customers| still grows with SF, so this exact global "
-    "row_number is the certified baseline form; at 100 TB swap it for "
-    "the histogram-rank selection in operators/calibrate.py (ranks "
-    "from a distinct-rounded-revenue histogram cumsum — the "
-    "quantile_normalize plan), which never sorts the customer frame "
-    "in one task. Tie-broken row_number (not rank) keeps tier "
+    "row_number is the certified BASELINE form; the registered sibling "
+    "pareto_revenue_share_scaled produces the identical result (same "
+    "oracle string) from a revenue histogram + bucketed rank selection "
+    "and never sorts the customer frame in one task — that is the "
+    "100 TB plan. Tie-broken row_number (not rank) keeps tier "
     "boundaries deterministic under equal revenues.",
 )
 def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2093,6 +2114,81 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "tier_revenue",
             "revenue_share",
+        )
+    )
+
+
+@register(
+    "pareto_revenue_share_scaled",
+    oracle=_PARETO_ORACLE,
+    doc="the scale-safe form of pareto_revenue_share (SAME oracle "
+    "string — the driver hash certifies bit-identity of the two "
+    "plans): per-customer revenue carried as exact integer cents, the "
+    "top-C tier sum computed purely from VALUE arithmetic — boundary "
+    "value v at descending rank C via the two-level bucketed histogram "
+    "selection (operators/calibrate.py::desc_rank_boundaries: coarse "
+    "range buckets -> cumsum over <= 1024 bucket rows -> refinement "
+    "over the boundary bucket's histogram slice), then tier_cents = "
+    "sum(u > v) + (C - n_above) * v, exact because every row tied at "
+    "the boundary contributes the same value, so the per-row custkey "
+    "tie-break can never change the sum. The customer frame is scanned "
+    "(once for the histogram, once for the above-boundary sum) but "
+    "NEVER sorted in one task — the row_number/SinglePartition-sort of "
+    "the baseline form is gone (plan-pinned in "
+    "tests/test_physical_strategies.py). Displays divide the exact "
+    "cents once (tier_cents/100.0 equals the oracle's round(sum,2) "
+    "while float-sum drift < half a cent; the share is the single "
+    "int/int ratio round — the measured-safe class). BIGINT cents stay "
+    "exact below 2^53 for the display division; beyond (~10^15 "
+    "dollars) widen to DECIMAL — noted, not paid here.",
+)
+def pareto_revenue_share_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("r")
+    )
+    # exact integer cents: r is the double nearest a 2dp decimal, so
+    # r*100 is within ~1e-9 of an integer and the round is exact
+    revu = rev.select(F.round(F.col("r") * 100, 0).cast("long").alias("u"))
+    tot = revu.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("u").cast("long").alias("total_u"),
+    )
+    tiers = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _PARETO_TIERS])).alias("pct")
+    )
+    targets = (
+        tiers.crossJoin(F.broadcast(tot))
+        # integer ceil(n*pct/100): exact twin of the oracle's float
+        # ceil while n*pct is exact in double (n < 2^46)
+        .withColumn("cut", F.expr("(n * pct + 99) div 100").cast("long"))
+        .withColumn("_tag", F.col("pct"))
+    )
+    bnd = calibrate.desc_rank_boundaries(revu, "u", targets, "cut", "v")
+    above = (
+        revu.join(
+            F.broadcast(bnd.select("_tag", "v")), revu["u"] > F.col("v")
+        )
+        .groupBy("_tag")
+        .agg(F.sum("u").cast("long").alias("sum_above"))
+    )
+    return (
+        bnd.join(above, "_tag", "left")
+        .withColumn("sum_above", F.coalesce("sum_above", F.lit(0)))
+        .withColumn(
+            "tier_cents",
+            F.col("sum_above")
+            + (F.col("cut") - F.col("n_above")) * F.col("v"),
+        )
+        .select(
+            F.col("pct").cast("long").alias("top_pct"),
+            F.col("cut").alias("n_customers"),
+            (F.col("tier_cents") / F.lit(100.0)).alias("tier_revenue"),
+            F.round(F.col("tier_cents") * 1.0 / F.col("total_u"), 4).alias(
+                "revenue_share"
+            ),
         )
     )
 
@@ -2244,11 +2340,13 @@ def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boundaries are deterministic under ties, then segment labels and "
     "cell counts. The ordered walks rank CUSTOMER aggregates (one row "
     "per customer), not order facts — but |customers| grows with SF, "
-    "so the exact global ntiles are the certified baseline form; the "
-    "100 TB path computes the four quintile boundaries per metric by "
-    "histogram-rank selection (operators/calibrate.py) and assigns "
-    "scores with a broadcast range join, never sorting the customer "
-    "frame in one task.",
+    "so the exact global ntiles are the certified BASELINE form; the "
+    "registered sibling rfm_segmentation_scaled is the 100 TB plan — "
+    "quintile boundaries per metric by bucketed histogram-rank "
+    "selection (operators/calibrate.py::desc_rank_boundaries) and "
+    "broadcast-compare score assignment under tie-coherent min-rank "
+    "quintile semantics, never sorting the customer frame in one "
+    "task.",
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -2292,6 +2390,149 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("long").alias("m_score"),
             "n_customers",
             segment.alias("segment"),
+        )
+    )
+
+
+def _rfm_segment_case() -> F.Column:
+    """Shared segment labels for both RFM forms."""
+    return (
+        F.when(
+            (F.col("r_score") == 1)
+            & (F.col("f_score") <= 2)
+            & (F.col("m_score") <= 2),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "lapsed")
+        .otherwise("regular")
+    )
+
+
+@register(
+    "rfm_segmentation_scaled",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey,
+                   max(epoch_ms(CAST(o_orderdate AS TIMESTAMP))) AS last_ms,
+                   count(*) AS freq,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        ), scored AS (
+            -- min-rank quintiles: score = 1 + floor(5*cnt_above/n),
+            -- every tied run shares one score (rank(), not ntile)
+            SELECT o_custkey,
+                   1 + (5 * (rank() OVER (ORDER BY last_ms DESC) - 1))
+                       // (count(*) OVER ()) AS r_score,
+                   1 + (5 * (rank() OVER (ORDER BY freq DESC) - 1))
+                       // (count(*) OVER ()) AS f_score,
+                   1 + (5 * (rank() OVER (ORDER BY monetary DESC) - 1))
+                       // (count(*) OVER ()) AS m_score
+            FROM base
+        )
+        SELECT CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CASE WHEN r_score = 1 AND f_score <= 2 AND m_score <= 2
+                    THEN 'champion'
+                    WHEN r_score >= 4 AND f_score >= 4 THEN 'lapsed'
+                    ELSE 'regular' END AS segment
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+    """,
+    doc="the scale-safe form of rfm_segmentation, under tie-COHERENT "
+    "min-rank quintiles (score = 1 + floor(5*cnt_above/n); rank() in "
+    "the oracle): equal metric values always land in the same "
+    "quintile, which is both the honest CRM semantics and exactly "
+    "what removes the per-row custkey tie-split that forces ntile's "
+    "global single-task sort (ntile splits a tied run across a "
+    "boundary by raw position — reproducing that at scale means "
+    "totally ordering customer-sized tie groups, the one thing a "
+    "histogram cannot do and a 100 TB plan should not do). The four "
+    "quintile boundary values per metric come from the two-level "
+    "bucketed histogram selection "
+    "(operators/calibrate.py::desc_rank_boundaries, cumsum over "
+    "<= 1024 bucket rows + boundary-bucket refinement); scores are "
+    "then pure column compares against a broadcast 1-row boundary "
+    "frame — score(x) = 1 + #(s: x < v_s), provably equal to the "
+    "rank() form because cnt_above(x) >= c  <=>  x < v_c. Monetary is "
+    "carried as exact integer cents (order-isomorphic to the 2dp "
+    "double). One shuffle to the customer agg (persisted: it feeds "
+    "three histogram builds + the final assignment scan), windows "
+    "only over bucket frames — the customer frame is never sorted in "
+    "one task (plan-pinned in tests/test_physical_strategies.py). "
+    "All integer end to end; no floats anywhere.",
+)
+def rfm_segmentation_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+            ).alias("last_ms"),
+            F.count("*").alias("freq"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        # exact cents (see pareto_revenue_share_scaled)
+        .withColumn(
+            "m_u", F.round(F.col("monetary") * 100, 0).cast("long")
+        )
+        # PERSIST: bounded lifetime — materialized and re-read within
+        # this one query (3 histogram builds + the assignment scan),
+        # LRU-evicted after; |customers| rows, storage-level default
+        .persist()
+    )
+    n_row = base.agg(F.count("*").cast("long").alias("n"))
+
+    def quintile_bounds(metric: str, prefix: str) -> DataFrame:
+        """1-row frame with the 4 descending-rank boundary values."""
+        targets = (
+            spark.range(1, 5)
+            .select(F.col("id").cast("long").alias("_tag"))
+            .crossJoin(F.broadcast(n_row))
+            # c_s = ceil(s*n/5) as pure integers
+            .withColumn("cut", F.expr("(_tag * n + 4) div 5").cast("long"))
+        )
+        bnd = calibrate.desc_rank_boundaries(
+            base.select(metric), metric, targets, "cut", "v"
+        )
+        return bnd.agg(
+            *[
+                F.max(F.when(F.col("_tag") == s, F.col("v"))).alias(
+                    f"{prefix}{s}"
+                )
+                for s in range(1, 5)
+            ]
+        )
+
+    def score(metric: str, prefix: str) -> F.Column:
+        c = F.lit(1)
+        for s in range(1, 5):
+            c = c + F.when(
+                F.col(metric) < F.col(f"{prefix}{s}"), 1
+            ).otherwise(0)
+        return c.cast("long")
+
+    scored = (
+        base.crossJoin(F.broadcast(quintile_bounds("last_ms", "rv")))
+        .crossJoin(F.broadcast(quintile_bounds("freq", "fv")))
+        .crossJoin(F.broadcast(quintile_bounds("m_u", "mv")))
+        .select(
+            score("last_ms", "rv").alias("r_score"),
+            score("freq", "fv").alias("f_score"),
+            score("m_u", "mv").alias("m_score"),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            _rfm_segment_case().alias("segment"),
         )
     )
 

@@ -457,9 +457,13 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    # both ranking windows consume `scored` with different projections
-    # (no exchange reuse), so persist the broadcast pair scan — the
-    # query's dominant cost — instead of computing it twice
+    # PERSIST: both ranking windows consume `scored` with different
+    # projections (no exchange reuse), so persist the broadcast pair
+    # scan — the query's dominant cost — instead of computing it twice.
+    # |queries| x |vectors| scored rows; no unpersist by design (the
+    # returned frame is lazy — an eager unpersist would drop the cache
+    # before the driver materializes it), lifetime = session LRU like
+    # every persist in this package (r8 persist audit, SCALING.md)
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("item_id"),
@@ -488,3 +492,107 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fused = fusion.rrf_scores(r_cos.unionByName(r_l2), k=RRF_K)
     return fusion.top_fused(fused, top_n=RRF_TOPN)
+
+
+FERT_K = 3  # merges for the fertility evaluation (round-8 registration)
+
+
+def bpe_fertility_oracle(k: int) -> str:
+    """Fertility-stats oracle: the shared unrolled merge chain
+    (bpe_merge_ctes) encodes the corpus, then per-source token totals,
+    exact vocabulary sizes and the compression ratio are computed on the
+    before/after token streams."""
+    ctes, _ = bpe_merge_ctes(k)
+    ctes.append(f"""
+    enc AS (
+        SELECT c.doc_id, d.source, c.text
+        FROM c{k} c JOIN documents d USING (doc_id)
+    )""")
+    ctes.append("""
+    base AS (SELECT doc_id, source, text FROM documents)""")
+    ctes.append("""
+    bt AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS tok_before,
+               CAST(count(DISTINCT tok) AS BIGINT) AS vocab_before
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM base)
+        GROUP BY source
+    )""")
+    ctes.append("""
+    att AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS tok_after,
+               CAST(count(DISTINCT tok) AS BIGINT) AS vocab_after
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM enc)
+        GROUP BY source
+    )""")
+    ctes.append("""
+    nd AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM base GROUP BY source
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT nd.source, n_docs, tok_before, vocab_before,
+           tok_after, vocab_after,
+           round(tok_after * 1.0 / tok_before, 6) AS compression6
+    FROM nd
+    JOIN bt USING (source)
+    JOIN att USING (source)
+    """
+    )
+
+
+@register(
+    "bpe_fertility_stats",
+    oracle=bpe_fertility_oracle(FERT_K),
+    doc="tokenizer-fertility evaluation: induce the k-merge BPE table "
+    "(the registered bpe_merge_induction loop), apply it to the corpus "
+    "in the same pass (operators/bpe.py::induce_and_encode returns the "
+    "encoded corpus directly — no re-application scan), and report "
+    "per-source token totals, exact vocabulary sizes and the "
+    "compression ratio — the read a tokenizer change is judged by "
+    "before a production re-tokenization. Everything is exact integers "
+    "but the single int/int compression ratio rounded once (the "
+    "measured-safe class). Token stats are one explode + per-source "
+    "groupBy each (map-side combinable); the merge loop's scale story "
+    "is bpe_merge_induction's (k scans, O(1) lineage via per-iteration "
+    "checkpoint).",
+)
+def bpe_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # induction tolerates (and preserves) the extra source column, and
+    # returns the encoded corpus directly — no re-application pass
+    _, enc = bpe.induce_and_encode(docs, n_merges=FERT_K)
+
+    def stats(df: DataFrame, suffix: str) -> DataFrame:
+        tok = df.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        return tok.groupBy("source").agg(
+            F.count("*").cast("long").alias(f"tok_{suffix}"),
+            F.countDistinct("tok").cast("long").alias(f"vocab_{suffix}"),
+        )
+
+    nd = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        nd.join(stats(docs, "before"), "source")
+        .join(stats(enc, "after"), "source")
+        .withColumn(
+            "compression6",
+            F.round(F.col("tok_after") * 1.0 / F.col("tok_before"), 6),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tok_before",
+            "vocab_before",
+            "tok_after",
+            "vocab_after",
+            "compression6",
+        )
+    )

@@ -1,17 +1,22 @@
-"""Round-6 registrations: data-mixing and quantization surfaces.
+"""Round-6 + round-8 registrations: data-mixing, sampling and
+quantization surfaces.
 
-The three banked library surfaces from operators/mixing.py and
-operators/quantize.py, promoted to the driver registry per the SURVEY.md
-round-6 registration plan. Each Spark/oracle pair was proven in
-tests/test_round6_previews.py across round 5 (including the perturbed-
-testdata rehearsal) before registration — this move is mechanical.
+The banked library surfaces from operators/mixing.py,
+operators/sampling.py and operators/quantize.py, promoted to the driver
+registry per the SURVEY.md registration plan (rounds 6 and 8). Each
+Spark/oracle pair was proven in tests/test_round6_previews.py /
+tests/test_round8_previews.py at least one round before registration
+(including the perturbed-testdata rehearsals) — each move is mechanical.
 
 No reference counterpart (the reference's ETL ends at a star schema,
 CarlosDiazData/etl-earthquake-gcp scripts/* stop at BI queries); these
 extend the tier-4 LLM-pipeline surface: temperature mixing is the
-multilingual-pretraining sampling pattern, the epoch shuffle is the
-deterministic training-order primitive, and int8 quantization is the
-embedding-store compression step of a retrieval index.
+multilingual-pretraining sampling pattern, the epoch shuffle (head and
+full-order-certificate forms) is the deterministic training-order
+primitive, int8 quantization is the embedding-store compression step of
+a retrieval index, top-p truncation is the per-source char-budget
+curation cut, and Efraimidis-Spirakis is the weighted
+sample-without-replacement every mixture ablation draws.
 """
 
 from __future__ import annotations
@@ -19,13 +24,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import mixing, quantize
+from ..functions.scalar import CHECKSUM_MOD, checksum_modsum
+from ..operators import mixing, quantize, sampling
 from ..sources.tables import load_table
 from .registry import register
 
 MIX_ALPHA = 0.3
 SHUFFLE_EPOCH = 3
 SHUFFLE_HEAD = 100
+
+# round-8 surfaces (constants shared with tests/test_round8_previews.py)
+TOPP_NUM, TOPP_DEN = 1, 2  # keep the heaviest half of each source's chars
+WS_N = 100  # weighted-sample size
+ESR_EPOCH = 3  # full-order certificate: epoch + bucket fan-out
+ESR_B = 64
+
+# the portable integer id-hash, built from the ONE source of truth in
+# operators/sampling.py (same convention as the minhash oracles) — the
+# reduced-multiplier form stays ANSI-safe for arbitrary ids, and the
+# pmod keeps the residue non-negative for negative ids (r5 ADVICE)
+_KEY_SQL = (
+    f"((((doc_id % {sampling.HASH_P}) + {sampling.HASH_P})"
+    f" % {sampling.HASH_P} * {sampling.HASH_A_RED})"
+    f" % {sampling.HASH_P})"
+)
 
 
 @register(
@@ -185,3 +207,160 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.coalesce("sc", F.lit(0.0)) / 2 + F.lit(1e-12)
         ).alias("err_bounded"),
     )
+
+
+@register(
+    "top_p_token_budget",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, source, w,
+                   CAST(coalesce(sum(w) OVER (PARTITION BY source
+                       ORDER BY w DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_prev,
+                   CAST(sum(w) OVER (PARTITION BY source) AS BIGINT)
+                       AS grp_total
+            FROM scored
+        ), kept AS (
+            SELECT *,
+                   (grp_total * {TOPP_NUM} + {TOPP_DEN} - 1)
+                       // {TOPP_DEN} AS budget
+            FROM cum
+            WHERE cum_prev < (grp_total * {TOPP_NUM} + {TOPP_DEN} - 1)
+                                 // {TOPP_DEN}
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(w) AS BIGINT) AS chars_kept,
+               CAST(max(grp_total) AS BIGINT) AS total_chars,
+               CAST(max(budget) AS BIGINT) AS budget,
+               CAST(sum({_KEY_SQL}) % {CHECKSUM_MOD} AS BIGINT)
+                   AS kept_key_sum
+        FROM kept GROUP BY source
+    """,
+    doc="per-source top-p curation by cumulative char weight: keep each "
+    "source's heaviest documents until ceil(p*total_chars) is covered, "
+    "boundary row included "
+    "(operators/mixing.py::token_budget_truncate). Pure integer "
+    "arithmetic end to end; the kept SET is certified by a modular "
+    "portable-hash key sum (exact decimal accumulation reduced mod "
+    "2^61-1 — a raw BIGINT sum overflows once a source keeps ~2^31 "
+    "docs, and a bit_xor fold is multiplicity-blind; the modular sum "
+    "is neither). One corpus scan, per-source windows, no join at all "
+    "(plan-pinned in tests/test_bank_plans.py) — at 100 TB the cut is "
+    "a partition-local running sum after one shuffle on source.",
+)
+def top_p_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    kept = mixing.token_budget_truncate(
+        docs, "w", "source", "doc_id", TOPP_NUM, TOPP_DEN
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("w").cast("long").alias("chars_kept"),
+        F.max("grp_total").cast("long").alias("total_chars"),
+        F.max("budget").cast("long").alias("budget"),
+        checksum_modsum(F.expr(_KEY_SQL)).alias("kept_key_sum"),
+    )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+                   {_KEY_SQL} AS h1
+            FROM documents WHERE n_chars > 0
+        ), k AS (
+            SELECT doc_id, source, w,
+                   CAST(floor({float(sampling.KEY_UNIT)}
+                       * ln((((h1 * {sampling.HASH_B_RED}
+                               + {sampling.HASH_C}) % {sampling.HASH_P})
+                             + 1)
+                            / {float(sampling.HASH_P + 1)})
+                       / w) AS BIGINT) AS key_n
+            FROM h
+        )
+        SELECT doc_id, source, w, key_n
+        FROM k
+        ORDER BY key_n DESC, doc_id
+        LIMIT {WS_N}
+    """,
+    doc="Efraimidis-Spirakis weighted sampling without replacement "
+    "(operators/sampling.py): key = ln(u)/w with u from the portable "
+    "two-round multiplicative hash, so both engines select the exact "
+    "same documents — no RNG state, re-runnable on any cluster. The "
+    "one libm ln is floored ONCE into 1e-9-unit BIGINT keys (the DSIR "
+    "ulp-absorption class); selection is TakeOrderedAndProject "
+    "(per-partition top-k + one k-sized merge, plan-pinned in "
+    "tests/test_bank_plans.py) — never a global sort. Sampling bias "
+    "toward heavy docs is pinned by test.",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    keyed = sampling.es_sample_keys(docs, "w", "doc_id")
+    return sampling.top_weighted(keyed, WS_N, "doc_id").select(
+        "doc_id", "source", "w", "key_n"
+    )
+
+
+@register(
+    "epoch_shuffle_ranges",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                            || ':{ESR_EPOCH}'), 1, 8))
+                        AS BIGINT) AS shuffle_key
+            FROM documents
+        ), b AS (
+            SELECT (shuffle_key * {ESR_B}) // 4294967296 AS bucket_id,
+                   doc_id, shuffle_key
+            FROM keyed
+        ), agg AS (
+            SELECT bucket_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(shuffle_key) AS BIGINT) AS min_key,
+                   CAST(max(shuffle_key) AS BIGINT) AS max_key,
+                   CAST(sum(shuffle_key) % {CHECKSUM_MOD} AS BIGINT)
+                       AS key_sum,
+                   CAST(sum(doc_id) % {CHECKSUM_MOD} AS BIGINT) AS id_sum
+            FROM b GROUP BY 1
+        )
+        SELECT bucket_id, n_docs, min_key, max_key, key_sum, id_sum,
+               CAST(coalesce(sum(n_docs) OVER (
+                   ORDER BY bucket_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_start,
+               min_key >= (bucket_id * 4294967296 + {ESR_B} - 1)
+                   // {ESR_B}
+               AND max_key <=
+                   ((bucket_id + 1) * 4294967296 + {ESR_B} - 1)
+                       // {ESR_B} - 1
+                   AS in_bounds
+        FROM agg
+    """,
+    doc="the full-order sibling of epoch_shuffle_order: certifies the "
+    "ENTIRE deterministic training order via monotone key-range "
+    "buckets ((key*B) div 2^32) — per-bucket count/min/max, modular "
+    "key/id checksums (exact decimal sums reduced mod 2^61-1: "
+    "overflow-free at any corpus size AND multiplicity-sensitive "
+    "where a bit_xor fold would cancel duplicate keys) and the "
+    "cumulative start position, with disjointness certified IN-ROW "
+    "against the closed-form bucket bounds "
+    "(operators/mixing.py::epoch_order_ranges). No global sort, no "
+    "range exchange (plan-pinned in tests/test_bank_plans.py), no "
+    "corpus-sized collect: the bucket window runs over B=64 rows. "
+    "Cross-checked against epoch_shuffle_order's materialized "
+    "positions by test.",
+)
+def epoch_shuffle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return mixing.epoch_order_ranges(docs, epoch=ESR_EPOCH, n_buckets=ESR_B)

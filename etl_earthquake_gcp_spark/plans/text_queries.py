@@ -305,6 +305,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~(F.length("text") * F.lit(1.0) / F.size(toks) > 9.0)
         & ~(n_stop * F.lit(1.0) / F.size(toks) < 0.02)
     )
+    # PERSIST: quality-kept corpus, read by the near-dup components
+    # join AND the canonical rewrite; session-LRU lifetime
     kept = d.filter(keep).persist()
 
     pairs = minhash_band_pairs(kept, n_hashes=16, n_bands=4, threshold=0.8, seed=42)
@@ -320,6 +322,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "text")
+        # PERSIST: canonical survivors, read by the per-source census
+        # AND the output assembly; session-LRU lifetime
         .persist()
     )
 

@@ -1150,6 +1150,8 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         cosine_topk_bruteforce(spark, sf_dir)
         .select("query_id", "neighbor_id")
+        # PERSIST: |queries|*k ground-truth rows, joined against every
+        # audited ANN variant below; session-LRU lifetime
         .persist()
     )
     methods = {

@@ -385,8 +385,42 @@ def test_forced_broadcast_site_count_is_adjudicated():
         f.read_text().count("F.broadcast(")
         for f in pkg.rglob("*.py")
     )
-    assert n == 81, (
-        f"F.broadcast site count changed ({n} != 81): adjudicate the "
+    # 81 post-r7-audit + 11 round-8 sites, each bounded independently
+    # of data scale: operators/calibrate.py::desc_rank_boundaries 3
+    # (1-row bounds, <=n_buckets bucket rollup, |targets| boundary
+    # frame), plans/calibration_queries.py::robust_scale_mad 2
+    # (|sources|-row median/MAD dims), pareto_revenue_share_scaled 2
+    # (1-row totals, 3-row tier boundaries), rfm_segmentation_scaled 4
+    # (1-row n, three 1-row quintile-boundary pivots)
+    assert n == 92, (
+        f"F.broadcast site count changed ({n} != 92): adjudicate the "
         "new/removed site per the round-7 audit rule (SCALING.md) and "
         "update this pin"
     )
+
+
+def test_every_persist_site_is_annotated():
+    """Round-8 persist audit tripwire (r7 VERDICT next-step #6): every
+    .persist() in the engine package is a multi-consumer cache inside
+    ONE query's lazy plan, so none can eagerly unpersist — instead each
+    site must carry a `PERSIST:` annotation stating the frame's size
+    bound, its consumers, and the session-LRU lifetime. A new persist
+    without the annotation fails here; adjudicate it (bound + consumers)
+    and annotate, or drop the cache. localCheckpoint sites are excluded:
+    their lifetime is the checkpoint file, bounded by the fixed
+    iteration count of the algorithms that use them."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "etl_earthquake_gcp_spark"
+    )
+    missing = []
+    for f in pkg.rglob("*.py"):
+        lines = f.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if ".persist(" not in line:
+                continue
+            window = "\n".join(lines[max(0, i - 16) : i + 1])
+            if "PERSIST" not in window:
+                missing.append(f"{f.name}:{i + 1}")
+    assert not missing, f"unannotated persist sites: {missing}"

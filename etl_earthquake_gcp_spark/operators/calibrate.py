@@ -236,9 +236,13 @@ def desc_rank_boundaries(
     per-row order inside the tied run is ever required).
 
     Shape: one distributed groupBy to the value histogram, a coarse
-    range-bucket rollup of the histogram (bucket width
-    ceil(range/n_buckets) — pure integer, overflow-free for any BIGINT
-    value range), an ordered cumsum over <= n_buckets rows, then
+    range-bucket rollup of the histogram (integer bucket width
+    floor(range/n_buckets)+1 >= ceil(range/n_buckets), so at most
+    n_buckets buckets; exact while the value SPAN max-min stays below
+    2^63 — true for every house quantization (cents, 1e-6/1e-9 units,
+    epoch millis), but full-range 64-bit hash keys would overflow the
+    span subtraction: rescale such keys first), an ordered cumsum over
+    <= n_buckets rows, then
     per-target refinement over ONLY the boundary bucket's slice of the
     histogram (expected |distinct|/n_buckets rows per target). The two
     broadcasts are the <= n_buckets bucket rollup and the |targets|
@@ -253,7 +257,14 @@ def desc_rank_boundaries(
     unique ``_tag`` key; 1 <= C <= |df| for every target.
     """
     vals = df.select(F.col(value_col).cast("long").alias("_v"))
-    hist = vals.groupBy("_v").agg(F.count("*").cast("long").alias("_cnt"))
+    # PERSIST: |distinct value| histogram rows, read by three consumers
+    # (the bounds agg, the bucket rollup, the boundary refinement);
+    # session-LRU lifetime (lazy return)
+    hist = (
+        vals.groupBy("_v")
+        .agg(F.count("*").cast("long").alias("_cnt"))
+        .persist()
+    )
     bounds = hist.agg(
         F.min("_v").alias("_lo"),
         # integer bucket width: ceil(range / n_buckets), >= 1

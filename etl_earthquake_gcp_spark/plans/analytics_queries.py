@@ -2150,8 +2150,13 @@ def pareto_revenue_share_scaled(
         F.round(F.sum("o_totalprice"), 2).alias("r")
     )
     # exact integer cents: r is the double nearest a 2dp decimal, so
-    # r*100 is within ~1e-9 of an integer and the round is exact
-    revu = rev.select(F.round(F.col("r") * 100, 0).cast("long").alias("u"))
+    # r*100 is within ~1e-9 of an integer and the round is exact.
+    # PERSIST: |customers| single-column frame read by three consumers
+    # (totals, the boundary selection's histogram, the above-boundary
+    # sum); session-LRU lifetime (lazy return)
+    revu = rev.select(
+        F.round(F.col("r") * 100, 0).cast("long").alias("u")
+    ).persist()
     tot = revu.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("u").cast("long").alias("total_u"),
@@ -2369,18 +2374,6 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
         .alias("m_score"),
     )
-    segment = (
-        F.when(
-            (F.col("r_score") == 1)
-            & (F.col("f_score") <= 2)
-            & (F.col("m_score") <= 2),
-            "champion",
-        )
-        .when(
-            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "lapsed"
-        )
-        .otherwise("regular")
-    )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(F.count("*").alias("n_customers"))
@@ -2389,7 +2382,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f_score").cast("long").alias("f_score"),
             F.col("m_score").cast("long").alias("m_score"),
             "n_customers",
-            segment.alias("segment"),
+            _rfm_segment_case().alias("segment"),
         )
     )
 

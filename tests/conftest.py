@@ -37,6 +37,19 @@ def oracle():
     con.close()
 
 
+def run_registered_pair(spark, oracle, name: str) -> pd.DataFrame:
+    """Run a registered query against its oracle with the driver-sim
+    comparator — the one shared pair-runner for preview/sibling tests
+    (hoisted round 8; the per-file copies drifted four deep)."""
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    q = QUERIES[name]
+    spdf = q.spark_fn(spark, SF_DIR).toPandas()
+    opdf = oracle.execute(q.oracle).df()
+    assert_frames_match(spdf, opdf, name)
+    return spdf
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Column-name-sorted, row-sorted, tz-stripped frame for comparison —
     mirrors the driver's order-insensitive value-hash."""

@@ -7,7 +7,6 @@ pins the generic oracle-parity sweep does not check.
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 
 from etl_earthquake_gcp_spark.operators import bpe, cluster_sample, winnowing
@@ -26,19 +25,13 @@ from etl_earthquake_gcp_spark.plans.curation_queries import (
 )
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
-from .conftest import SF_DIR, assert_frames_match
+from .conftest import SF_DIR
+from .conftest import run_registered_pair as _run_pair
 
 # registered query callables (also imported by tests/test_bank_plans.py)
 hard_negative_mining = QUERIES["hard_negative_mining"].spark_fn
 cluster_quota_sample = QUERIES["cluster_quota_sample"].spark_fn
 
-
-def _run_pair(spark, oracle: duckdb.DuckDBPyConnection, name: str):
-    q = QUERIES[name]
-    spdf = q.spark_fn(spark, SF_DIR).toPandas()
-    opdf = oracle.execute(q.oracle).df()
-    assert_frames_match(spdf, opdf, name)
-    return spdf
 
 
 # -- hard_negative_mining ----------------------------------------------------

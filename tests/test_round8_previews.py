@@ -9,7 +9,6 @@ the generic oracle-parity sweep does not check.
 
 from __future__ import annotations
 
-import duckdb
 import pandas as pd
 
 from etl_earthquake_gcp_spark.operators import mixing, sampling
@@ -23,7 +22,8 @@ from etl_earthquake_gcp_spark.plans.mixing_queries import (
 from etl_earthquake_gcp_spark.sources.tables import load_table
 from pyspark.sql import functions as F
 
-from .conftest import SF_DIR, assert_frames_match
+from .conftest import SF_DIR
+from .conftest import run_registered_pair as _run_pair
 
 # registered query callables (also imported by tests/test_bank_plans.py)
 quantile_normalize_scores = QUERIES["quantile_normalize_scores"].spark_fn
@@ -32,14 +32,6 @@ top_p_token_budget = QUERIES["top_p_token_budget"].spark_fn
 weighted_sample_docs = QUERIES["weighted_sample_docs"].spark_fn
 robust_scale_mad = QUERIES["robust_scale_mad"].spark_fn
 epoch_shuffle_ranges = QUERIES["epoch_shuffle_ranges"].spark_fn
-
-
-def _run_pair(spark, oracle: duckdb.DuckDBPyConnection, name: str):
-    q = QUERIES[name]
-    spdf = q.spark_fn(spark, SF_DIR).toPandas()
-    opdf = oracle.execute(q.oracle).df()
-    assert_frames_match(spdf, opdf, name)
-    return spdf
 
 
 # -- quantile_normalize_scores -----------------------------------------------

@@ -16,22 +16,15 @@ single-partition sort of the customer frame in either scaled plan.
 
 from __future__ import annotations
 
-import duckdb
+import re
+
 import pandas as pd
-from pyspark.sql import functions as F
 
 from etl_earthquake_gcp_spark.operators import calibrate
 from etl_earthquake_gcp_spark.plans import QUERIES
 
-from .conftest import SF_DIR, assert_frames_match
-
-
-def _run_pair(spark, oracle: duckdb.DuckDBPyConnection, name: str):
-    q = QUERIES[name]
-    spdf = q.spark_fn(spark, SF_DIR).toPandas()
-    opdf = oracle.execute(q.oracle).df()
-    assert_frames_match(spdf, opdf, name)
-    return spdf
+from .conftest import SF_DIR
+from .conftest import run_registered_pair as _run_pair
 
 
 def _plan_of(df):
@@ -95,11 +88,33 @@ def test_rfm_scaled_is_tie_coherent_and_complete(spark, oracle):
         """
     ).df()
     n = len(base)
+    scores = {}
     for col in ("last_ms", "freq", "monetary"):
         cnt_above = base[col].rank(method="min", ascending=False) - 1
-        score = 1 + (5 * cnt_above.astype("int64")) // n
-        by_val = pd.DataFrame({"v": base[col], "s": score})
-        assert (by_val.groupby("v")["s"].nunique() == 1).all(), col
+        scores[col] = 1 + (5 * cnt_above.astype("int64")) // n
+    # the recomputed JOINT cell counts must equal the Spark output —
+    # this is what fails if the Spark scoring ever regresses to a
+    # positional tie-split (min-rank scores are tie-coherent by
+    # construction, so checking them alone would be vacuous)
+    expect = (
+        pd.DataFrame(
+            {
+                "r_score": scores["last_ms"],
+                "f_score": scores["freq"],
+                "m_score": scores["monetary"],
+            }
+        )
+        .groupby(["r_score", "f_score", "m_score"])
+        .size()
+        .rename("n_customers")
+        .reset_index()
+    )
+    key = ["r_score", "f_score", "m_score"]
+    got = spdf[key + ["n_customers"]].sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"),
+        expect.sort_values(key, ignore_index=True).astype("int64"),
+    )
 
 
 # -- desc_rank_boundaries unit contract --------------------------------------
@@ -139,22 +154,21 @@ def test_desc_rank_boundaries_matches_sorted_positions(spark):
 
 
 def _assert_no_customer_frame_sort(plan: str, name: str):
-    """Neither scaled plan may rank the customer frame per-row: the
-    positional window functions of the baseline forms must be gone,
-    and every Window node must consume a post-aggregation frame (the
-    bucket rollup or a boundary-bucket histogram slice), i.e. appear
-    ABOVE a HashAggregate in the plan tree — never directly over the
-    customer-level aggregate."""
+    """Neither scaled plan may rank or cumulate the customer frame
+    per-row: the positional window functions of the baseline forms
+    must be gone, and every window spec in the executed plan must be
+    one of the two selection shapes — the <=n_buckets bucket rollup
+    (global cumsum ordered by `_b`) or the per-target boundary-slice
+    refinement (partitioned by `_tag`). A window whose spec opens with
+    any other column (e.g. a global cumsum ordered by the raw value —
+    a |customers|-sized single-task walk with no rank function in it)
+    fails here."""
     assert "row_number(" not in plan, name
     assert "ntile(" not in plan, name
-    idx = 0
-    while True:
-        w = plan.find("Window", idx)
-        if w < 0:
-            break
-        agg = plan.find("HashAggregate", w)
-        assert agg > w, f"{name}: Window with no aggregate below\n{plan}"
-        idx = w + 1
+    specs = re.findall(r"windowspecdefinition\((_\w+)#", plan)
+    assert specs, f"{name}: expected selection windows in plan"
+    bad = [c for c in specs if c not in ("_tag", "_b")]
+    assert not bad, f"{name}: window over non-selection frame {bad}\n{plan}"
 
 
 def test_pareto_scaled_plan_never_sorts_customer_frame(spark):

@@ -28,6 +28,8 @@ def balance_classes(df: DataFrame, label_col: str) -> DataFrame:
     """Downsample the majority class to the minority count
     (train_tsunami_model.py:59-66: sample(fraction=minority/majority, seed=42)
     ∪ minority)."""
+    # COLLECT: |distinct labels| rows (binary here) — a class census,
+    # never data-scale
     counts = {
         r[label_col]: r["n"]
         for r in df.groupBy(label_col).agg(F.count("*").alias("n")).collect()

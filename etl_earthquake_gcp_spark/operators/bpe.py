@@ -160,6 +160,7 @@ def induce_and_encode(
     for it in range(1, n_merges + 1):
         if checkpoint:
             cur = cur.localCheckpoint()
+        # COLLECT: the 1-row argmax — the loop's only driver hop
         best = (
             pair_counts(cur, text_col)
             .orderBy(F.desc("cnt"), "a", "b")
@@ -170,6 +171,7 @@ def induce_and_encode(
             break
         a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
         cur = apply_merge(cur, a, b, text_col)
+        # COLLECT: a 1-row global aggregate (the corpus checksum)
         checksum = (
             cur.select(portable_hash8(F.col(text_col)).alias("_h"))
             .agg(checksum_modsum(F.col("_h")).alias("s"))

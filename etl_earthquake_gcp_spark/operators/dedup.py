@@ -84,6 +84,8 @@ def token_dictionary_distributed(tok: DataFrame, n_parts: int | None = None) -> 
         # every posting consumer; session-LRU lifetime (lazy return)
         .persist()
     )
+    # COLLECT: one row per range partition (n_parts, a constant) —
+    # the offset map, never data-scale
     sizes = {r.pid: r.n for r in parts.groupBy("pid").agg(F.count("*").alias("n")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(sizes):
@@ -169,6 +171,8 @@ def doc_bitmasks(docs: DataFrame, tids: DataFrame | None = None) -> DataFrame:
                 ).alias("mask")
             )
         )
+    # COLLECT: the <=64-token dictionary (ValueError past 64 by the
+    # bitmask contract) — bounded independently of the corpus
     tokens = sorted(
         r.token for r in tokenize_distinct(docs).select("token").distinct().collect()
     )

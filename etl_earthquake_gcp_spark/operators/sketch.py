@@ -142,8 +142,8 @@ def bloom_build(keys: DataFrame, key_col: str) -> list[int]:
             )
         ).alias("c")
     )
-    # bounded collect by contract: one row per 64-bit word, i.e. exactly
-    # BLOOM_BITS/64 rows regardless of input cardinality (never data-scale)
+    # COLLECT: bounded by contract — one row per 64-bit word, i.e.
+    # exactly BLOOM_BITS/64 rows regardless of input cardinality
     got = {
         r.word: r.bits
         for r in cells.groupBy("c.word")

@@ -139,6 +139,7 @@ def run_pipeline(
         # so the explicit aggregate is the robust form; bronze is one
         # blob, the second scan is edge-sized.
         typed = clean_and_type(flatten_features(bronze))
+        # COLLECT: 1-row quality aggregate
         qrow = typed.agg(
             F.count(F.lit(1)).alias("n_flattened"),
             F.count_if(validity_condition()).alias("n_valid"),

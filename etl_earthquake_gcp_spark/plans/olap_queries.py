@@ -1000,7 +1000,7 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = r.withColumn("local_best_above", F.max("o_orderdate").over(w))
-    # pass 2: bounded collect by contract — per-bucket max dates are
+    # pass 2: COLLECT: bounded by contract — per-bucket max dates are
     # exactly #buckets (≤32) rows regardless of input cardinality, the
     # same KB-scale bound as the quantile bounds above; prefix-max of
     # all PRICIER buckets computed over that tiny frame and broadcast

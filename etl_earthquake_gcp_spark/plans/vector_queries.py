@@ -207,6 +207,8 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    # COLLECT: the _N_QUERIES-row query-vector set (dimension-sized by
+    # contract — retrieval queries, not corpus rows)
     qrows = sorted(
         emb.filter(F.col("vec_id") < _N_QUERIES).collect(),
         key=lambda r: r.vec_id,
@@ -287,6 +289,8 @@ def cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    # COLLECT: the _N_QUERIES-row query-vector set (dimension-sized by
+    # contract — retrieval queries, not corpus rows)
     qrows = sorted(
         emb.filter(F.col("vec_id") < _N_QUERIES).collect(),
         key=lambda r: r.vec_id,
@@ -365,6 +369,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     centroids = np.vstack(km.clusterCenters())
+    # COLLECT: the _N_QUERIES-row query-vector set (dimension-sized)
     qrows = sorted(
         assigned.filter(F.col("vec_id") < _N_QUERIES).collect(),
         key=lambda r: r.vec_id,
@@ -694,7 +699,9 @@ def _pq_unit_sample(emb):
         emb.select("vec", "norm")
         .orderBy(F.xxhash64("vec_id"), "vec_id")  # deterministic "sample"
         .limit(_PQ_TRAIN_SAMPLE)
-        .toPandas()  # Arrow batch transfer, not Row-object deserialization
+        # COLLECT: _PQ_TRAIN_SAMPLE-limited codebook training sample,
+        # Arrow batch transfer (not Row-object deserialization)
+        .toPandas()
     )
     return np.array(pdf["vec"].tolist()) / np.maximum(
         pdf["norm"].to_numpy()[:, None], 1e-12
@@ -827,6 +834,8 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _pq_codebooks(emb)
     dpb = books.shape[2]
 
+    # COLLECT: the _N_QUERIES-row query-vector set (dimension-sized by
+    # contract — retrieval queries, not corpus rows)
     qrows = sorted(
         emb.filter(F.col("vec_id") < _N_QUERIES).collect(),
         key=lambda r: r.vec_id,
@@ -983,6 +992,8 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- query side: probe cells, per-(query, cell) residual LUTs --------
+    # COLLECT: the _N_QUERIES-row query-vector set (dimension-sized by
+    # contract — retrieval queries, not corpus rows)
     qrows = sorted(
         emb.filter(F.col("vec_id") < _N_QUERIES).collect(),
         key=lambda r: r.vec_id,

@@ -424,3 +424,33 @@ def test_every_persist_site_is_annotated():
             if "PERSIST" not in window:
                 missing.append(f"{f.name}:{i + 1}")
     assert not missing, f"unannotated persist sites: {missing}"
+
+
+def test_every_driver_collect_site_is_annotated():
+    """Round-8 bounded-collect tripwire (r7 VERDICT watch #4, formalized
+    the way the persist audit was): every driver materialization in the
+    engine package (.collect() / .toPandas() / .first() / .head() on a
+    DataFrame) must carry a `COLLECT:` annotation stating its size bound
+    — 1-row aggregates, dimension-sized query sets, constant partition/
+    bucket maps, the <=64-token dictionary. A new unannotated site fails
+    here: either it is bounded (annotate the bound) or it is a
+    distributed-operator bug (a collect that scales with the data has no
+    place in a 100 TB plan)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "etl_earthquake_gcp_spark"
+    )
+    pat = re.compile(r"\.(collect|toPandas)\(")
+    missing = []
+    for f in pkg.rglob("*.py"):
+        lines = f.read_text().splitlines()
+        for i, line in enumerate(lines):
+            stripped = line.strip()
+            if stripped.startswith("#") or not pat.search(line):
+                continue
+            window = "\n".join(lines[max(0, i - 10) : i + 1])
+            if "COLLECT:" not in window:
+                missing.append(f"{f.name}:{i + 1}")
+    assert not missing, f"unannotated driver-collect sites: {missing}"

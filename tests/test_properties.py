@@ -176,3 +176,55 @@ def test_checksum_modsum_matches_python_and_duckdb(spark, vals):
         [vals],
     ).fetchone()[0]
     assert got_spark == expected == got_duck
+
+
+# -- desc_rank_boundaries (round 8: the scaled siblings' selection core) ----
+
+_val_lists = st.lists(
+    st.integers(min_value=-(10**12), max_value=10**12),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_SETTINGS
+@given(
+    vals=_val_lists,
+    n_buckets=st.sampled_from([1, 3, 1024]),
+    data=st.data(),
+)
+def test_desc_rank_boundaries_equals_brute_sort(spark, vals, n_buckets, data):
+    """For arbitrary BIGINT values (wide ranges, duplicates, negatives)
+    and arbitrary cuts, the bucketed two-level selection returns exactly
+    the value at the cut position of the descending sort, with n_above /
+    cnt_at describing its tied run — the invariant both scaled siblings
+    (pareto tier sums, RFM quintile boundaries) are built on."""
+    from etl_earthquake_gcp_spark.operators.calibrate import (
+        desc_rank_boundaries,
+    )
+
+    cuts = data.draw(
+        st.lists(
+            st.integers(min_value=1, max_value=len(vals)),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    targets = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cuts)], "_tag long, cut long"
+    )
+    out = {
+        r._tag: r
+        for r in desc_rank_boundaries(
+            df, "x", targets, "cut", "v", n_buckets=n_buckets
+        ).collect()
+    }
+    s = sorted(vals, reverse=True)
+    assert set(out) == set(range(len(cuts)))
+    for i, c in enumerate(cuts):
+        expect = s[c - 1]
+        assert out[i].v == expect
+        assert out[i].n_above == sum(1 for v in vals if v > expect)
+        assert out[i].cnt_at == vals.count(expect)

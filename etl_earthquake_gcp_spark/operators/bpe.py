@@ -61,6 +61,8 @@ def validate_corpus(corpus: DataFrame, text_col: str = "text") -> None:
         # [^\S ] = any whitespace other than the plain space separator;
         # (?U) makes Java's \s Unicode-aware so NBSP etc. count too
         | F.col(text_col).rlike(f"(?U){MERGE_JOINER}|^ | $|  |[^\\S ]|^$")
+        # COLLECT: take(1) — at most one row crosses to the driver; the
+        # guard scan itself is the documented O(corpus) validation cost
     ).take(1)
     if bad:
         example = bad[0][text_col]

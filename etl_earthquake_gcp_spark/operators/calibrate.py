@@ -162,6 +162,7 @@ def quantile_normalize(
     qnum = 2 * F.col("rnk") - 1
     den = 2 * F.col("n_grp")
     with_target = (
+        # CROSSJOIN: 1-row global-count frame onto the ranked walk
         ranked.crossJoin(F.broadcast(total))
         # integer ceil division — `div` keeps the arithmetic in BIGINT
         # (a float divide would go lossy past 2^53)
@@ -272,6 +273,7 @@ def desc_rank_boundaries(
             f"(max(_v) - min(_v) + {n_buckets}) div {n_buckets}"
         ).alias("_w"),
     )
+    # CROSSJOIN: 1-row (lo, width) bounds frame onto the value histogram
     hb = hist.crossJoin(F.broadcast(bounds)).select(
         "_v",
         "_cnt",

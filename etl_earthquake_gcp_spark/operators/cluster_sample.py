@@ -61,6 +61,8 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """
     pairs = (
         corpus.filter(F.col("norm") > 0)
+        # CROSSJOIN: |centroids|-row frame — fixed model size, never data-
+        # scaled
         .crossJoin(F.broadcast(centroids.filter(F.col("cnorm") > 0)))
     )
     dot = F.aggregate(

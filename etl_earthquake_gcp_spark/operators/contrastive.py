@@ -58,6 +58,8 @@ def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 3) -> DataFra
     """
     pairs = (
         corpus.filter(F.col("norm") > 0)
+        # CROSSJOIN: |anchors|-row query frame — fixed eval-set size, never
+        # data-scaled
         .crossJoin(F.broadcast(anchors.filter(F.col("qnorm") > 0)))
         .filter(
             (F.col("vec_id") != F.col("query_id"))

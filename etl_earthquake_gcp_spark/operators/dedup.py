@@ -221,6 +221,9 @@ def jaccard_pairs_bitmask(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     # banding), not by one of the fixed-size classes — deliberate, see
     # SCALING.md round-7 broadcast audit
     qual = (
+        # CROSSJOIN: inequality broadcast-NLJ over the grouped-mask frame,
+        # bounded by |distinct 64-bit masks| (the documented r7-audit baseline
+        # exception; SCALING.md)
         ga.join(F.broadcast(gb), F.col("ga.mask") <= F.col("gb.mask"))
         .filter(jac >= threshold)
         .select(
@@ -1127,6 +1130,9 @@ def containment_pairs_bitmask(docs: DataFrame, threshold: float = 1.0) -> DataFr
     # deliberate distinct-mask broadcast — the certified quadratic
     # baseline's own cost model, same note as jaccard_pairs_bitmask
     qual = (
+        # CROSSJOIN: inequality broadcast-NLJ over the grouped-mask frame,
+        # bounded by |distinct 64-bit masks| (same adjudication as
+        # jaccard_pairs_bitmask)
         ga.join(F.broadcast(gb), F.col("ga.mask") <= F.col("gb.mask"))
         .filter(cont >= threshold)
         .select(

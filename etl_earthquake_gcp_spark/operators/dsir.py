@@ -96,6 +96,7 @@ def bucket_log_ratio_units(
     b = int(n_buckets)
     num = (F.col("n_t") + 1).cast("double") * (F.col("r_tot") + b)
     den = (F.col("n_r") + 1).cast("double") * (F.col("t_tot") + b)
+    # CROSSJOIN: 1-row corpus-totals frame
     return buckets.crossJoin(F.broadcast(tot)).select(
         "f",
         F.round(F.log(num / den) * 1_000_000, 0).cast("long").alias("lr_u"),

@@ -367,6 +367,7 @@ def hll_estimate_by(registers: DataFrame) -> DataFrame:
     spark = registers.sparkSession
     allb = spark.range(HLL_M).select(F.col("id").alias("bucket"))
     groups = registers.select("grp").distinct()
+    # CROSSJOIN: fixed HLL_M-row bucket grid (constant)
     grid = groups.crossJoin(F.broadcast(allb))
     full = grid.join(registers, ["grp", "bucket"], "left").select(
         "grp", F.coalesce("m_j", F.lit(0)).alias("m_j")

@@ -19,60 +19,64 @@ from . import curation_queries  # noqa: E402,F401
 from . import calibration_queries  # noqa: E402,F401
 
 # The external correctness driver checks the first 50 queries in dict
-# order per round. Round-8 head, per the SURVEY.md forward schedule:
-# (1) the six NEW round-8 registrations promoted from the rounds-6/7
-# preview bank (quantile normalization, BPE fertility, top-p budget,
-# weighted sampling, robust MAD, epoch shuffle ranges — parity pairs
-# proven in tests/test_round8_previews.py including the perturbed-
-# testdata rehearsals), (2) the two NEW scale-safe siblings that
-# retire the r7 VERDICT's two `weak`s (pareto_revenue_share_scaled
-# shares the primary's oracle — bit-identity certified by the driver
-# hash; rfm_segmentation_scaled carries its own rank()-quintile
-# oracle; plan pins in tests/test_scaled_siblings.py assert neither
-# sorts the customer frame in one task), (3) the 16 r3-last-rowed
-# queries deferred from the round-7 head (positions 51-66 there —
-# this completes the r3 cohort), (4) 26 of the 39 r4-last-rowed
-# queries, ordered by overall row HISTORY age (the two names with
-# r3-history first, then the r4-only names in their round-4 driver
-# order). The NAME LISTS here and in SURVEY.md's forward schedule are
-# the schedule of record; re-derive nothing from prose. That fills
-# exactly 50; the 13 deferred r4-rowed queries (positions 51-63
-# below) complete in round 9 together with the round-9 preview bank.
+# order per round. Round-9 head, per the SURVEY.md forward schedule:
+# (1) the five NEW round-9 registrations promoted from the round-9
+# preview bank (stratified split, source-overlap MinHash, Zipf slope,
+# n-gram novelty, lexical diversity — parity pairs proven in
+# tests/test_round9_previews.py across rounds 7-8 including the
+# perturbed-testdata rehearsals), (2) the 13 r4-rowed tail names
+# (round-8 positions 51-63 — this completes the r4 cohort), (3) the
+# 32 stalest of the 43 r5-last-rowed queries by the standing
+# history-age rule: the 30 r1-history names in their r1 driver order,
+# then pagerank_3iter (r2 history), then skyline_pareto_orders (first
+# r3-history name in r3 driver order). That fills exactly 50; the 11
+# deferred r5-rowed names hold positions 51-61 and complete in round
+# 10 together with the round-10 preview bank. The NAME LISTS here and
+# in SURVEY.md's forward schedule are the schedule of record;
+# re-derive nothing from prose.
+#
+# PAIRING RULE (r8 VERDICT next-step #4): whenever a ROWS-ONLY query
+# takes a head slot in any future rotation (r10+, r16-r20 refreshes,
+# or any rework wave), its hash-green AUDIT SIBLING goes in the SAME
+# head (approx_distinct_events+approx_distinct_audit — both below —
+# streaming_dedup_watermark+streaming_dedup_audit, ml_predictions+
+# ml_accuracy_audit, pq_adc_topk/ivf_pq_topk+ann_recall_audit), so
+# the driver certifies the pair in one round.
 _DRIVER_PRIORITY = [
-    # -- new in round 8 (promoted from the rounds-6/7 preview bank) --------
-    "quantile_normalize_scores", "bpe_fertility_stats",
-    "top_p_token_budget", "weighted_sample_docs", "robust_scale_mad",
-    "epoch_shuffle_ranges",
-    # -- new in round 8: scale-safe siblings retiring the r7 `weak`s -------
-    "pareto_revenue_share_scaled", "rfm_segmentation_scaled",
-    # -- last r3-rowed re-confirmations (completes the r3 cohort; the
-    #    16 names deferred from the round-7 head in its 51-66 order) -------
-    "source_mixing_weights", "select_top_quality_within_budget",
-    "top_bigram_share", "dup_ngram_ratio", "cross_source_exact_dups",
-    "resample_ohlc_5min", "map_ops_suite", "join_shufflehash_hint",
-    "bm25_scores", "pq_adc_topk", "minhash_candidate_quality",
-    "sql_entry_lateral_topk", "merge_overlapping_intervals",
-    "streaming_ewma_state", "fpgrowth_brand_itemsets", "ivf_pq_topk",
-    # -- stalest r4-rowed re-confirmations (positions 25-50): r3-history
-    #    names first, then round-4 driver order -----------------------------
-    "dedup_keep_canonical", "triangle_count_user_graph",
-    "segment_dedup_rewrite", "mmr_diversified_topk",
-    "heavy_hitters_mergeable", "group_shuffle_split",
-    "streaming_topk_state", "quantile_summary_mergeable",
-    "random_projection_reduce", "trimmed_mean_grouped_agg",
-    "bfs_hops_user_graph", "moving_median_7", "rag_index_pipeline",
-    "skipgram_pairs", "distribution_drift_metrics", "grouped_bootstrap_ci",
-    "passjoin_edit_pairs", "time_weighted_avg_user",
-    "cumulative_unique_users", "pareto_revenue_share", "rfm_segmentation",
-    "cusum_changepoints", "session_path_trigrams", "hll_sliding_7d_users",
-    "multimodal_real_decode", "doc_chunks_udtf",
-    # -- positions 51-63: the r4 cohort tail, completes in round 9 ---------
+    # -- new in round 9 (promoted from the round-9 preview bank) -----------
+    "exact_stratified_split", "source_overlap_minhash", "zipf_slope_fit",
+    "doc_novelty_ngram", "lexical_diversity_stats",
+    # -- the r4 cohort tail (round-8 positions 51-63; completes r4) --------
     "doc_chunks_catalyst", "chunk_fixed_context", "approx_distinct_audit",
     "approx_percentile_audit", "stratified_sample_audit",
     "equidepth_approx_audit", "ml_accuracy_audit",
     "semantic_dedup_signbucket", "cosine_topk_arrow",
     "char_entropy_scores", "zorder_layout_stats", "multimodal_resize_nn",
     "grouped_ols_trend",
+    # -- stalest r5-rowed re-confirmations (positions 19-50): the 30
+    #    r1-history names in r1 driver order, then pagerank_3iter (r2
+    #    history), then skyline_pareto_orders (r3 history) ----------------
+    "pricing_summary", "validation_filter", "case_buckets",
+    "latest_event_dedup", "latest_event_dedup_maxby",
+    "distinct_dim_with_key", "date_hierarchy_rollup", "global_kpis",
+    "approx_distinct_events", "sum_by_two_keys", "top_orders",
+    "union_priorities", "nation_set_ops", "explode_token_counts",
+    "bpe_token_counts", "countmin_token_freq", "array_access_first_last",
+    "exact_dedup_docs", "text_quality_stats", "lang_score",
+    "jaccard_near_dup_pairs", "near_dup_components",
+    "clean_corpus_by_source", "minhash_shingle_near_dup",
+    "fuzzy_pairs_levenshtein", "doc_fingerprints", "scrub_mask_tokens",
+    "containment_subset_pairs", "cosine_topk_bruteforce",
+    "embedding_norm_stats", "pagerank_3iter", "skyline_pareto_orders",
+    # -- positions 51-61: the 11 deferred r5-rowed names, complete in
+    #    round 10 (streaming_dedup_audit pairs with its rows-only
+    #    partner streaming_dedup_watermark per the pairing rule when
+    #    the partner next takes a head slot) ------------------------------
+    "bigram_lm_loglik", "hll_mergeable_rollup", "source_kl_divergence",
+    "holt_linear_state", "incremental_rollup_merge", "funnel_3step_strict",
+    "decontaminate_by_embedding", "ml_lag_features",
+    "interpolate_linear_gaps", "seasonal_decompose_dow",
+    "streaming_dedup_audit",
 ]
 
 

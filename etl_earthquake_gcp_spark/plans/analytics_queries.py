@@ -569,6 +569,7 @@ def equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + F.when(F.col("value") > x, 1).otherwise(0),
     )
     return (
+        # CROSSJOIN: 1-row sketch-bounds frame (7 boundaries in one array)
         ev.join(F.broadcast(bounds))
         .select("value", bucket.cast("long").alias("bucket"))
         .groupBy("bucket")
@@ -614,6 +615,7 @@ def equidepth_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("bs").alias("pos", "b")
     ).select((F.col("pos") + 1).alias("octile"), "b")
     ranks = (
+        # CROSSJOIN: 7-row octile-boundary grid (constant)
         ev.join(F.broadcast(grid))
         .groupBy("octile", "b")
         .agg(
@@ -910,6 +912,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = hll_registers(ev.select("user_id"), "user_id")
     est = hll_estimate(regs)
     true = ev.agg(F.count_distinct("user_id").alias("true_distinct"))
+    # CROSSJOIN: two 1-row aggregates (estimate vs truth)
     return est.crossJoin(F.broadcast(true))
 
 
@@ -1443,6 +1446,7 @@ def heavy_hitters_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_top = Window.orderBy(F.col("est").desc(), "token")
     return (
         merged.join(truth, "token")
+        # CROSSJOIN: 1-row error-bound aggregate
         .crossJoin(F.broadcast(bound))
         .withColumn("rank", F.row_number().over(w_top))
         .filter(F.col("rank") <= _HH_TOP)
@@ -1816,6 +1820,7 @@ def distribution_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.unix_millis("ts").alias("tms")
     )
     bounds = e.agg(F.min("tms").alias("t0"), F.max("tms").alias("t1"))
+    # CROSSJOIN: 1-row (t0, t1) time-bounds frame
     tagged = e.crossJoin(F.broadcast(bounds)).select(
         "value",
         (
@@ -1828,6 +1833,7 @@ def distribution_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("hi"),
     )
     width = (F.col("hi") - F.col("lo")) / _DRIFT_BINS
+    # CROSSJOIN: 1-row reference-bounds frame (lo, hi)
     binned = tagged.crossJoin(F.broadcast(refm)).filter(
         F.col("hi") > F.col("lo")  # ANSI div-by-zero guard, both sides
     ).select(
@@ -1847,6 +1853,7 @@ def distribution_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
     )
+    # CROSSJOIN: 1-row totals frame
     frac = counts.crossJoin(F.broadcast(tot)).select(
         "bin",
         "n_ref",
@@ -2165,6 +2172,7 @@ def pareto_revenue_share_scaled(
         F.explode(F.array(*[F.lit(t) for t in _PARETO_TIERS])).alias("pct")
     )
     targets = (
+        # CROSSJOIN: 1-row total-count frame onto the 3-row tier frame
         tiers.crossJoin(F.broadcast(tot))
         # integer ceil(n*pct/100): exact twin of the oracle's float
         # ceil while n*pct is exact in double (n < 2^46)
@@ -2292,6 +2300,7 @@ def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         return quantized_half_away(col, unit=100, out_scale=10_000.0)
 
     return (
+        # CROSSJOIN: 1-row sigma aggregate
         resid.crossJoin(F.broadcast(sigma))
         .filter(F.col("sd") > 0)
         .select(
@@ -2483,6 +2492,7 @@ def rfm_segmentation_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         targets = (
             spark.range(1, 5)
             .select(F.col("id").cast("long").alias("_tag"))
+            # CROSSJOIN: 1-row count frame onto the 4-row tag frame
             .crossJoin(F.broadcast(n_row))
             # c_s = ceil(s*n/5) as pure integers
             .withColumn("cut", F.expr("(_tag * n + 4) div 5").cast("long"))
@@ -2508,9 +2518,11 @@ def rfm_segmentation_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         return c.cast("long")
 
     scored = (
+        # CROSSJOIN: three 1-row quintile-boundary pivots (4 boundary columns
+        # each)
         base.crossJoin(F.broadcast(quintile_bounds("last_ms", "rv")))
-        .crossJoin(F.broadcast(quintile_bounds("freq", "fv")))
-        .crossJoin(F.broadcast(quintile_bounds("m_u", "mv")))
+        .crossJoin(F.broadcast(quintile_bounds("freq", "fv")))  # CROSSJOIN: 1-row pivot
+        .crossJoin(F.broadcast(quintile_bounds("m_u", "mv")))  # CROSSJOIN: 1-row pivot
         .select(
             score("last_ms", "rv").alias("r_score"),
             score("freq", "fv").alias("f_score"),
@@ -2669,6 +2681,7 @@ def hll_sliding_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_regs = hll_registers_by(keys, "user_id", "d")  # (grp=d, bucket, m_j)
     days = keys.select("d").distinct()
     buckets = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    # CROSSJOIN: fixed HLL_M-row bucket frame onto the distinct-day dim
     grid = days.crossJoin(F.broadcast(buckets))
     filled = grid.join(
         day_regs,

@@ -452,6 +452,7 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("au"),
         F.approx_count_distinct("event_id", 0.01).alias("ae"),
     )
+    # CROSSJOIN: two 1-row aggregates (exact vs approx)
     agg = exact.join(F.broadcast(approx))
     # 5% tolerance = 5x the configured rsd; HLL++ error at these
     # cardinalities is far inside it, a broken sketch is far outside.

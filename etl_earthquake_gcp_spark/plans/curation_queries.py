@@ -28,6 +28,7 @@ from ..operators import (
     bpe,
     cluster_sample,
     contrastive,
+    dedup,
     dsir,
     fusion,
     winnowing,
@@ -449,6 +450,7 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         emb.filter(F.col("norm") > 0)
+        # CROSSJOIN: |queries|-row anchor frame — fixed eval-set size
         .crossJoin(F.broadcast(q.filter(F.col("qnorm") > 0)))
         .filter(F.col("vec_id") != F.col("query_id"))
     )
@@ -595,4 +597,425 @@ def bpe_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_after",
             "compression6",
         )
+    )
+
+
+# -- round-9 registrations: corpus-audit surfaces ----------------------------
+#
+# Promoted from tests/test_round9_previews.py (proven rounds 7-8,
+# perturbation-rehearsed). The SQL stage helpers below are module-level
+# because the round-11 datacard previews compose them — a parity fix
+# must land ONCE (tests/test_round11_previews.py imports these).
+
+HASH_P = 2147483647  # Mersenne 2^31-1, the shared (a*x+b) mod p modulus
+OVL_H = 16  # minhash signature width of the source-overlap audit
+OVL_SEED = 42
+ZIPF_R = 100  # top-R ranks entering the log-log OLS fit
+NOV_N = 5  # novelty n-gram width
+
+FREQ_SQL = """freq AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    )"""
+
+
+def zipf_sql_stages(top_r: int) -> str:
+    """rank -> integer-log-unit -> OLS-sums oracle chain over a
+    freq(source, tok, cnt) CTE, ending in zs. Both logs are quantized
+    ONCE to integer 1e-3 units (exact-integer ln inputs — the DSIR
+    absorption class); every OLS sum is an exact integer."""
+    return f"""zr AS (
+        SELECT source, cnt,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY cnt DESC, tok) AS r
+        FROM freq
+        QUALIFY r <= {top_r}
+    ), zu AS (
+        SELECT source,
+               CAST(round(ln(r) * 1000, 0) AS BIGINT) AS x_u,
+               CAST(round(ln(cnt) * 1000, 0) AS BIGINT) AS y_u
+        FROM zr
+    ), zs AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+               CAST(sum(x_u) AS BIGINT) AS sx,
+               CAST(sum(y_u) AS BIGINT) AS sy,
+               CAST(sum(x_u * y_u) AS BIGINT) AS sxy,
+               CAST(sum(x_u * x_u) AS BIGINT) AS sxx
+        FROM zu GROUP BY source
+    )"""
+
+
+# the slope is a single int/int rational rounded once; the +0.0 folds
+# -0.0 -> +0.0 (slope is negative-capable; Spark F.round gives +0.0
+# where DuckDB gives -0.0 on tiny negative rationals)
+ZIPF_SLOPE_SQL = (
+    "round((n_ranks * sxy - sx * sy) * 1.0"
+    " / (n_ranks * sxx - sx * sx), 6) + 0.0"
+)
+
+GRAM_SQL_STAGES = f"""t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(toks[i:i + {NOV_N} - 1], ' ') AS gram
+        FROM t, LATERAL (SELECT unnest(generate_series(1,
+                 len(toks) - {NOV_N} + 1)) AS i) s
+        WHERE len(toks) >= {NOV_N}
+    ), reach AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS n_docs_with
+        FROM grams GROUP BY gram
+    )"""
+
+
+def token_freq(docs: DataFrame) -> DataFrame:
+    """(source, tok, cnt) token-frequency frame — the shared substrate
+    of the Zipf fit, lexical diversity, and the round-11 datacard."""
+    return (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def zipf_sums(freq: DataFrame, top_r: int) -> DataFrame:
+    """Per-source integer OLS sums over the top-R log-log rank points.
+
+    Scale note: the rank window partitions by source over the
+    vocabulary-sized freq frame (Heaps-sublinear in corpus size), and
+    only top_r rows per source survive into the fixed-size sums."""
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), "tok")
+    zu = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= top_r)
+        .select(
+            "source",
+            F.round(F.log(F.col("r")) * 1000, 0).cast("long").alias("x_u"),
+            F.round(F.log(F.col("cnt")) * 1000, 0)
+            .cast("long")
+            .alias("y_u"),
+        )
+    )
+    return zu.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_ranks"),
+        F.sum("x_u").cast("long").alias("sx"),
+        F.sum("y_u").cast("long").alias("sy"),
+        F.sum(F.col("x_u") * F.col("y_u")).cast("long").alias("sxy"),
+        F.sum(F.col("x_u") * F.col("x_u")).cast("long").alias("sxx"),
+    )
+
+
+def zipf_slope6_col():
+    num = F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return F.round(num * 1.0 / den, 6) + F.lit(0.0)
+
+
+def gram_frame(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, source, gram) NOV_N-gram frame — tokenizes
+    ONCE into a toks column (the split() stays out of the transform
+    lambda, where Catalyst cannot share it). Carries BOTH doc_id and
+    source (doc -> source is functional, so per-doc semantics are
+    unchanged and a per-source consumer needs no second tokenize)."""
+    return (
+        docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= NOV_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {NOV_N} + 1),"
+                    f" i -> array_join(slice(toks, i, {NOV_N}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        # PERSIST: distinct per-doc gram frame (corpus-gram-sized, the
+        # same order as the registered dup_ngram_ratio intermediate);
+        # read twice in ONE lazy plan — the doc-frequency agg and the
+        # join back onto it; session-LRU lifetime (lazy return)
+        .persist()
+    )
+
+
+def reach_frame(grams: DataFrame) -> DataFrame:
+    # gram_frame is already distinct on (doc_id, source, gram) and
+    # doc -> source is functional, so rows are unique per (doc_id,
+    # gram) — count directly, no second distinct shuffle
+    return grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_docs_with")
+    )
+
+
+def _source_overlap_oracle() -> str:
+    coeffs = dedup.minhash_coeffs(OVL_H, OVL_SEED)
+    hash_exprs = ",\n               ".join(
+        f"min((tid * {a} + {b}) % {HASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(OVL_H)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), vocab AS (
+        SELECT token, CAST(row_number() OVER (ORDER BY token) - 1
+                           AS BIGINT) AS tid
+        FROM (SELECT DISTINCT token FROM tok)
+    ), tids AS (
+        SELECT source, tid FROM tok JOIN vocab USING (token)
+    ), sig AS (
+        SELECT source,
+               {hash_exprs}
+        FROM tids GROUP BY source
+    ), sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM tok a JOIN tok b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST({match_sum} AS BIGINT) AS n_match
+        FROM sig a JOIN sig b ON a.source < b.source
+    )
+    SELECT p.src_a, p.src_b, p.n_match,
+           round(p.n_match * 1.0 / {OVL_H}, 6) AS est6,
+           CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+           round(coalesce(i.n_inter, 0) * 1.0
+                 / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS true6
+    FROM pairs p
+    LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b
+    JOIN sizes sa ON p.src_a = sa.source
+    JOIN sizes sb ON p.src_b = sb.source
+    """
+
+
+@register(
+    "source_overlap_minhash",
+    oracle=_source_overlap_oracle(),
+    doc="corpus-overlap audit: per-source MinHash signatures (the "
+    "repo's (a*x+b) mod p family over dictionary token-ids, "
+    "operators/dedup.py::minhash_coeffs) compared pairwise, WITH the "
+    "exact token-set Jaccard beside the estimate — the mergeable "
+    "sketch and its ground truth in one hash-checked result. Scale: "
+    "token-ids come from token_dictionary_distributed (no "
+    "single-partition vocabulary sort — ids proven bit-identical to "
+    "the oracle's rank order); the vocab join is UNHINTED per the r7 "
+    "broadcast audit (the vocabulary grows Heaps-sublinearly but "
+    "grows — AQE picks the strategy per scale); the signature/size/"
+    "intersection frames are |sources|-row source-dimension frames, "
+    "broadcast. The exact-Jaccard tok-tok self-join is "
+    "vocabulary-sized per source, the audit's ground-truth cost by "
+    "design (the estimate alone is the production path). Reference "
+    "has no counterpart (CarlosDiazData/etl-earthquake-gcp stops at "
+    "BI); this is the cross-source contamination audit of a "
+    "curation pipeline.",
+)
+def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        )
+        .distinct()
+        # PERSIST: distinct (source, token) frame (per-source
+        # vocabulary-sized, Heaps-sublinear in corpus size); feeds five
+        # consumers with differing projections in ONE lazy plan (vocab,
+        # tids, sizes, both exact-intersection sides); session-LRU
+        # lifetime (lazy return)
+        .persist()
+    )
+    vocab = dedup.token_dictionary_distributed(tok)
+    # vocab join unhinted: the dictionary grows with the corpus
+    # (r7 broadcast-audit rule — stats/AQE pick the strategy)
+    tids = tok.join(vocab, "token").select("source", "tid")
+    coeffs = dedup.minhash_coeffs(OVL_H, OVL_SEED)
+    mins = [
+        F.min((F.col("tid") * F.lit(a) + F.lit(b)) % F.lit(HASH_P)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = tids.groupBy("source").agg(*mins)
+    a, b = sig.alias("a"), sig.alias("b")
+    match = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(OVL_H)
+    )
+    pairs = (
+        # CROSSJOIN: |sources|-row signature frame — source-dimension-
+        # bounded inequality broadcast-NLJ
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            match.cast("long").alias("n_match"),
+        )
+    )
+    sizes = tok.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    x, y = tok.alias("x"), tok.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.token") == F.col("y.token"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("src_a"),
+            F.col("y.source").alias("src_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n").alias("nb")
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0)).cast("long")
+    return (
+        # three |sources|(^2)-row aggregate frames: source-dimension-
+        # bounded (pairs of a dimension), broadcast
+        pairs.join(F.broadcast(inter), ["src_a", "src_b"], "left")
+        .join(F.broadcast(sa), ["src_a"])
+        .join(F.broadcast(sb), ["src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            "n_match",
+            F.round(F.col("n_match") * 1.0 / OVL_H, 6).alias("est6"),
+            n_inter.alias("n_inter"),
+            (F.col("na") + F.col("nb") - n_inter).alias("n_union"),
+            F.round(
+                n_inter * 1.0 / (F.col("na") + F.col("nb") - n_inter), 6
+            ).alias("true6"),
+        )
+    )
+
+
+@register(
+    "zipf_slope_fit",
+    oracle=f"""
+    WITH {FREQ_SQL},
+    {zipf_sql_stages(ZIPF_R)}
+    SELECT source, n_ranks, sx, sy, sxy, sxx,
+           {ZIPF_SLOPE_SQL} AS slope6
+    FROM zs
+    WHERE n_ranks > 1
+    """,
+    doc="vocabulary power-law audit: per-source OLS fit of ln(freq) on "
+    "ln(rank) over the top-R token ranks. Both logs are quantized ONCE "
+    "to integer 1e-3 units (exact-integer ln inputs — the DSIR "
+    "absorption class); every OLS sum is an exact integer; the slope "
+    "is a single int/int rational rounded once, +0.0-folded (it is "
+    "negative — healthy natural-language text sits near -1). Scale: "
+    "the rank window partitions by source over the vocabulary-sized "
+    "frequency frame; only R=100 rows per source reach the sums. "
+    "Reference has no counterpart; this is the shard-health quick "
+    "read of a corpus datacard (shared stages feed the round-11 "
+    "datacard bank).",
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    s = zipf_sums(token_freq(docs), ZIPF_R)
+    return s.filter(F.col("n_ranks") > 1).select(
+        "source",
+        "n_ranks",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        zipf_slope6_col().alias("slope6"),
+    )
+
+
+@register(
+    "doc_novelty_ngram",
+    oracle=f"""
+    WITH {GRAM_SQL_STAGES}
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN r.n_docs_with > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           round(sum(CASE WHEN r.n_docs_with > 1 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS shared6
+    FROM grams g JOIN reach r USING (gram)
+    GROUP BY g.doc_id
+    """,
+    doc="cross-document boilerplate/overlap audit: the share of each "
+    "doc's DISTINCT 5-grams that also occur in at least one other "
+    "document (the within-doc sibling is the registered "
+    "dup_ngram_ratio). Integer counts + one int/int ratio rounded "
+    "once. Scale: the gram frame shuffles once on gram for the "
+    "doc-frequency count and once back on gram for the join — the "
+    "same two-shuffle shape as the registered jaccard/containment "
+    "inverted-index family; the persisted gram frame is read by both "
+    "consumers. Reference has no counterpart; this is the novelty "
+    "filter of a dedup-aware curation pipeline.",
+)
+def doc_novelty_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    grams = gram_frame(docs)
+    shared = F.sum(
+        F.when(F.col("n_docs_with") > 1, 1).otherwise(0)
+    ).cast("long")
+    return (
+        grams.join(reach_frame(grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            shared.alias("n_shared"),
+            F.round(shared * 1.0 / F.count("*"), 6).alias("shared6"),
+        )
+    )
+
+
+@register(
+    "lexical_diversity_stats",
+    oracle=f"""
+    WITH {FREQ_SQL}
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           round(count(*) * 1.0 / sum(cnt), 6) AS ttr6,
+           round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS hapax6
+    FROM freq GROUP BY source
+    """,
+    doc="per-source corpus-health metrics from ONE token-frequency "
+    "table: type-token ratio and hapax share — the quick reads that "
+    "flag template-generated or truncated shards before training. All "
+    "integers + two independent single-ratio rounds. Scale: one "
+    "tokenize + one two-key agg + one source agg; the frequency "
+    "frame is vocabulary-sized per source. Reference has no "
+    "counterpart; shared substrate with zipf_slope_fit and the "
+    "round-11 datacard.",
+)
+def lexical_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    freq = token_freq(docs)
+    hapax = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long")
+    return freq.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        hapax.alias("n_hapax"),
+        F.round(F.count("*") * 1.0 / F.sum("cnt"), 6).alias("ttr6"),
+        F.round(hapax * 1.0 / F.count("*"), 6).alias("hapax6"),
     )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import CHECKSUM_MOD, checksum_modsum
-from ..operators import mixing, quantize, sampling
+from ..operators import mixing, quantize, sampling, splits
 from ..sources.tables import load_table
 from .registry import register
 
@@ -364,3 +364,93 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def epoch_shuffle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return mixing.epoch_order_ranges(docs, epoch=ESR_EPOCH, n_buckets=ESR_B)
+
+
+# -- round-9 registration ----------------------------------------------------
+
+SPLIT_SPEC = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+_SPLIT_VALUES = ", ".join(
+    f"('{name}', {w}, {i})" for i, (name, w) in enumerate(SPLIT_SPEC)
+)
+
+
+@register(
+    "exact_stratified_split",
+    oracle=f"""
+        WITH sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY source
+        ), w AS (
+            SELECT source, n, s.split, s.weight, s.ord
+            FROM sizes, (VALUES {_SPLIT_VALUES}) s(split, weight, ord)
+        ), q1 AS (
+            SELECT source, split, ord, n,
+                   CAST(round(weight * 1000000, 0) AS BIGINT) AS w_u,
+                   sum(CAST(round(weight * 1000000, 0) AS BIGINT))
+                       OVER (PARTITION BY source) AS t
+            FROM w
+        ), q2 AS (
+            SELECT source, split, ord, n,
+                   (w_u * n) // t AS floor_quota,
+                   (w_u * n) % t AS rem
+            FROM q1
+        ), q3 AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY rem DESC, split) AS rr,
+                   n - sum(floor_quota) OVER (PARTITION BY source)
+                       AS shortfall
+            FROM q2
+        ), quota AS (
+            SELECT source, split, ord,
+                   CAST(floor_quota
+                        + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END
+                        AS BIGINT) AS quota
+            FROM q3
+        ), bounds AS (
+            SELECT source, split,
+                   sum(quota) OVER (PARTITION BY source ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - quota AS lo,
+                   sum(quota) OVER (PARTITION BY source ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS hi
+            FROM quota
+        ), ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY
+                       CAST(('0x' || substr(md5(doc_id || ':split'), 1, 8))
+                            AS BIGINT), doc_id) AS rn
+            FROM documents
+        )
+        SELECT r.source, b.split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({{key_sql}}) % {{checksum_mod}} AS BIGINT)
+                   AS key_sum
+        FROM ranked r
+        JOIN bounds b ON r.source = b.source AND b.lo < r.rn AND r.rn <= b.hi
+        GROUP BY 1, 2
+    """.format(key_sql="___KEY_SQL___", checksum_mod=CHECKSUM_MOD)
+    .replace("___KEY_SQL___", _KEY_SQL),
+    doc="deterministic train/val/test assignment, exactly proportioned "
+    "per source via the grouped Hamilton apportionment "
+    "(operators/splits.py::stratified_split_assign), ordered inside "
+    "each stratum by the portable md5 shuffle key. The oracle replays "
+    "the ENTIRE assignment (quota + boundary + rank chain); per-split "
+    "membership is certified by the portable-hash key sum reduced mod "
+    "2^61-1 (multiplicity-sensitive, overflow-free). Scale: one "
+    "per-stratum window over the doc frame (the same shape as the "
+    "registered epoch_shuffle_order) plus a source-count broadcast — "
+    "no global sort, no collect. Reference has no counterpart "
+    "(CarlosDiazData/etl-earthquake-gcp stops at BI); this is the "
+    "train-split primitive of a curation pipeline.",
+)
+def exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    assigned = splits.stratified_split_assign(
+        docs, "source", "doc_id", SPLIT_SPEC
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        checksum_modsum(F.expr(_KEY_SQL)).alias("key_sum"),
+    )

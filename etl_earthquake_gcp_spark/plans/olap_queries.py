@@ -449,6 +449,7 @@ def gap_fill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     users = e.select("user_id").distinct()
+    # CROSSJOIN: |days|-row calendar frame (time-dimension-bounded)
     grid = users.crossJoin(F.broadcast(days))
     daily = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
         F.count("*").alias("n")
@@ -745,6 +746,7 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ib = F.floor(
         (F.col("l_partkey").cast("long") * scale) / (F.col("mb") + 1.0)
     ).cast("long")
+    # CROSSJOIN: 1-row max-keys frame
     rows = li.join(F.broadcast(mx)).select(
         "l_orderkey", "l_partkey", ia.alias("ia"), ib.alias("ib")
     )
@@ -1314,6 +1316,7 @@ def quantile_summary_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(F.array(*[F.lit(q) for q in _QSUM_QS])).alias("q")
         )
+        # CROSSJOIN: 1-row count frame onto the fixed quantile-target list
         .crossJoin(F.broadcast(n_df))
         .select(
             "q",
@@ -1324,6 +1327,8 @@ def quantile_summary_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     est = (
+        # CROSSJOIN: inequality broadcast-NLJ onto the <= SHARDS*(B+1)-row
+        # merge walk (bounded sketch state)
         targets.join(F.broadcast(cum), F.col("cw") >= F.col("target_rank"))
         .groupBy("q", "target_rank", "n")
         .agg(F.min("val").alias("est_val"))
@@ -1331,6 +1336,7 @@ def quantile_summary_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit: exact rank of each estimate via one conditional count over v
     est_b = F.broadcast(est.select("q", "target_rank", "n", "est_val"))
     true_ranks = (
+        # CROSSJOIN: |targets|-row estimate frame (fixed quantile list)
         o.crossJoin(est_b)
         .groupBy("q", "target_rank", "n", "est_val")
         .agg(
@@ -1524,6 +1530,7 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "value", F.unix_millis("ts").alias("tms")
     )
     bounds = e.agg(F.min("tms").alias("t0"), F.max("tms").alias("t1"))
+    # CROSSJOIN: 1-row (t0, t1) time-bounds frame
     tagged = e.crossJoin(F.broadcast(bounds)).withColumn(
         "is_state",
         F.col("tms") < F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2),

@@ -781,6 +781,7 @@ def tf_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.agg(F.count("*").alias("n_docs"))
     return (
         tf.join(dfreq, "token")
+        # CROSSJOIN: 1-row corpus doc-count frame
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -914,6 +915,7 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast only when they are actually small
         co.join(da, "tok_a")
         .join(db, "tok_b")
+        # CROSSJOIN: 1-row corpus-total frame
         .crossJoin(F.broadcast(n))
         .select(
             "tok_a",
@@ -1285,6 +1287,7 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = tok.agg(F.count("*").alias("n_total"))
     return (
         tok.join(freq, "token")
+        # CROSSJOIN: 1-row corpus token-total frame
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -1335,6 +1338,7 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = per.agg(F.sum("n_tokens").cast("long").alias("t"))
     share = F.col("n_tokens") * F.lit(1.0) / F.col("t")
+    # CROSSJOIN: 1-row corpus token-total frame
     return per.crossJoin(F.broadcast(total)).select(
         "source",
         "n_docs",
@@ -1690,6 +1694,7 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tf.join(F.broadcast(df), "token")
         .join(dl, "doc_id")
+        # CROSSJOIN: 1-row corpus-stats aggregate
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg((F.round(F.sum(term_score), 4) + F.lit(0.0)).alias("bm25"))
@@ -1787,6 +1792,7 @@ def bigram_lm_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         big.join(c2, ["w1", "w2"])
         .join(c1, "w1")
+        # CROSSJOIN: 1-row vocabulary-count aggregate
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
@@ -1885,6 +1891,7 @@ def minhash_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("jaccard") >= 0.8).alias("n_hits"),
     )
     nt = truth.agg(F.count("*").alias("n_true_pairs"))
+    # CROSSJOIN: two 1-row aggregates (truth vs candidates)
     return nt.crossJoin(nc).select(
         "n_true_pairs",
         "n_candidates",
@@ -1963,6 +1970,7 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cc is vocabulary-sized: AQE broadcasts it when small, shuffle-joins
         # when the vocabulary itself is corpus-scale — no forced hint
         .join(cc, "token")
+        # CROSSJOIN: 1-row corpus-total frame
         .crossJoin(F.broadcast(ct))
         .select("source", term_u.alias("term_u"))
         .groupBy("source")

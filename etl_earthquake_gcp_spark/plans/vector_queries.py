@@ -626,6 +626,8 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("qnorm"),
     )
     # broadcast the tiny query set against the full corpus (scan-only big side)
+    # CROSSJOIN: |queries|-row query frame — fixed eval-set size (scan-only big
+    # side)
     pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
     dot = F.aggregate(
         F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
@@ -1193,6 +1195,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         floors.join(hits, "method", "left")
+        # CROSSJOIN: 1-row stats aggregate onto the fixed method-floor list
         .crossJoin(F.broadcast(stats))
         .select(
             "method",
@@ -1272,6 +1275,8 @@ def decontaminate_by_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     scored = (
+        # CROSSJOIN: |eval|-row benchmark frame — dimension-sized eval set
+        # (condition-less broadcast NLJ)
         train.join(F.broadcast(ev))  # eval side is dim-sized: broadcast NLJ
         .select(
             F.col("vec_id").alias("train_id"),
@@ -1427,6 +1432,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     scored = (
+        # CROSSJOIN: |queries|-row query frame — fixed eval-set size
         emb.join(F.broadcast(b_q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(

@@ -407,6 +407,7 @@ def stream_dedup_audit(
             F.expr("bit_xor(h)").alias("expected_xor"),
         )
     )
+    # CROSSJOIN: 1-row expected-summary frame
     return emitted.crossJoin(F.broadcast(expected)).select(
         F.lit(n_batches).cast("long").alias("n_batches"),
         F.col("n_out").cast("long").alias("n_out"),

@@ -391,12 +391,62 @@ def test_forced_broadcast_site_count_is_adjudicated():
     # frame), plans/calibration_queries.py::robust_scale_mad 2
     # (|sources|-row median/MAD dims), pareto_revenue_share_scaled 2
     # (1-row totals, 3-row tier boundaries), rfm_segmentation_scaled 4
-    # (1-row n, three 1-row quintile-boundary pivots)
-    assert n == 92, (
-        f"F.broadcast site count changed ({n} != 92): adjudicate the "
+    # (1-row n, three 1-row quintile-boundary pivots).
+    # + 4 round-9 sites, all in source_overlap_minhash: the |sources|-row
+    # signature frame and the three |sources|(^2)-row size/intersection
+    # aggregates — source-dimension-bounded (its vocabulary join stays
+    # UNHINTED per the audit rule; see the site comments)
+    assert n == 96, (
+        f"F.broadcast site count changed ({n} != 96): adjudicate the "
         "new/removed site per the round-7 audit rule (SCALING.md) and "
         "update this pin"
     )
+
+
+def _annotated(lines, i, tag, site_pat, lookback=16):
+    """True iff site line ``i`` carries annotation ``tag``: inline on
+    the line itself, or in the NEAREST preceding comment block. The
+    upward scan stops at another site line (r8 ADVICE: an unannotated
+    site within the lookback of a neighboring site's annotation must
+    NOT inherit it) and at the lookback bound."""
+    if tag in lines[i]:
+        return True
+    for j in range(i - 1, max(-1, i - 1 - lookback), -1):
+        stripped = lines[j].strip()
+        if stripped.startswith("#"):
+            block = [stripped]
+            k = j - 1
+            while k >= 0 and lines[k].strip().startswith("#"):
+                block.append(lines[k].strip())
+                k -= 1
+            return any(tag in b for b in block)
+        if site_pat.search(lines[j]):
+            return False
+    return False
+
+
+def _scan_annotation_sites(site_pat, tag):
+    """Shared scanner for the persist / collect / crossJoin annotation
+    tripwires: every source line matching ``site_pat`` (skipping
+    comment and string-literal lines — docstring mentions are not
+    sites) must be annotated per :func:`_annotated`."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "etl_earthquake_gcp_spark"
+    )
+    missing = []
+    for f in pkg.rglob("*.py"):
+        lines = f.read_text().splitlines()
+        for i, line in enumerate(lines):
+            stripped = line.strip()
+            if stripped.startswith(("#", '"', "'")):
+                continue
+            if not site_pat.search(line):
+                continue
+            if not _annotated(lines, i, tag, site_pat):
+                missing.append(f"{f.name}:{i + 1}")
+    return missing
 
 
 def test_every_persist_site_is_annotated():
@@ -404,53 +454,60 @@ def test_every_persist_site_is_annotated():
     .persist() in the engine package is a multi-consumer cache inside
     ONE query's lazy plan, so none can eagerly unpersist — instead each
     site must carry a `PERSIST:` annotation stating the frame's size
-    bound, its consumers, and the session-LRU lifetime. A new persist
-    without the annotation fails here; adjudicate it (bound + consumers)
-    and annotate, or drop the cache. localCheckpoint sites are excluded:
+    bound, its consumers, and the session-LRU lifetime, as the nearest
+    preceding comment block (a neighboring site's annotation within the
+    lookback does NOT count — r8 ADVICE). A new persist without the
+    annotation fails here; adjudicate it (bound + consumers) and
+    annotate, or drop the cache. localCheckpoint sites are excluded:
     their lifetime is the checkpoint file, bounded by the fixed
     iteration count of the algorithms that use them."""
-    import pathlib
+    import re
 
-    pkg = pathlib.Path(__file__).resolve().parents[1] / (
-        "etl_earthquake_gcp_spark"
+    missing = _scan_annotation_sites(
+        re.compile(r"\.persist\("), "PERSIST"
     )
-    missing = []
-    for f in pkg.rglob("*.py"):
-        lines = f.read_text().splitlines()
-        for i, line in enumerate(lines):
-            if ".persist(" not in line:
-                continue
-            window = "\n".join(lines[max(0, i - 16) : i + 1])
-            if "PERSIST" not in window:
-                missing.append(f"{f.name}:{i + 1}")
     assert not missing, f"unannotated persist sites: {missing}"
 
 
 def test_every_driver_collect_site_is_annotated():
     """Round-8 bounded-collect tripwire (r7 VERDICT watch #4, formalized
     the way the persist audit was): every driver materialization in the
-    engine package (.collect() / .toPandas() / .first() / .head() on a
-    DataFrame) must carry a `COLLECT:` annotation stating its size bound
-    — 1-row aggregates, dimension-sized query sets, constant partition/
-    bucket maps, the <=64-token dictionary. A new unannotated site fails
-    here: either it is bounded (annotate the bound) or it is a
-    distributed-operator bug (a collect that scales with the data has no
-    place in a 100 TB plan)."""
-    import pathlib
+    engine package (.collect() / .toPandas() / .first() / .head() /
+    .take() on a DataFrame — the F.first(/F.last( window functions are
+    excluded by the lookbehind) must carry a `COLLECT:` annotation
+    stating its size bound — 1-row aggregates, dimension-sized query
+    sets, constant partition/bucket maps, the <=64-token dictionary —
+    as the nearest preceding comment block. A new unannotated site
+    fails here: either it is bounded (annotate the bound) or it is a
+    distributed-operator bug (a collect that scales with the data has
+    no place in a 100 TB plan)."""
     import re
 
-    pkg = pathlib.Path(__file__).resolve().parents[1] / (
-        "etl_earthquake_gcp_spark"
+    missing = _scan_annotation_sites(
+        re.compile(r"(?<!F)\.(collect|toPandas|first|head|take)\("),
+        "COLLECT:",
     )
-    pat = re.compile(r"\.(collect|toPandas)\(")
-    missing = []
-    for f in pkg.rglob("*.py"):
-        lines = f.read_text().splitlines()
-        for i, line in enumerate(lines):
-            stripped = line.strip()
-            if stripped.startswith("#") or not pat.search(line):
-                continue
-            window = "\n".join(lines[max(0, i - 10) : i + 1])
-            if "COLLECT:" not in window:
-                missing.append(f"{f.name}:{i + 1}")
     assert not missing, f"unannotated driver-collect sites: {missing}"
+
+
+def test_every_crossjoin_nlj_site_is_annotated():
+    """Round-9 audit class (r8 VERDICT next-step #3): the deliberate
+    crossJoin / broadcast-NLJ sites (anchor, centroid, eval-set, tier,
+    1-row-aggregate frames) are the one bounded-by-contract class the
+    persist/collect audits did not cover. Every .crossJoin( site, every
+    condition-less .join(F.broadcast(x)) and every inequality-condition
+    .join(F.broadcast(x), col OP col) must carry a `CROSSJOIN:`
+    annotation stating the bound of the small side, as the nearest
+    preceding comment block. A new unannotated site fails here: either
+    the small side is bounded independently of data scale (annotate
+    the bound) or the operator needs an equi-join/bucketing redesign —
+    an NLJ whose both sides grow has no place in a 100 TB plan."""
+    import re
+
+    pat = re.compile(
+        r"\.crossJoin\("
+        r"|\.join\(F\.broadcast\([\w.]+\)\)"
+        r"|\.join\(F\.broadcast\([\w.]+\),\s*F\.col\([^)]*\)\s*(<=|<|>=|>)"
+    )
+    missing = _scan_annotation_sites(pat, "CROSSJOIN:")
+    assert not missing, f"unannotated crossJoin/NLJ sites: {missing}"

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
 from .conftest import SF_DIR, assert_frames_match
-from . import test_round9_previews as r9
+from etl_earthquake_gcp_spark.plans import curation_queries as r9
 
 
 # -- rfm_quartile_scores -----------------------------------------------------
@@ -146,7 +146,7 @@ DATACARD_ORACLE = f"""
                round(count(*) * 1.0 / sum(cnt), 6) AS ttr6
         FROM freq GROUP BY source
     ),
-    {r9.zipf_sql_stages(r9._ZIPF_R)},
+    {r9.zipf_sql_stages(r9.ZIPF_R)},
     zipf AS (
         SELECT source, {r9.ZIPF_SLOPE_SQL} AS zipf_slope6
         FROM zs WHERE n_ranks > 1
@@ -186,7 +186,7 @@ def source_datacard_pipeline(spark, sf_dir):
         F.round(F.count("*") * 1.0 / F.sum("cnt"), 6).alias("ttr6"),
     )
     zipf = (
-        r9.zipf_sums(freq, r9._ZIPF_R)
+        r9.zipf_sums(freq, r9.ZIPF_R)
         .filter(F.col("n_ranks") > 1)
         .select("source", r9.zipf_slope6_col().alias("zipf_slope6"))
     )

@@ -14,10 +14,10 @@ import pandas as pd
 from etl_earthquake_gcp_spark.operators import mixing, sampling
 from etl_earthquake_gcp_spark.plans import QUERIES
 from etl_earthquake_gcp_spark.plans.mixing_queries import (
-    _KEY_SQL,  # noqa: F401  (re-export: tests/test_round9_previews.py)
     ESR_B,
     ESR_EPOCH,
     WS_N,
+    _KEY_SQL,
 )
 from etl_earthquake_gcp_spark.sources.tables import load_table
 from pyspark.sql import functions as F

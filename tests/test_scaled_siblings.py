@@ -165,7 +165,12 @@ def _assert_no_customer_frame_sort(plan: str, name: str):
     fails here."""
     assert "row_number(" not in plan, name
     assert "ntile(" not in plan, name
-    specs = re.findall(r"windowspecdefinition\((_\w+)#", plan)
+    # capture EVERY spec's leading column, whatever its prefix (r8
+    # ADVICE: the old `(_\w+)#` pattern silently skipped a window
+    # ordered by a raw product column like `u` or `monetary` — exactly
+    # the global-cumsum regression this pin exists to exclude), then
+    # whitelist only the two selection columns
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs, f"{name}: expected selection windows in plan"
     bad = [c for c in specs if c not in ("_tag", "_b")]
     assert not bad, f"{name}: window over non-selection frame {bad}\n{plan}"

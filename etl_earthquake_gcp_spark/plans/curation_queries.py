@@ -31,6 +31,7 @@ from ..operators import (
     dedup,
     dsir,
     fusion,
+    sampling,
     winnowing,
 )
 from ..sources.tables import load_table
@@ -607,7 +608,11 @@ def bpe_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # because the round-11 datacard previews compose them — a parity fix
 # must land ONCE (tests/test_round11_previews.py imports these).
 
-HASH_P = 2147483647  # Mersenne 2^31-1, the shared (a*x+b) mod p modulus
+# the shared (a*x+b) mod p modulus — the ONE house value; the signature
+# hash below reduces mod HASH_P while minhash_coeffs draws mod
+# dedup._MERSENNE_P, so the asserts bind all three names to one number
+HASH_P = sampling.HASH_P
+assert HASH_P == dedup._MERSENNE_P == 2147483647
 OVL_H = 16  # minhash signature width of the source-overlap audit
 OVL_SEED = 42
 ZIPF_R = 100  # top-R ranks entering the log-log OLS fit

@@ -403,33 +403,68 @@ def test_forced_broadcast_site_count_is_adjudicated():
     )
 
 
-def _annotated(lines, i, tag, site_pat, lookback=16):
-    """True iff site line ``i`` carries annotation ``tag``: inline on
-    the line itself, or in the NEAREST preceding comment block. The
-    upward scan stops at another site line (r8 ADVICE: an unannotated
-    site within the lookback of a neighboring site's annotation must
-    NOT inherit it) and at the lookback bound."""
-    if tag in lines[i]:
+def _logical_starts(src):
+    """Map each physical line number (1-based) to the first physical
+    line of the logical statement containing it, via tokenize — exact
+    statement extents, no bracket-counting heuristics."""
+    import io
+    import tokenize
+
+    starts = {}
+    skip = {
+        tokenize.NL,
+        tokenize.COMMENT,
+        tokenize.INDENT,
+        tokenize.DEDENT,
+        tokenize.ENDMARKER,
+    }
+    stmt_first = None
+    try:
+        for t in tokenize.generate_tokens(io.StringIO(src).readline):
+            if t.type in skip:
+                continue
+            if t.type == tokenize.NEWLINE:
+                stmt_first = None
+                continue
+            if stmt_first is None:
+                stmt_first = t.start[0]
+            for ln in range(t.start[0], t.end[0] + 1):
+                starts.setdefault(ln, stmt_first)
+    except tokenize.TokenError:
+        pass
+    return starts
+
+
+def _annotated(lines, i, tag, stmt_start):
+    """True iff site line ``i`` (0-based) carries annotation ``tag``
+    WITHIN its own logical statement's span (inline or an interior
+    comment) or in the comment block ending directly above the
+    statement's first line. Statement-scoped on purpose (r8 ADVICE +
+    r9 review): a neighboring site's annotation, or a stale tag
+    comment above unrelated code, can never mask an unannotated
+    site — only comments touching THIS statement count."""
+    s = stmt_start.get(i + 1, i + 1) - 1  # 0-based statement start
+    if any(tag in lines[k] for k in range(s, i + 1)):
         return True
-    for j in range(i - 1, max(-1, i - 1 - lookback), -1):
-        stripped = lines[j].strip()
-        if stripped.startswith("#"):
-            block = [stripped]
-            k = j - 1
-            while k >= 0 and lines[k].strip().startswith("#"):
-                block.append(lines[k].strip())
-                k -= 1
-            return any(tag in b for b in block)
-        if site_pat.search(lines[j]):
-            return False
+    k = s - 1
+    while k >= 0 and lines[k].strip().startswith("#"):
+        if tag in lines[k]:
+            return True
+        k -= 1
     return False
 
 
-def _scan_annotation_sites(site_pat, tag):
+def _scan_annotation_sites(site_pat, tag, two_line_pat=None):
     """Shared scanner for the persist / collect / crossJoin annotation
     tripwires: every source line matching ``site_pat`` (skipping
     comment and string-literal lines — docstring mentions are not
-    sites) must be annotated per :func:`_annotated`."""
+    sites) must be annotated per :func:`_annotated`. When
+    ``two_line_pat`` is given, a line matching it whose next
+    non-blank, non-comment line starts with ``F.broadcast(`` is also a
+    site (the house multi-line join style); NLJs behind a precomputed
+    condition variable are beyond a static line scan — those are
+    covered by the per-query executed-plan pins (no CartesianProduct /
+    BroadcastNestedLoopJoin asserts in test_bank_plans.py and above)."""
     import pathlib
 
     pkg = pathlib.Path(__file__).resolve().parents[1] / (
@@ -437,14 +472,35 @@ def _scan_annotation_sites(site_pat, tag):
     )
     missing = []
     for f in pkg.rglob("*.py"):
-        lines = f.read_text().splitlines()
+        src = f.read_text()
+        lines = src.splitlines()
+        stmt_start = _logical_starts(src)
         for i, line in enumerate(lines):
             stripped = line.strip()
             if stripped.startswith(("#", '"', "'")):
                 continue
-            if not site_pat.search(line):
+            hit = site_pat.search(line)
+            if not hit and two_line_pat and two_line_pat.search(line):
+                # merge the continuation lines and re-apply the site
+                # pattern to the whitespace-free text, so a multi-line
+                # NLJ is caught but a multi-line broadcast EQUI-join
+                # (key list / == condition) is not
+                import re as _re
+
+                merged = _re.sub(
+                    r"\s+",
+                    "",
+                    line
+                    + "".join(
+                        nxt
+                        for nxt in lines[i + 1 : i + 6]
+                        if not nxt.strip().startswith("#")
+                    ),
+                )
+                hit = site_pat.search(merged)
+            if not hit:
                 continue
-            if not _annotated(lines, i, tag, site_pat):
+            if not _annotated(lines, i, tag, stmt_start):
                 missing.append(f"{f.name}:{i + 1}")
     return missing
 
@@ -509,5 +565,7 @@ def test_every_crossjoin_nlj_site_is_annotated():
         r"|\.join\(F\.broadcast\([\w.]+\)\)"
         r"|\.join\(F\.broadcast\([\w.]+\),\s*F\.col\([^)]*\)\s*(<=|<|>=|>)"
     )
-    missing = _scan_annotation_sites(pat, "CROSSJOIN:")
+    missing = _scan_annotation_sites(
+        pat, "CROSSJOIN:", two_line_pat=re.compile(r"\.(crossJoin|join)\($")
+    )
     assert not missing, f"unannotated crossJoin/NLJ sites: {missing}"

@@ -17,7 +17,6 @@ from etl_earthquake_gcp_spark.plans.mixing_queries import (
     ESR_B,
     ESR_EPOCH,
     WS_N,
-    _KEY_SQL,
 )
 from etl_earthquake_gcp_spark.sources.tables import load_table
 from pyspark.sql import functions as F

@@ -228,3 +228,88 @@ def test_desc_rank_boundaries_equals_brute_sort(spark, vals, n_buckets, data):
         assert out[i].v == expect
         assert out[i].n_above == sum(1 for v in vals if v > expect)
         assert out[i].cnt_at == vals.count(expect)
+
+
+# -- stratified_split_assign vs brute-force Hamilton (round 9) ---------------
+#
+# The registered exact_stratified_split certifies the assignment via a
+# checksum; this differential test checks the ROW-LEVEL assignment on
+# arbitrary small frames against a from-scratch Python replay of the
+# documented semantics (1e-6 weight quantization -> per-stratum floor
+# quotas -> largest-remainder top-up with (rem DESC, split) ties ->
+# md5-shuffle-key rank intervals), including the all-zero-weight
+# uniform fallback and empty strata edge shapes.
+
+def _brute_stratified_split(rows, splits, salt="split"):
+    import hashlib
+    from collections import defaultdict
+
+    def hash8(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    by_g = defaultdict(list)
+    for rid, g in rows:
+        by_g[g].append(rid)
+    out = {}
+    for g, ids in by_g.items():
+        n = len(ids)
+        w_u = [round(w * 1_000_000) for _, w in splits]
+        t = sum(w_u)
+        if t == 0:  # documented deterministic uniform fallback
+            w_u = [1] * len(splits)
+            t = len(splits)
+        floor_q = [wu * n // t for wu in w_u]
+        rem = [wu * n % t for wu in w_u]
+        shortfall = n - sum(floor_q)
+        order = sorted(
+            range(len(splits)), key=lambda i: (-rem[i], splits[i][0])
+        )
+        quota = list(floor_q)
+        for rr, i in enumerate(order, start=1):
+            if rr <= shortfall:
+                quota[i] += 1
+        ranked = sorted(ids, key=lambda rid: (hash8(f"{rid}:{salt}"), rid))
+        pos = 0
+        for (name, _), q in zip(splits, quota):
+            for rid in ranked[pos : pos + q]:
+                out[(g, rid)] = name
+            pos += q
+    return out
+
+
+_split_specs = st.sampled_from(
+    [
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        [("a", 0.5), ("b", 0.5)],
+        [("x", 0.7), ("y", 0.3), ("z", 0.0)],  # zero-weight split
+        [("p", 0.0), ("q", 0.0)],  # degenerate: uniform fallback
+        [("one", 1.0)],
+    ]
+)
+_strata_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=10_000),
+        st.sampled_from(["s0", "s1", "s2"]),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: r[0],
+)
+
+
+@_SETTINGS
+@given(rows=_strata_rows, splits=_split_specs)
+def test_stratified_split_assign_matches_brute(spark, rows, splits):
+    from etl_earthquake_gcp_spark.operators.splits import (
+        stratified_split_assign,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    got = {
+        (r.src, r.doc_id): r.split
+        for r in stratified_split_assign(
+            df, "src", "doc_id", splits
+        ).collect()
+    }
+    expected = _brute_stratified_split(rows, splits)
+    assert got == expected

@@ -218,3 +218,31 @@ def test_vocab_coverage_head_is_take_ordered(spark):
 
     plan = _plan_of(vocab_coverage_curve(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_zipf_rank_window_partitions_by_source(spark):
+    """The registered zipf_slope_fit's only window is the per-source
+    rank over the vocabulary-sized frequency frame — every
+    windowspecdefinition must open with the source column; an empty
+    partitionBy here would be a global vocabulary sort in one task."""
+    import re
+
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    plan = _plan_of(QUERIES["zipf_slope_fit"].spark_fn(spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs, "expected the per-source rank window in the plan"
+    assert all(c == "source" for c in specs), specs
+
+
+def test_stratified_split_no_single_partition_stage(spark):
+    """The registered exact_stratified_split must keep every stage
+    partitioned: per-stratum rank windows, broadcast bounds join, no
+    global sort or single-partition exchange of the corpus."""
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    plan = _plan_of(
+        QUERIES["exact_stratified_split"].spark_fn(spark, SF_DIR)
+    )
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan

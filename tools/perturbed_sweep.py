@@ -7,8 +7,9 @@ thresholds.
 Usage:
     python tools/perturbed_sweep.py <axis> [sf_dir] [seed]
 
-axis     one of: values | layout | subsample | subdocs | nanos
-         (see tools/regeneration_rehearsal.build_variant)
+axis     one of: base | values | layout | subsample | subdocs | nanos
+         (see tools/regeneration_rehearsal.build_variant; `base` is
+         the identity variant — the repo-persistent driver sim)
 sf_dir   source testdata dir (default /root/testdata/sf0.01)
 seed     numpy seed for the perturbation (default 29)
 
@@ -60,6 +61,11 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{srcp}')"
         )
+
+    # the driver's smoke check: entry() must run and return rows
+    n_entry = entrymod.entry(spark).count()
+    assert n_entry > 0, "entry() returned no rows"
+    print(f"ENTRY: {n_entry} rows", flush=True)
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     fails: list[str] = []

@@ -68,6 +68,11 @@ def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
             continue
         name = f.split(".")[0]
         tbl = pq.read_table(f"{src}/{f}")
+        if axis == "base":
+            # identity variant: tools/perturbed_sweep.py base == a full
+            # repo-persistent driver sim over unmodified testdata
+            pq.write_table(tbl, f"{dst}/{f}")
+            continue
         if axis == "layout":
             tbl = tbl.take(rng.permutation(tbl.num_rows))
             d = f"{dst}/{f}"

@@ -1,4 +1,5 @@
-"""Connected components — the iterative-algorithm class, for dedup resolution.
+"""Iterative graph operators: connected components, label propagation,
+Bellman-Ford relaxation — the synchronous-rounds class.
 
 Near-duplicate detection yields PAIRS; deduplication needs GROUPS (keep one
 representative per cluster of transitively-similar documents). Components
@@ -20,8 +21,72 @@ reproducible and oracle-checkable via a recursive reachability CTE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def label_propagation(directed: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, label) after ``iters`` synchronous label-propagation rounds.
+
+    ``directed``: columns ``src``, ``dst`` — symmetrize before calling for
+    an undirected graph. Every node starts labeled with its own id; each
+    round every node adopts the most common label among its out-neighbors,
+    ties broken by (count DESC, label ASC) — fully deterministic, so the
+    result is exactly reproducible and replayable by an unrolled-CTE oracle.
+
+    Scale shape per round: one equi-join (edges ⋈ labels, keyed on the
+    vertex id) + one count groupBy + a per-node argmax window whose
+    partitions are one node's candidate labels (bounded by the input
+    graph's degree cap, never corpus-sized).
+    """
+    labels = (
+        directed.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), "label")
+    for _ in range(iters):
+        neigh = directed.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select("src", "label")
+        cnt = neigh.groupBy("src", "label").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return labels
+
+
+def bellman_ford_relax(
+    wdir: DataFrame, dist: DataFrame, iters: int = 3
+) -> DataFrame:
+    """(node, dist) after ``iters`` synchronous Bellman-Ford relaxations.
+
+    ``wdir``: directed weighted edges (src, dst, cost); ``dist``: the
+    initial frontier (node, dist) — typically one source row at 0.
+    Unreached nodes are absent (the frontier-growth formulation). Min-plus
+    over integers, so every distance is exact and oracle-replayable.
+
+    Each round is one equi-join + one min groupBy, both keyed on the
+    vertex id; ``localCheckpoint`` truncates the per-iteration lineage
+    (the connected_components discipline) so plan size and scheduler
+    overhead stay constant.
+    """
+    for _ in range(iters):
+        relaxed = wdir.join(
+            dist.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("cost")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint()  # truncate lineage: constant-size plan per round
+        )
+    return dist
 
 
 def connected_components(

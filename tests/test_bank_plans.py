@@ -235,6 +235,66 @@ def test_zipf_rank_window_partitions_by_source(spark):
     assert all(c == "source" for c in specs), specs
 
 
+def test_span_islands_gram_frame_cached_equijoins_only(spark):
+    """The banked shared_span_islands: the position-gram frame must be
+    persisted (the reach groupBy AND the join-back read the cache — one
+    tokenize pass, not two) and the doc-frequency join-back must stay an
+    equi-join on gram; the island window partitions by doc_id (a global
+    window here would sort every shared position in one task)."""
+    import re
+
+    from tests.test_round10_previews import shared_span_islands
+
+    plan = _plan_of(shared_span_islands(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(c == "doc_id" for c in specs), specs
+
+
+def test_centroid_shift_joins_aggregated_frames_only(spark):
+    """The banked label_centroid_shift: the pair join runs on the
+    |labels| x dims centroid frames (post-aggregation) — the plan must
+    aggregate BELOW the join, and the exploded fact frame must never
+    reach a cartesian product."""
+    from tests.test_round10_previews import label_centroid_shift
+
+    plan = _plan_of(label_centroid_shift(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    idx = plan.index("Join")
+    assert "HashAggregate" in plan[idx:], plan
+
+
+def test_label_propagation_edges_cached_argmax_partitioned(spark):
+    """The banked label_propagation_3iter: the symmetrized edge frame
+    must be persisted (traversed once per iteration — the pagerank
+    pattern), every per-iteration argmax window must partition by the
+    node column (src), and no iteration may degrade to a cartesian
+    product."""
+    import re
+
+    from tests.test_round10_previews import label_propagation_3iter
+
+    plan = _plan_of(label_propagation_3iter(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(c == "src" for c in specs), specs
+
+
+def test_bellman_ford_lineage_truncated(spark):
+    """The banked bellman_ford_3relax: the returned frame must read the
+    final localCheckpoint (ExistingRDD scan), not replay the 3-iteration
+    join lineage — the connected_components discipline that keeps plan
+    size constant per round."""
+    from tests.test_round10_previews import bellman_ford_3relax
+
+    plan = _plan_of(bellman_ford_3relax(spark, SF_DIR))
+    assert "ExistingRDD" in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_stratified_split_no_single_partition_stage(spark):
     """The registered exact_stratified_split must keep every stage
     partitioned: per-stratum rank windows, broadcast bounds join, no

@@ -297,6 +297,92 @@ _strata_rows = st.lists(
 )
 
 
+# -- label_propagation / bellman_ford_relax (round-10 bank cores) ------------
+#
+# The banked label_propagation_3iter / bellman_ford_3relax oracles
+# unroll the same CTE structure the Spark plans execute; these tests add
+# a genuinely independent third implementation (pure-Python dict/Counter
+# replays) on adversarial small graphs — parallel edges, tie storms
+# (every node id a candidate label), disconnected nodes, self-loops
+# excluded by construction like the degree-capped substrate.
+
+_graph_edges = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _brute_lpa(pairs: list[tuple], iters: int) -> dict:
+    from collections import Counter, defaultdict
+
+    labels = {s for s, _ in pairs}
+    labels = {n: n for n in labels}
+    for _ in range(iters):
+        cand = defaultdict(Counter)
+        for s, d in pairs:
+            cand[s][labels[d]] += 1
+        labels = {
+            s: min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for s, c in cand.items()
+        }
+    return labels
+
+
+@_SETTINGS
+@given(edges=_graph_edges, iters=st.sampled_from([1, 2, 3]))
+def test_label_propagation_matches_brute(spark, edges, iters):
+    from etl_earthquake_gcp_spark.operators.graph import label_propagation
+
+    pairs = edges + [(d, s) for s, d in edges]  # symmetrized, like callers
+    directed = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r.node: r.label
+        for r in label_propagation(directed, iters=iters).collect()
+    }
+    assert got == _brute_lpa(pairs, iters)
+
+
+_weighted_edges = st.lists(
+    st.tuples(
+        st.integers(0, 5), st.integers(0, 5), st.integers(1, 4)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _brute_bf(pairs: list[tuple], source: int, iters: int) -> dict:
+    dist = {source: 0}
+    for _ in range(iters):
+        new = dict(dist)
+        for s, d, c in pairs:
+            if s in dist:
+                nd = dist[s] + c
+                if d not in new or nd < new[d]:
+                    new[d] = nd
+        dist = new
+    return dist
+
+
+@_SETTINGS
+@given(edges=_weighted_edges, iters=st.sampled_from([1, 2, 3]))
+def test_bellman_ford_matches_brute(spark, edges, iters):
+    from etl_earthquake_gcp_spark.operators.graph import bellman_ford_relax
+
+    pairs = edges + [(d, s, c) for s, d, c in edges]
+    source = min(s for s, _, _ in pairs)
+    wdir = spark.createDataFrame(pairs, "src long, dst long, cost long")
+    dist0 = spark.createDataFrame([(source, 0)], "node long, dist long")
+    got = {
+        r.node: r.dist
+        for r in bellman_ford_relax(wdir, dist0, iters=iters).collect()
+    }
+    assert got == _brute_bf(pairs, source, iters)
+
+
 @_SETTINGS
 @given(rows=_strata_rows, splits=_split_specs)
 def test_stratified_split_assign_matches_brute(spark, rows, splits):

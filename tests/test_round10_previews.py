@@ -244,6 +244,7 @@ def lpa_oracle() -> str:
 
 
 def label_propagation_3iter(spark, sf_dir):
+    from etl_earthquake_gcp_spark.operators.graph import label_propagation
     from etl_earthquake_gcp_spark.plans.analytics_queries import (
         _capped_user_edges,
     )
@@ -254,22 +255,7 @@ def label_propagation_3iter(spark, sf_dir):
     ).unionByName(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).persist()  # traversed once per iteration (the pagerank pattern)
-    labels = (
-        directed.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("c"), "label")
-    for _ in range(_LPA_K):
-        neigh = directed.join(
-            labels.withColumnRenamed("node", "dst"), "dst"
-        ).select("src", "label")
-        cnt = neigh.groupBy("src", "label").agg(F.count("*").alias("c"))
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("src").alias("node"), "label")
-        )
+    labels = label_propagation(directed, iters=_LPA_K)
     return labels.groupBy("label").agg(
         F.count("*").cast("long").alias("n_nodes"),
         F.sum("node").cast("long").alias("node_sum"),
@@ -349,6 +335,7 @@ def bf_oracle() -> str:
 
 
 def bellman_ford_3relax(spark, sf_dir):
+    from etl_earthquake_gcp_spark.operators.graph import bellman_ford_relax
     from etl_earthquake_gcp_spark.plans.analytics_queries import (
         _capped_user_edges_weighted,
     )
@@ -368,22 +355,7 @@ def bellman_ford_3relax(spark, sf_dir):
     dist = src.select(
         F.col("sid").alias("node"), F.lit(0).cast("long").alias("dist")
     )
-    for _ in range(3):
-        relaxed = (
-            wdir.join(
-                dist.withColumnRenamed("node", "src"), "src"
-            )
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("dist") + F.col("cost")).alias("dist"),
-            )
-        )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").cast("long").alias("dist"))
-            .localCheckpoint()  # truncate the per-iteration lineage
-        )
+    dist = bellman_ford_relax(wdir, dist, iters=3)
     return dist.select(F.col("node").cast("long").alias("node"), "dist")
 
 

@@ -168,6 +168,55 @@ def test_mann_kendall_oracle_parity(spark, oracle):
     ).all()
 
 
+def test_mann_kendall_matches_python_replay(spark):
+    """Every output row replayed in pure Python: the O(n^2) pairwise S,
+    the tie-corrected var18, and z via the documented IEEE chain
+    ((s - sign) / sqrt(var18/18.0), HALF_UP-of-shortest-repr at 6dp,
+    -0.0 folded) — independent of both the Spark pair join and the
+    oracle CTEs."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    pdf = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+        .toPandas()
+    )
+    expected = {}
+    for et, grp in pdf.groupby("event_type"):
+        cs = grp.sort_values("d")["c"].tolist()
+        n = len(cs)
+        s = sum(
+            (cs[j] > cs[i]) - (cs[j] < cs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(cs).values()
+        )
+        if var18 <= 0:
+            continue
+        z = (s - ((s > 0) - (s < 0))) / math.sqrt(var18 / 18.0)
+        z6 = (
+            float(
+                Decimal(repr(z)).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            )
+            + 0.0
+        )
+        expected[et] = (n, s, var18, z6)
+    spdf = mann_kendall_trend(spark, SF_DIR).toPandas()
+    got = {
+        r.event_type: (int(r.n_days), int(r.s_stat), int(r.var18), r.z)
+        for r in spdf.itertuples()
+    }
+    assert got == expected
+
+
 def test_mann_kendall_monotone_series(spark):
     """A strictly increasing series must reach S = n(n-1)/2 (every pair
     concordant) and a large positive z — pins the sign convention."""

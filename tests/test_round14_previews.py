@@ -286,6 +286,39 @@ def test_kcore_oracle_parity(spark, oracle):
     assert s["n_edges"].is_monotonic_decreasing
 
 
+def test_kcore_matches_python_replay(spark):
+    """The three peel rounds replayed in pure Python sets/Counters on
+    the same capped edge list — a third implementation independent of
+    both the Spark join pipeline and the unrolled-CTE oracle (which
+    share the per-round degree-filter structure)."""
+    from collections import Counter
+
+    from etl_earthquake_gcp_spark.plans.analytics_queries import (
+        _capped_user_edges,
+    )
+
+    cur = [
+        (r.u, r.v) for r in _capped_user_edges(spark, SF_DIR).collect()
+    ]
+    expected = []
+    for rnd in (1, 2, 3):
+        deg = Counter()
+        for u, v in cur:
+            deg[u] += 1
+            deg[v] += 1
+        surv = {n for n, d in deg.items() if d >= _KCORE_K}
+        cur = [(u, v) for u, v in cur if u in surv and v in surv]
+        expected.append((rnd, len(surv), len(cur), sum(surv)))
+    spdf = kcore_3peel(spark, SF_DIR).toPandas().sort_values("round")
+    got = [
+        tuple(int(x) for x in row)
+        for row in spdf[
+            ["round", "n_nodes", "n_edges", "node_sum"]
+        ].itertuples(index=False, name=None)
+    ]
+    assert got == expected
+
+
 # -- benford_first_digit -----------------------------------------------------
 #
 # Benford's-law first-significant-digit audit of order totals (the
@@ -365,6 +398,49 @@ def test_benford_oracle_parity(spark, oracle):
     # the expected shares are the textbook constants
     assert _BENFORD_U[0] == 301030  # log10(2)
     assert sum(_BENFORD_U) in (999999, 1000000, 1000001)  # shares sum to 1
+
+
+def test_benford_matches_python_replay(spark):
+    """Full-result replay in pure Python: cents via the documented
+    HALF_UP-of-shortest-repr round (Decimal(repr(x)) mirrors
+    BigDecimal.valueOf), digits from the integer string, shares via the
+    same single float round — every row must match exactly."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    prices = [
+        r.o_totalprice
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_totalprice")
+        .collect()
+    ]
+    cents = [
+        int(
+            Decimal(repr(p * 100)).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+        for p in prices
+    ]
+    counts = Counter(int(str(c)[0]) for c in cents if c >= 1)
+    t = sum(counts.values())
+    expected = {
+        d: (
+            n,
+            float(
+                Decimal(repr(n * 1.0 / t)).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            ),
+            _BENFORD_U[d - 1],
+            abs((n * 1_000_000) // t - _BENFORD_U[d - 1]),
+        )
+        for d, n in counts.items()
+    }
+    spdf = benford_first_digit(spark, SF_DIR).toPandas()
+    got = {
+        int(r.digit): (int(r.n), r.share6, int(r.benford_u), int(r.dev_u))
+        for r in spdf.itertuples()
+    }
+    assert got == expected
 
 
 # -- basket_pair_rules -------------------------------------------------------

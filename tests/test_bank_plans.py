@@ -235,6 +235,18 @@ def test_zipf_rank_window_partitions_by_source(spark):
     assert all(c == "source" for c in specs), specs
 
 
+def test_datacard_freq_cached_no_cartesian(spark):
+    """The banked source_datacard_pipeline: the token-frequency frame
+    must be persisted (it feeds the lexical aggregate AND the zipf
+    ranks — one tokenize pass) and the composed plan must never degrade
+    to a cartesian product."""
+    from tests.test_round11_previews import source_datacard_pipeline
+
+    plan = _plan_of(source_datacard_pipeline(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_span_islands_gram_frame_cached_equijoins_only(spark):
     """The banked shared_span_islands: the position-gram frame must be
     persisted (the reach groupBy AND the join-back read the cache — one

@@ -128,6 +128,84 @@ def test_rfm_oracle_parity(spark, oracle):
         assert spdf[c].value_counts().max() <= math.ceil(n / 4)
 
 
+def test_rfm_matches_python_replay(spark):
+    """Full-result replay in pure Python: per-event cents via the
+    documented HALF_UP-of-shortest-repr round, exact per-user
+    aggregates, the three (value, user_id) tie-broken rank orders, and
+    the ceil-rank quartile formula — independent of both the Spark
+    windows and the oracle CTEs."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("d"), "value")
+        .collect()
+    )
+    per = defaultdict(lambda: [None, 0, 0])  # last_d, f_cnt, m_cents
+    for r in rows:
+        cents = int(
+            Decimal(repr(r.value * 100)).quantize(
+                Decimal("1"), ROUND_HALF_UP
+            )
+        )
+        p = per[r.user_id]
+        p[0] = r.d if p[0] is None or r.d > p[0] else p[0]
+        p[1] += 1
+        p[2] += cents
+    gmax = max(p[0] for p in per.values())
+    users = {
+        u: ((gmax - p[0]).days, p[1], p[2]) for u, p in per.items()
+    }
+    n = len(users)
+    rr = {
+        u: i + 1
+        for i, u in enumerate(
+            sorted(users, key=lambda u: (users[u][0], u))
+        )
+    }
+    rf = {
+        u: i + 1
+        for i, u in enumerate(
+            sorted(users, key=lambda u: (-users[u][1], u))
+        )
+    }
+    rm = {
+        u: i + 1
+        for i, u in enumerate(
+            sorted(users, key=lambda u: (-users[u][2], u))
+        )
+    }
+    q = lambda r: (4 * r + n - 1) // n
+    expected = {
+        u: (
+            users[u][0],
+            users[u][1],
+            users[u][2],
+            q(rr[u]),
+            q(rf[u]),
+            q(rm[u]),
+            q(rr[u]) * 100 + q(rf[u]) * 10 + q(rm[u]),
+        )
+        for u in users
+    }
+    spdf = rfm_quartile_scores(spark, SF_DIR).toPandas()
+    got = {
+        r.user_id: (
+            int(r.r_days),
+            int(r.f_cnt),
+            int(r.m_cents),
+            int(r.r_q),
+            int(r.f_q),
+            int(r.m_q),
+            int(r.rfm_code),
+        )
+        for r in spdf.itertuples()
+    }
+    assert got == expected
+
+
 # -- source_datacard_pipeline ------------------------------------------------
 #
 # The per-source "data card" as ONE lazy plan: document counts, token
@@ -415,6 +493,84 @@ def test_hll_intersection_oracle_parity(spark, oracle):
     assert (spdf["est_union_u"] > 0).all()
 
 
+def test_hll_intersection_matches_python_replay(spark):
+    """Full-result replay in pure Python: the seeded square-mixed hash,
+    the LSB-position rho ladder, per-type register maxima, the
+    alpha*m^2/s estimator with linear-counting correction (register
+    sums of 2^-m_j are exact powers-of-two sums, so combine order
+    cannot drift), pairwise max-merge + inclusion-exclusion in 1e-4
+    integer units, and the exact set sides — independent of both the
+    Spark pipeline and the oracle CTEs."""
+    import math
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+    from itertools import combinations
+
+    from etl_earthquake_gcp_spark.operators.sketch import HLL_ALPHA
+
+    a_c, b_c = minhash_coeffs(1, HLL_SEED)[0]
+    _MAX_RHO = 26  # sketch.py's register width
+
+    def rho(w: int) -> int:
+        return _MAX_RHO if w == 0 else min((w & -w).bit_length(), _MAX_RHO)
+
+    def est_u(m: list) -> int:
+        s = sum(2.0**-mj for mj in m)
+        v = sum(1 for mj in m if mj == 0)
+        raw = HLL_ALPHA * HLL_M * HLL_M / s
+        if raw <= 2.5 * HLL_M and v > 0:
+            e = float(HLL_M) * math.log(float(HLL_M) / v)
+        else:
+            e = raw
+        return int(
+            Decimal(repr(e * 10000)).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    regs = defaultdict(lambda: [0] * HLL_M)
+    user_sets = defaultdict(set)
+    for r in rows:
+        user_sets[r.event_type].add(r.user_id)
+        h1 = (r.user_id * a_c + b_c) % _MERSENNE_P
+        h = (h1 * h1) % _MERSENNE_P
+        bucket = h % HLL_M
+        m = regs[r.event_type]
+        m[bucket] = max(m[bucket], rho(h // HLL_M))
+    expected = {}
+    for ta, tb in combinations(sorted(regs), 2):
+        ea, eb = est_u(regs[ta]), est_u(regs[tb])
+        uu = est_u(
+            [max(x, y) for x, y in zip(regs[ta], regs[tb])]
+        )
+        expected[(ta, tb)] = (
+            ea,
+            eb,
+            uu,
+            ea + eb - uu,
+            len(user_sets[ta]),
+            len(user_sets[tb]),
+            len(user_sets[ta] & user_sets[tb]),
+        )
+    spdf = hll_intersection_audit(spark, SF_DIR).toPandas()
+    got = {
+        (r.type_a, r.type_b): (
+            int(r.est_a_u),
+            int(r.est_b_u),
+            int(r.est_union_u),
+            int(r.est_inter_u),
+            int(r.n_a),
+            int(r.n_b),
+            int(r.n_inter),
+        )
+        for r in spdf.itertuples()
+    }
+    assert got == expected
+
+
 # -- length_emd_pairs --------------------------------------------------------
 #
 # Distribution drift between sources, third metric beside the
@@ -567,6 +723,52 @@ def test_length_emd_oracle_parity(spark, oracle):
     assert (spdf["emd6"] >= 0).all()
 
 
+def test_length_emd_matches_python_replay(spark):
+    """Full-result replay in pure Python: per-source length histograms,
+    the union support walk with integer cross-multiplied CDFs and gap
+    weights, one display round — independent of the Spark window chain
+    and the oracle CTEs."""
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+    from itertools import combinations
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", F.col("n_chars").cast("long").alias("v"))
+        .collect()
+    )
+    hist = defaultdict(Counter)
+    for r in docs:
+        hist[r.source][r.v] += 1
+    sizes = {s: sum(c.values()) for s, c in hist.items()}
+    expected = {}
+    for sa, sb in combinations(sorted(hist), 2):
+        na, nb = sizes[sa], sizes[sb]
+        support = sorted(set(hist[sa]) | set(hist[sb]))
+        cum_a = cum_b = emd_num = 0
+        for v, nxt in zip(support, support[1:]):
+            cum_a += hist[sa].get(v, 0)
+            cum_b += hist[sb].get(v, 0)
+            emd_num += abs(cum_a * nb - cum_b * na) * (nxt - v)
+        emd6 = float(
+            Decimal(repr(emd_num * 1.0 / (na * nb))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        expected[(sa, sb)] = (na, nb, emd_num, emd6)
+    spdf = length_emd_pairs(spark, SF_DIR).toPandas()
+    got = {
+        (r.src_a, r.src_b): (
+            int(r.n_a),
+            int(r.n_b),
+            int(r.emd_num),
+            r.emd6,
+        )
+        for r in spdf.itertuples()
+    }
+    assert got == expected
+
+
 # -- vocab_coverage_curve ----------------------------------------------------
 #
 # Tokenizer-design read: what share of the corpus token mass the top-K
@@ -644,6 +846,48 @@ def test_vocab_coverage_oracle_parity(spark, oracle):
     s = spdf.sort_values("k")
     assert s["covered"].is_monotonic_increasing  # more vocab, more mass
     assert (s["coverage6"] <= 1.0).all()
+
+
+def test_vocab_coverage_matches_python_replay(spark):
+    """Full-result replay in pure Python: global token Counter,
+    (count DESC, token) rank order, exact prefix sums at each K, one
+    display round — independent of the TakeOrdered-head plan and the
+    oracle's rank join."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    texts = [
+        r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("text")
+        .collect()
+    ]
+    gfreq = Counter()
+    for t in texts:
+        gfreq.update(t.split(" "))
+    n_total = sum(gfreq.values())
+    n_vocab = len(gfreq)
+    ranked = sorted(gfreq.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = {}
+    for k in _COV_KS:
+        covered = sum(c for _, c in ranked[:k])
+        cov6 = float(
+            Decimal(repr(covered * 1.0 / n_total)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        expected[k] = (covered, n_total, n_vocab, cov6)
+    spdf = vocab_coverage_curve(spark, SF_DIR).toPandas()
+    got = {
+        int(r.k): (
+            int(r.covered),
+            int(r.n_total),
+            int(r.n_vocab),
+            r.coverage6,
+        )
+        for r in spdf.itertuples()
+    }
+    assert got == expected
 
 
 # -- bigram_entropy_stats ----------------------------------------------------
@@ -749,6 +993,59 @@ def test_bigram_entropy_oracle_parity(spark, oracle):
     ).all()
 
 
+def test_bigram_entropy_matches_python_replay(spark):
+    """Full-result replay in pure Python: per-source bigram and
+    prev-token Counters, the 1e-6-unit quantized logs (math.log then
+    HALF_UP-of-shortest-repr, matching F.round(F.log(x) * 1e6, 0)),
+    the exact integer weighted sum, one display ratio — independent of
+    the Spark join chain and the oracle CTEs."""
+    import math
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    cab = defaultdict(Counter)
+    for r in docs:
+        toks = r.text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            cab[r.source][(a, b)] += 1
+    lnq = lambda x: int(
+        Decimal(repr(math.log(x) * 1_000_000)).quantize(
+            Decimal("1"), ROUND_HALF_UP
+        )
+    )
+    expected = {}
+    for src, counts in cab.items():
+        ca = Counter()
+        for (a, _), c in counts.items():
+            ca[a] += c
+        n_bigrams = sum(counts.values())
+        h_num = sum(
+            c * (lnq(ca[a]) - lnq(c)) for (a, _), c in counts.items()
+        )
+        e6 = float(
+            Decimal(repr(h_num * 1.0 / (n_bigrams * 1_000_000))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        expected[src] = (n_bigrams, len(counts), h_num, e6)
+    spdf = bigram_entropy_stats(spark, SF_DIR).toPandas()
+    got = {
+        r.source: (
+            int(r.n_bigrams),
+            int(r.n_distinct_bigrams),
+            int(r.h_num_u),
+            r.entropy6,
+        )
+        for r in spdf.itertuples()
+    }
+    assert got == expected
+
+
 # -- session_survival_curve --------------------------------------------------
 #
 # Survival analysis on session durations (Kaplan-Meier product-limit):
@@ -839,6 +1136,57 @@ def session_survival_curve(spark, sf_dir):
     ).withColumn(
         "surv6", F.round(F.exp(F.col("ls_u") / 1_000_000.0), 6)
     )
+
+
+def test_session_survival_matches_python_replay(spark):
+    """Kaplan-Meier replay in pure Python from the session durations:
+    the duration histogram, the at-risk countdown, the integer-unit
+    log terms (math.log then HALF_UP-of-shortest-repr at 1e-6 units,
+    matching F.round(F.log(x) * 1e6, 0)), the cumulative ls_u, and the
+    final display exp — independent of the Spark window chain and the
+    oracle CTEs. The sessionize construction itself is shared (it has
+    its own brute-force property test)."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    sess = sessions.sessionize(load_table(spark, SF_DIR, "events"))
+    durs = [
+        r.t
+        for r in sess.select(
+            F.expr(
+                "(unix_millis(session_end) - unix_millis(session_start))"
+                " div 1000"
+            ).alias("t")
+        ).collect()
+    ]
+    lnq = lambda x: int(
+        Decimal(repr(math.log(x) * 1_000_000)).quantize(
+            Decimal("1"), ROUND_HALF_UP
+        )
+    )
+    hist = Counter(durs)
+    n_total = len(durs)
+    expected, seen, ls_u = {}, 0, 0
+    for t in sorted(hist):
+        d = hist[t]
+        n_risk = n_total - seen
+        seen += d
+        if n_risk <= d:
+            continue
+        ls_u += lnq(n_risk - d) - lnq(n_risk)
+        surv6 = float(
+            Decimal(repr(math.exp(ls_u / 1_000_000.0))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        expected[t] = (n_risk, d, ls_u, surv6)
+    spdf = session_survival_curve(spark, SF_DIR).toPandas()
+    got = {
+        int(r.t_s): (int(r.n_risk), int(r.d_events), int(r.ls_u), r.surv6)
+        for r in spdf.itertuples()
+    }
+    assert got == expected
 
 
 def test_session_survival_oracle_parity(spark, oracle):

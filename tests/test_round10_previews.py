@@ -123,6 +123,50 @@ def test_span_islands_are_maximal(spark):
         ).all()
 
 
+def test_span_islands_matches_python_replay(spark):
+    """Full-result replay in pure Python: k-gram extraction, the
+    distinct-doc reach sets, and the consecutive-run merge — independent
+    of both the Spark gap-and-island window and the oracle CTEs."""
+    from collections import defaultdict
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    reach = defaultdict(set)
+    per_doc = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        if len(toks) < _SPAN_K:
+            continue
+        ps = []
+        for i in range(len(toks) - _SPAN_K + 1):
+            g = " ".join(toks[i : i + _SPAN_K])
+            ps.append((i + 1, g))
+            reach[g].add(r.doc_id)
+        per_doc[r.doc_id] = ps
+    expected = set()
+    for doc_id, ps in per_doc.items():
+        shared = sorted(p for p, g in ps if len(reach[g]) >= 2)
+        runs = []
+        for p in shared:
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for st, en in runs:
+            expected.add((doc_id, st, en + _SPAN_K - 1, en - st + _SPAN_K))
+    spdf = shared_span_islands(spark, SF_DIR).toPandas()
+    got = set(
+        (int(a), int(b), int(c), int(d))
+        for a, b, c, d in spdf[
+            ["doc_id", "start_pos", "end_pos", "span_tokens"]
+        ].itertuples(index=False, name=None)
+    )
+    assert got == expected
+
+
 # -- label_centroid_shift ----------------------------------------------------
 #
 # Embedding distribution-shift audit: per-label centroids (per-dim

@@ -433,6 +433,51 @@ def test_acf_oracle_parity(spark, oracle):
     assert ((spdf["acf"] >= -1.000001) & (spdf["acf"] <= 1.000001)).all()
 
 
+def test_acf_matches_python_replay(spark):
+    """Full-result replay in pure Python: the daily Counter, the exact
+    integer scaled residuals n*c - S, date-keyed lag pairs, and the one
+    display round — independent of both the Spark lag join and the
+    oracle CTEs."""
+    import datetime as dt
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    days = [
+        r.d
+        for r in load_table(spark, SF_DIR, "events")
+        .select(F.col("ts").cast("date").alias("d"))
+        .collect()
+    ]
+    daily = Counter(days)
+    n, s = len(daily), sum(daily.values())
+    res = {d: n * c - s for d, c in daily.items()}
+    den = sum(v * v for v in res.values())
+    expected = {}
+    for lag in (1, 2, 3):
+        pairs = [
+            (v, res[d + dt.timedelta(days=lag)])
+            for d, v in res.items()
+            if d + dt.timedelta(days=lag) in res
+        ]
+        num = sum(x * y for x, y in pairs)
+        if den > 0:
+            acf = (
+                float(
+                    Decimal(repr(num * 1.0 / den)).quantize(
+                        Decimal("0.000001"), ROUND_HALF_UP
+                    )
+                )
+                + 0.0
+            )
+            expected[lag] = (num, den, len(pairs), acf)
+    spdf = acf_daily_counts(spark, SF_DIR).toPandas()
+    got = {
+        int(r.lag): (int(r.num), int(r.den), int(r.n_pairs), r.acf)
+        for r in spdf.itertuples()
+    }
+    assert got == expected
+
+
 # -- chi2_token_source -------------------------------------------------------
 #
 # Chi-squared association of token x source over the top-20 global

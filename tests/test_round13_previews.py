@@ -480,6 +480,54 @@ def test_kfold_oracle_parity(spark, oracle):
     assert n_docs_total == spdf.groupby("fold")["fold_total"].first().sum()
 
 
+def test_kfold_matches_python_replay(spark):
+    """Full-result replay in pure Python: hashlib md5-hex8 fold
+    assignment, cell/total Counters, one display round — independent of
+    the portable_hash8 Spark expression and the oracle CTEs."""
+    import hashlib
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source")
+        .collect()
+    )
+    cells = Counter()
+    for r in rows:
+        fold = (
+            int(hashlib.md5(f"{r.doc_id}:cv".encode()).hexdigest()[:8], 16)
+            % _KFOLD
+        )
+        cells[(fold, r.source)] += 1
+    fold_totals = Counter()
+    for (fold, _), c in cells.items():
+        fold_totals[fold] += c
+    n_all = sum(cells.values())
+    expected = {
+        (fold, src): (
+            c,
+            fold_totals[fold],
+            float(
+                Decimal(repr(fold_totals[fold] * 1.0 / n_all)).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            ),
+        )
+        for (fold, src), c in cells.items()
+    }
+    spdf = kfold_assign_audit(spark, SF_DIR).toPandas()
+    got = {
+        (int(r.fold), r.source): (
+            int(r.n_docs),
+            int(r.fold_total),
+            r.fold_share,
+        )
+        for r in spdf.itertuples()
+    }
+    assert got == expected
+
+
 # -- ndcg_at10_exact ---------------------------------------------------------
 #
 # NDCG@10 with binary label relevance for the 5 query vectors against

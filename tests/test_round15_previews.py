@@ -169,6 +169,58 @@ def test_countmin_join_size_oracle_parity(spark, oracle):
     assert spdf["ratio6"].iloc[0] < 10
 
 
+def test_countmin_matches_python_replay(spark):
+    """Full-result replay in pure Python: both D x W Counter sketches
+    from the same independent affine hashes, the min-over-depth inner
+    product, the exact Counter-product join size, one display round —
+    independent of the Spark sketch groupBys and the oracle CTEs."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    okeys = [
+        r.o_orderkey
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey")
+        .collect()
+    ]
+    lkeys = [
+        r.l_orderkey
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey")
+        .collect()
+    ]
+
+    def sketch(keys):
+        sk = [Counter() for _ in range(_CM_D)]
+        for k in keys:
+            kr = k % sampling.HASH_P
+            for d in range(_CM_D):
+                w = ((kr * _CM_AS[d] + _CM_CS[d]) % sampling.HASH_P) % _CM_W
+                sk[d][w] += 1
+        return sk
+
+    ca, cb = sketch(okeys), sketch(lkeys)
+    est_min = min(
+        sum(c * cb[d][w] for w, c in ca[d].items()) for d in range(_CM_D)
+    )
+    oc, lc = Counter(okeys), Counter(lkeys)
+    exact = sum(c * lc[k] for k, c in oc.items())
+    ratio6 = float(
+        Decimal(repr(est_min * 1.0 / exact)).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+    )
+    row = countmin_join_size(spark, SF_DIR).toPandas().iloc[0]
+    assert (
+        int(row.width),
+        int(row.depth),
+        int(row.est_min),
+        int(row.exact_cnt),
+        bool(row.overestimate_ok),
+        row.ratio6,
+    ) == (_CM_W, _CM_D, est_min, exact, est_min >= exact, ratio6)
+
+
 # -- heavy_change_detect -----------------------------------------------------
 #
 # Which users' activity share changed most between the first and

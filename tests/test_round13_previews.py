@@ -689,6 +689,78 @@ def test_ndcg_weights_are_the_log2_discounts(spark):
     assert all(a < b for a, b in zip(_NDCG_PREFIX, _NDCG_PREFIX[1:]))
 
 
+def test_ndcg_matches_python_replay(spark):
+    """Full-result replay in pure Python: the sequential x*x / a*b
+    folds (matching the F.aggregate left-fold order exactly), the 6dp
+    HALF_UP collapse, the (cos6 DESC, vec_id) rank order, and the
+    integer DCG/IDCG sums — independent of the Spark window chain and
+    the oracle CTEs."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def fold_norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    vecs = {
+        r.vec_id: ([float(x) for x in r.embedding], r.label) for r in rows
+    }
+    qs = {
+        i: v
+        for i, v in vecs.items()
+        if i < _NDCG_QUERIES and fold_norm(v[0]) > 0
+    }
+    cs = {
+        i: v
+        for i, v in vecs.items()
+        if i >= _NDCG_QUERIES and fold_norm(v[0]) > 0
+    }
+    expected = {}
+    for qid, (qv, ql) in qs.items():
+        qn = fold_norm(qv)
+        scored = []
+        for cid, (cv, cl) in cs.items():
+            acc = 0.0
+            for a, b in zip(cv, qv):
+                acc += a * b
+            scored.append((r6(acc / (qn * fold_norm(cv))), cid, cl))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        n_rel = sum(1 for _, (_, cl) in cs.items() if cl == ql)
+        if n_rel == 0:
+            continue
+        dcg = sum(
+            _NDCG_W[i]
+            for i, (_, _, cl) in enumerate(scored[:_NDCG_K])
+            if cl == ql
+        )
+        idcg = _NDCG_PREFIX[min(n_rel, _NDCG_K) - 1]
+        expected[qid] = (ql, n_rel, dcg, idcg, r6(dcg * 1.0 / idcg))
+    spdf = ndcg_at10_exact(spark, SF_DIR).toPandas()
+    got = {
+        int(r.query_id): (
+            r.qlabel,
+            int(r.n_rel),
+            int(r.dcg_units),
+            int(r.idcg_units),
+            r.ndcg,
+        )
+        for r in spdf.itertuples()
+    }
+    assert got == expected
+
+
 # -- kmeans_lloyd_2iter ------------------------------------------------------
 #
 # Two deterministic Lloyd iterations on the embedding table, seeds =
@@ -862,6 +934,77 @@ def test_kmeans_oracle_parity(spark, oracle):
     # every vector is assigned to exactly one cluster
     n_vecs = load_table(spark, SF_DIR, "embeddings").count()
     assert spdf["n_members"].sum() == n_vecs
+
+
+def test_kmeans_matches_python_replay(spark):
+    """Both Lloyd iterations replayed in pure Python on the same
+    1e-6-unit quantized integers: seed centroids, exact squared
+    distances, (dist, cluster_id) argmin, and the integer half-away
+    centroid means — independent of both the Spark join pipeline and
+    the unrolled-CTE oracle."""
+    import math
+
+    def q6(x):
+        s = (x > 0) - (x < 0)
+        return s * int(math.floor(abs(x) * 1_000_000 + 0.5))
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    xu = {r.vec_id: [q6(float(x)) for x in r.embedding] for r in rows}
+    cent = {cid: list(xu[cid]) for cid in xu if cid < _KM_K}
+
+    def assign(cent):
+        out = {}
+        for vid, v in xu.items():
+            best = min(
+                (
+                    (
+                        sum((a - b) * (a - b) for a, b in zip(v, cu)),
+                        cid,
+                    )
+                    for cid, cu in cent.items()
+                )
+            )
+            out[vid] = (best[1], best[0])
+        return out
+
+    def recompute(assigned):
+        groups = {}
+        for vid, (cid, _) in assigned.items():
+            groups.setdefault(cid, []).append(xu[vid])
+        cent = {}
+        for cid, vs in groups.items():
+            n = len(vs)
+            cu = []
+            for dim in zip(*vs):
+                s = sum(dim)
+                sg = (s > 0) - (s < 0)
+                cu.append(sg * ((2 * abs(s) + n) // (2 * n)))
+            cent[cid] = cu
+        return cent
+
+    a1 = assign(cent)
+    c1 = recompute(a1)
+    a2 = assign(c1)
+    c2 = recompute(a2)
+    expected = {}
+    for cid, cu in c2.items():
+        members = [v for v, (c, _) in a2.items() if c == cid]
+        inertia = sum(d for _, (c, d) in a2.items() if c == cid)
+        expected[cid] = (len(members), inertia, sum(cu))
+    spdf = kmeans_lloyd_2iter(spark, SF_DIR).toPandas()
+    got = {
+        int(r.cluster_id): (
+            int(r.n_members),
+            int(r.inertia_u),
+            int(r.centroid_checksum),
+        )
+        for r in spdf.itertuples()
+    }
+    assert got == expected
 
 
 def test_kmeans_iteration_does_not_increase_inertia(spark):

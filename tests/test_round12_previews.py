@@ -342,6 +342,51 @@ def test_ngram_decontaminate_oracle_parity(spark, oracle):
     assert (spdf["doc_id"] % _DECON_MOD != 0).all()
 
 
+def test_ngram_decontaminate_matches_python_replay(spark):
+    """Full-result replay in pure Python: distinct n-gram sets per doc,
+    the doc_id-mod eval shard, hit counting against the eval union, one
+    display round — independent of the Spark broadcast join and the
+    oracle CTEs."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    gram_sets = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        if len(toks) < _DECON_N:
+            continue
+        gram_sets[r.doc_id] = {
+            " ".join(toks[i : i + _DECON_N])
+            for i in range(len(toks) - _DECON_N + 1)
+        }
+    eval_union = set()
+    for did, gs in gram_sets.items():
+        if did % _DECON_MOD == 0:
+            eval_union |= gs
+    expected = {}
+    for did, gs in gram_sets.items():
+        if did % _DECON_MOD == 0:
+            continue
+        n_hit = sum(1 for g in gs if g in eval_union)
+        if n_hit > 0:
+            share = float(
+                Decimal(repr(n_hit * 1.0 / len(gs))).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            )
+            expected[did] = (len(gs), n_hit, share)
+    spdf = ngram_decontaminate(spark, SF_DIR).toPandas()
+    got = {
+        int(r.doc_id): (int(r.n_grams), int(r.n_hit), r.hit_share)
+        for r in spdf.itertuples()
+    }
+    assert got == expected
+
+
 # -- acf_daily_counts --------------------------------------------------------
 #
 # Sample autocorrelation of the daily event-count series at lags 1..3

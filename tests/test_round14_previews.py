@@ -546,6 +546,70 @@ def test_basket_oracle_parity(spark, oracle):
     assert (spdf["supp"] <= spdf[["n_p1", "n_p2"]].min(axis=1)).all()
 
 
+def test_basket_matches_python_replay(spark):
+    """Full-result replay in pure Python: distinct baskets, part
+    marginals, the min-support prefilter, within-order pair Counters,
+    the two display ratios, and the (supp DESC, p1, p2) top-k —
+    independent of the Spark join pipeline and the oracle CTEs."""
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+    from itertools import combinations
+
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    part_n = Counter()
+    for r in rows:
+        if r.p not in baskets[r.o]:
+            baskets[r.o].add(r.p)
+            part_n[r.p] += 1
+    n_orders = len(baskets)
+    supp = Counter()
+    for parts in baskets.values():
+        freq = sorted(p for p in parts if part_n[p] >= _BASKET_MINSUP)
+        for p1, p2 in combinations(freq, 2):
+            supp[(p1, p2)] += 1
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    ranked = sorted(supp.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = [
+        (
+            p1,
+            p2,
+            s,
+            part_n[p1],
+            part_n[p2],
+            r6(s * 1.0 / part_n[p1]),
+            r6(s * n_orders * 1.0 / (part_n[p1] * part_n[p2])),
+        )
+        for (p1, p2), s in ranked[:_BASKET_TOP]
+    ]
+    spdf = basket_pair_rules(spark, SF_DIR).toPandas()
+    got = [
+        (
+            int(r.p1),
+            int(r.p2),
+            int(r.supp),
+            int(r.n_p1),
+            int(r.n_p2),
+            r.conf1,
+            r.lift6,
+        )
+        for r in spdf.itertuples()
+    ]
+    assert got == expected
+
+
 # -- interarrival_cv ---------------------------------------------------------
 #
 # Per-user inter-arrival coefficient of variation over EXACT integer

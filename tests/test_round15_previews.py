@@ -314,6 +314,43 @@ def test_heavy_change_oracle_parity(spark, oracle):
     assert (spdf["score"] >= 0).all()
 
 
+def test_heavy_change_matches_python_replay(spark):
+    """Full-result replay in pure Python: the date-range midpoint, the
+    per-user half counts, the exact cross-multiplied change score, and
+    the (score DESC, user_id) top-k — independent of the Spark
+    TakeOrdered plan and the oracle CTEs."""
+    import datetime as dt
+    from collections import defaultdict
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .collect()
+    )
+    mn = min(r.d for r in rows)
+    mx = max(r.d for r in rows)
+    mid = mn + dt.timedelta(days=(mx - mn).days // 2)
+    halves = defaultdict(lambda: [0, 0])
+    for r in rows:
+        halves[r.user_id][0 if r.d < mid else 1] += 1
+    t1 = sum(h[0] for h in halves.values())
+    t2 = sum(h[1] for h in halves.values())
+    assert t1 > 0 and t2 > 0
+    scored = sorted(
+        (
+            (-abs(c1 * t2 - c2 * t1), u, c1, c2)
+            for u, (c1, c2) in halves.items()
+        )
+    )[:_HC_TOP]
+    expected = [(u, c1, c2, -s) for s, u, c1, c2 in scored]
+    spdf = heavy_change_detect(spark, SF_DIR).toPandas()
+    got = [
+        (int(r.user_id), int(r.cnt1), int(r.cnt2), int(r.score))
+        for r in spdf.itertuples()
+    ]
+    assert got == expected
+
+
 # -- trigram_like_prefilter --------------------------------------------------
 #
 # Index-accelerated substring search, audited lossless: candidates for
@@ -409,6 +446,42 @@ def test_trigram_prefilter_oracle_parity(spark, oracle):
     assert_frames_match(spdf, opdf, "trigram_like_prefilter")
     assert bool(spdf["lossless_ok"].iloc[0])
     assert spdf["n_true"].iloc[0] > 0  # pattern chosen to be present
+
+
+def test_trigram_prefilter_matches_python_replay(spark):
+    """Full-result replay in pure Python: per-doc distinct character
+    trigrams, the all-trigrams candidate filter, direct substring
+    truth, the containment flag and precision — independent of the
+    Spark postings pipeline and the oracle CTEs."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    need = set(_LIKE_TRIGRAMS)
+    cand, truth = set(), set()
+    for r in docs:
+        t = r.text
+        if len(t) >= 3:
+            tris = {t[i : i + 3] for i in range(len(t) - 2)}
+            if need <= tris:
+                cand.add(r.doc_id)
+        if _LIKE_PATTERN in t:
+            truth.add(r.doc_id)
+    precision6 = float(
+        Decimal(repr(len(truth) * 1.0 / len(cand))).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+    )
+    row = trigram_like_prefilter(spark, SF_DIR).toPandas().iloc[0]
+    assert (
+        int(row.n_candidates),
+        int(row.n_true),
+        bool(row.lossless_ok),
+        row.precision6,
+    ) == (len(cand), len(truth), truth <= cand, precision6)
 
 
 # -- weighted_median_price ---------------------------------------------------

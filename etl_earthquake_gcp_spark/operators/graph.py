@@ -28,16 +28,24 @@ from pyspark.sql import functions as F
 def label_propagation(directed: DataFrame, iters: int = 3) -> DataFrame:
     """(node, label) after ``iters`` synchronous label-propagation rounds.
 
-    ``directed``: columns ``src``, ``dst`` — symmetrize before calling for
-    an undirected graph. Every node starts labeled with its own id; each
-    round every node adopts the most common label among its out-neighbors,
-    ties broken by (count DESC, label ASC) — fully deterministic, so the
-    result is exactly reproducible and replayable by an unrolled-CTE oracle.
+    ``directed``: columns ``src``, ``dst``, and every node MUST appear as
+    ``src`` (i.e. pass a SYMMETRIZED edge list — undirected graphs are the
+    contract, as in the banked co-activity queries). A dst-only node would
+    get no initial label and its neighbors' votes through it would be
+    dropped, so asymmetric input is outside this operator's semantics.
+    Every node starts labeled with its own id; each round every node
+    adopts the most common label among its out-neighbors, ties broken by
+    (count DESC, label ASC) — fully deterministic, so the result is
+    exactly reproducible and replayable by an unrolled-CTE oracle.
 
     Scale shape per round: one equi-join (edges ⋈ labels, keyed on the
     vertex id) + one count groupBy + a per-node argmax window whose
     partitions are one node's candidate labels (bounded by the input
-    graph's degree cap, never corpus-sized).
+    graph's degree cap, never corpus-sized). The label chain is kept
+    LAZY (no per-round checkpoint) so bounded-``iters`` callers keep a
+    pin-able plan; for large ``iters`` interpose ``localCheckpoint`` on
+    the returned frame's ancestry per round (the connected_components
+    discipline) or plan size grows linearly with rounds.
     """
     labels = (
         directed.select(F.col("src").alias("node"))

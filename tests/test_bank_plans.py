@@ -267,15 +267,27 @@ def test_span_islands_gram_frame_cached_equijoins_only(spark):
 
 def test_centroid_shift_joins_aggregated_frames_only(spark):
     """The banked label_centroid_shift: the pair join runs on the
-    |labels| x dims centroid frames (post-aggregation) — the plan must
-    aggregate BELOW the join, and the exploded fact frame must never
-    reach a cartesian product."""
+    |labels| x dims centroid frames (post-aggregation) — BOTH join
+    children must aggregate below the join (a half-degraded plan that
+    joins the raw exploded fact frame against one aggregated side must
+    fail), and nothing may degrade to a cartesian product."""
+    import re
+
     from tests.test_round10_previews import label_centroid_shift
 
     plan = _plan_of(label_centroid_shift(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
-    idx = plan.index("Join")
-    assert "HashAggregate" in plan[idx:], plan
+    # root-first printing: the join line, then each child subtree in
+    # sequence ending at its scan — so every scan under the join must
+    # have a HashAggregate between the previous child's scan and itself
+    tail = plan[plan.index("Join") :]
+    scans = [m.start() for m in re.finditer(r"FileScan|Scan parquet", tail)]
+    aggs = [m.start() for m in re.finditer(r"HashAggregate", tail)]
+    assert scans, plan
+    prev = 0
+    for s in scans:
+        assert any(prev < a < s for a in aggs), plan
+        prev = s
 
 
 def test_label_propagation_edges_cached_argmax_partitioned(spark):

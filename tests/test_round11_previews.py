@@ -506,13 +506,19 @@ def test_hll_intersection_matches_python_replay(spark):
     from decimal import ROUND_HALF_UP, Decimal
     from itertools import combinations
 
-    from etl_earthquake_gcp_spark.operators.sketch import HLL_ALPHA
+    from etl_earthquake_gcp_spark.operators.sketch import (
+        _HLL_MAX_RHO,
+        HLL_ALPHA,
+    )
 
     a_c, b_c = minhash_coeffs(1, HLL_SEED)[0]
-    _MAX_RHO = 26  # sketch.py's register width
 
     def rho(w: int) -> int:
-        return _MAX_RHO if w == 0 else min((w & -w).bit_length(), _MAX_RHO)
+        return (
+            _HLL_MAX_RHO
+            if w == 0
+            else min((w & -w).bit_length(), _HLL_MAX_RHO)
+        )
 
     def est_u(m: list) -> int:
         s = sum(2.0**-mj for mj in m)

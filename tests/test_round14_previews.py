@@ -565,10 +565,9 @@ def test_basket_matches_python_replay(spark):
     )
     baskets = defaultdict(set)
     part_n = Counter()
-    for r in rows:
-        if r.p not in baskets[r.o]:
-            baskets[r.o].add(r.p)
-            part_n[r.p] += 1
+    for r in rows:  # rows are already distinct (o, p) pairs
+        baskets[r.o].add(r.p)
+        part_n[r.p] += 1
     n_orders = len(baskets)
     supp = Counter()
     for parts in baskets.values():

@@ -160,12 +160,17 @@ def main() -> int:
     variant, runs = "sf", 2
     while args and args[0].startswith("--"):
         flag = args.pop(0)
+        if not args:
+            raise SystemExit(f"{flag} requires a value\n\n{__doc__}")
         if flag == "--variant":
             variant = args.pop(0)
         elif flag == "--runs":
-            runs = int(args.pop(0))
+            try:
+                runs = int(args.pop(0))
+            except ValueError as e:
+                raise SystemExit(f"--runs must be an integer: {e}")
         else:
-            raise SystemExit(f"unknown flag {flag}")
+            raise SystemExit(f"unknown flag {flag}\n\n{__doc__}")
     if not args:
         raise SystemExit(__doc__)
     if variant not in VARIANTS:
@@ -175,10 +180,15 @@ def main() -> int:
     if callable(second):
         dst = f"/tmp/decade_probe_{variant}/{_fingerprint(base)}"
         if not os.path.isdir(dst):
+            # build into a temp dir and rename into place so an
+            # interrupted build can never leave a half-written variant
+            # that later runs silently reuse
             shutil.rmtree(f"/tmp/decade_probe_{variant}", ignore_errors=True)
-            os.makedirs(dst)
+            tmp = f"{dst}.building"
+            os.makedirs(tmp)
             print(f"BUILD {variant}: {base} -> {dst}", flush=True)
-            second(base, dst)
+            second(base, tmp)
+            os.rename(tmp, dst)
         second = dst
 
     os.chdir(REPO)

@@ -30,12 +30,14 @@ os.chdir(REPO)
 
 
 def main() -> int:
+    from tools.regeneration_rehearsal import AXES, TABLES, build_variant
+
     axis = sys.argv[1] if len(sys.argv) > 1 else "values"
+    if axis not in AXES:
+        raise SystemExit(f"unknown axis {axis!r}; expected one of {AXES}")
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 29
     dst = f"/tmp/perturbed_sweep_{axis}_{seed}"
-
-    from tools.regeneration_rehearsal import TABLES, build_variant
 
     build_variant(axis, src, dst, seed)
     print(f"variant built: {dst}", flush=True)

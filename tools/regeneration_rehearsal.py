@@ -54,12 +54,20 @@ FACTS = {"events", "orders", "lineitem"}
 # are calibrated against the full corpus.
 SUBDOC_FACTS = FACTS | {"documents"}
 
+# the full axis vocabulary; both this tool's argparse and
+# tools/perturbed_sweep.py validate against it, and build_variant
+# rejects anything else — a typoed axis must never fall through to the
+# identity write and report a perturbation as rehearsed
+AXES = ("base", "values", "layout", "subsample", "subdocs", "nanos")
+
 
 def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if axis not in AXES:
+        raise ValueError(f"unknown axis {axis!r}; expected one of {AXES}")
     rng = np.random.default_rng(seed)
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
@@ -67,12 +75,18 @@ def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
         if not f.endswith(".parquet"):
             continue
         name = f.split(".")[0]
-        tbl = pq.read_table(f"{src}/{f}")
         if axis == "base":
             # identity variant: tools/perturbed_sweep.py base == a full
-            # repo-persistent driver sim over unmodified testdata
-            pq.write_table(tbl, f"{dst}/{f}")
+            # repo-persistent driver sim over byte-identical testdata —
+            # copy verbatim (a pyarrow re-write would re-encode file
+            # layout/row groups and mask layout-sensitive bugs)
+            srcp = f"{src}/{f}"
+            if os.path.isdir(srcp):
+                shutil.copytree(srcp, f"{dst}/{f}")
+            else:
+                shutil.copy2(srcp, f"{dst}/{f}")
             continue
+        tbl = pq.read_table(f"{src}/{f}")
         if axis == "layout":
             tbl = tbl.take(rng.permutation(tbl.num_rows))
             d = f"{dst}/{f}"
@@ -160,7 +174,7 @@ def main() -> int:
         # Python 3.11 validates a LIST default against choices and exits
         # 2 ("invalid choice: ['layout', 'values']") — bpo-9625
         default=None,
-        choices=["layout", "nanos", "values", "subsample", "subdocs"],
+        choices=list(AXES),
     )
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")

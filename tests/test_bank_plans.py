@@ -319,6 +319,57 @@ def test_bellman_ford_lineage_truncated(spark):
     assert "Join" not in plan, plan
 
 
+def test_gini_single_scan_source_partitioned_window(spark):
+    """The banked gini_concentration: one documents scan, the rank
+    window partitioned by source (a global window would sort the corpus
+    in one task), and no join of any kind."""
+    import re
+
+    from tests.test_round12_previews import gini_concentration
+
+    plan = _plan_of(gini_concentration(spark, SF_DIR))
+    assert plan.count("Scan parquet") + plan.count("FileScan") >= 1
+    assert "Join" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(c == "source" for c in specs), specs
+
+
+def test_mann_kendall_daily_cached_equijoins_only(spark):
+    """The banked mann_kendall_trend: the daily series must be
+    persisted (it feeds the pair join twice, n, and the tie groups) and
+    the |days|^2-per-type pair stage must stay an equi-join on
+    event_type — no cartesian product."""
+    from tests.test_round13_previews import mann_kendall_trend
+
+    plan = _plan_of(mann_kendall_trend(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ks_exact_hist_cached_no_cartesian_no_sortmerge(spark):
+    """The banked ks_exact_pairs: the length histogram is persisted
+    (sizes, support, and both cdf sides read it), every join runs on
+    dimension-sized frames — no cartesian product, no fact-sized
+    sort-merge."""
+    from tests.test_round13_previews import ks_exact_pairs
+
+    plan = _plan_of(ks_exact_pairs(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_acf_residuals_cached_no_sortmerge(spark):
+    """The banked acf_daily_counts: the |days|-row residual frame is
+    persisted (den + three lag joins), and the lag joins stay on
+    dimension-sized frames — no sort-merge of anything fact-sized."""
+    from tests.test_round12_previews import acf_daily_counts
+
+    plan = _plan_of(acf_daily_counts(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_stratified_split_no_single_partition_stage(spark):
     """The registered exact_stratified_split must keep every stage
     partitioned: per-stratum rank windows, broadcast bounds join, no

@@ -97,6 +97,47 @@ def bellman_ford_relax(
     return dist
 
 
+def kcore_peel_rounds(
+    edges: DataFrame, k: int, rounds: int = 3
+) -> list[tuple[DataFrame, DataFrame]]:
+    """``rounds`` synchronous k-core peels over an undirected edge list.
+
+    ``edges``: columns ``u``, ``v`` (one row per undirected edge). Each
+    round drops every node whose current degree is < ``k`` and keeps only
+    edges between survivors. Returns one (survivors, remaining_edges)
+    pair per round — survivors has column ``node``; callers aggregate
+    their own census. Pure integer degree arithmetic, so each round is
+    exactly replayable by an unrolled-CTE oracle.
+
+    Scale shape per round: one degree groupBy + two semi-join-shaped
+    equi-joins against the survivor set, all keyed on the vertex id;
+    ``localCheckpoint`` truncates the per-round lineage (the
+    connected_components discipline). The survivor frame is persisted —
+    callers typically read it once for the census and once per join;
+    it is node-bounded and shrinks every round.
+    """
+    out: list[tuple[DataFrame, DataFrame]] = []
+    cur = edges
+    for _ in range(rounds):
+        nodes = cur.select(F.col("u").alias("node")).unionAll(
+            cur.select(F.col("v").alias("node"))
+        )
+        deg = nodes.groupBy("node").agg(
+            F.count("*").cast("long").alias("d")
+        )
+        # PERSIST: node-bounded survivor set, shrinks per round; read by
+        # the caller's census aggregate and both edge-filter joins
+        surv = deg.filter(F.col("d") >= k).select("node").persist()
+        cur = (
+            cur.join(surv.withColumnRenamed("node", "u"), "u")
+            .join(surv.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint()  # truncate lineage: constant-size plan per round
+        )
+        out.append((surv, cur))
+    return out
+
+
 def connected_components(
     vertices: DataFrame, edges: DataFrame, max_iter: int = 50
 ) -> DataFrame:

@@ -319,6 +319,20 @@ def test_bellman_ford_lineage_truncated(spark):
     assert "Join" not in plan, plan
 
 
+def test_kcore_survivors_cached_lineage_truncated(spark):
+    """The banked kcore_3peel: each round's survivor set must be
+    persisted (census + both edge-filter joins read it) and the edge
+    frame checkpoint must truncate the per-round lineage, so the final
+    census plan reads cached/checkpointed frames instead of replaying
+    the peel joins."""
+    from tests.test_round14_previews import kcore_3peel
+
+    plan = _plan_of(kcore_3peel(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_gini_single_scan_source_partitioned_window(spark):
     """The banked gini_concentration: one documents scan, the rank
     window partitioned by source (a global window would sort the corpus

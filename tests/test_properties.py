@@ -345,6 +345,36 @@ def test_label_propagation_matches_brute(spark, edges, iters):
     assert got == _brute_lpa(pairs, iters)
 
 
+@_SETTINGS
+@given(edges=_graph_edges, k=st.sampled_from([1, 2, 3]))
+def test_kcore_peel_matches_brute(spark, edges, k):
+    from collections import Counter
+
+    from etl_earthquake_gcp_spark.operators.graph import kcore_peel_rounds
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    df = spark.createDataFrame(und, "u long, v long")
+    got = [
+        (
+            sorted(r.node for r in surv.collect()),
+            sorted((r.u, r.v) for r in cur.collect()),
+        )
+        for surv, cur in kcore_peel_rounds(df, k=k, rounds=3)
+    ]
+    cur = und
+    expected = []
+    for _ in range(3):
+        deg = Counter()
+        for u, v in cur:
+            deg[u] += 1
+            deg[v] += 1
+        surv = {n for n, d in deg.items() if d >= k}
+        cur = [(u, v) for u, v in cur if u in surv and v in surv]
+        expected.append((sorted(surv), sorted(cur)))
+    assert got == expected
+    spark.catalog.clearCache()
+
+
 _weighted_edges = st.lists(
     st.tuples(
         st.integers(0, 5), st.integers(0, 5), st.integers(1, 4)

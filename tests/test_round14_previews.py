@@ -238,27 +238,16 @@ def _kcore_oracle() -> str:
 
 
 def kcore_3peel(spark, sf_dir):
+    from etl_earthquake_gcp_spark.operators.graph import kcore_peel_rounds
     from etl_earthquake_gcp_spark.plans.analytics_queries import (
         _capped_user_edges,
     )
 
     edges = _capped_user_edges(spark, sf_dir)
     out = []
-    cur = edges
-    for r in (1, 2, 3):
-        nodes = cur.select(F.col("u").alias("node")).unionAll(
-            cur.select(F.col("v").alias("node"))
-        )
-        deg = nodes.groupBy("node").agg(
-            F.count("*").cast("long").alias("d")
-        )
-        surv = deg.filter(F.col("d") >= _KCORE_K).select("node").persist()
-        cur = (
-            cur.join(surv.withColumnRenamed("node", "u"), "u")
-            .join(surv.withColumnRenamed("node", "v"), "v")
-            .select("u", "v")
-            .localCheckpoint()
-        )
+    for r, (surv, cur) in enumerate(
+        kcore_peel_rounds(edges, k=_KCORE_K, rounds=3), start=1
+    ):
         census = surv.agg(
             F.lit(r).cast("long").alias("round"),
             F.count("*").cast("long").alias("n_nodes"),

@@ -346,6 +346,43 @@ def test_label_propagation_matches_brute(spark, edges, iters):
 
 
 @_SETTINGS
+@given(
+    edges=_graph_edges,
+    extra_nodes=st.lists(st.integers(6, 9), max_size=3, unique=True),
+)
+def test_connected_components_matches_brute(spark, edges, extra_nodes):
+    """Min-label components vs a pure-Python union-find, including
+    isolated vertices (which must keep their own id as component)."""
+    from etl_earthquake_gcp_spark.operators.graph import (
+        connected_components,
+    )
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    nodes = sorted({n for e in und for n in e} | set(extra_nodes))
+    vdf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = spark.createDataFrame(und, "src long, dst long")
+    got = {
+        r.id: r.component for r in connected_components(vdf, edf).collect()
+    }
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in und:
+        parent[find(u)] = find(v)
+    comp_min: dict = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[find(n)] for n in nodes}
+    assert got == expected
+
+
+@_SETTINGS
 @given(edges=_graph_edges, k=st.sampled_from([1, 2, 3]))
 def test_kcore_peel_matches_brute(spark, edges, k):
     from collections import Counter

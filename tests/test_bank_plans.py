@@ -342,7 +342,9 @@ def test_gini_single_scan_source_partitioned_window(spark):
     from tests.test_round12_previews import gini_concentration
 
     plan = _plan_of(gini_concentration(spark, SF_DIR))
-    assert plan.count("Scan parquet") + plan.count("FileScan") >= 1
+    # "Scan parquet" is a substring of "FileScan parquet", so this
+    # counts both spellings — and pins EXACTLY one corpus scan
+    assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs and all(c == "source" for c in specs), specs

@@ -511,6 +511,10 @@ def test_hll_intersection_matches_python_replay(spark):
         HLL_ALPHA,
     )
 
+    # drift tripwire: the replay must fail LOUDLY if the register width
+    # ever changes, rather than silently reproducing a changed value
+    assert _HLL_MAX_RHO == 26
+
     a_c, b_c = minhash_coeffs(1, HLL_SEED)[0]
 
     def rho(w: int) -> int:

@@ -160,17 +160,19 @@ def main() -> int:
     variant, runs = "sf", 2
     while args and args[0].startswith("--"):
         flag = args.pop(0)
+        if flag not in ("--variant", "--runs"):
+            raise SystemExit(f"unknown flag {flag}\n\n{__doc__}")
         if not args:
             raise SystemExit(f"{flag} requires a value\n\n{__doc__}")
         if flag == "--variant":
             variant = args.pop(0)
-        elif flag == "--runs":
+        else:
             try:
                 runs = int(args.pop(0))
             except ValueError as e:
                 raise SystemExit(f"--runs must be an integer: {e}")
-        else:
-            raise SystemExit(f"unknown flag {flag}\n\n{__doc__}")
+            if runs < 1:
+                raise SystemExit("--runs must be >= 1")
     if not args:
         raise SystemExit(__doc__)
     if variant not in VARIANTS:

@@ -112,12 +112,21 @@ def kcore_peel_rounds(
     Scale shape per round: one degree groupBy + two semi-join-shaped
     equi-joins against the survivor set, all keyed on the vertex id;
     ``localCheckpoint`` truncates the per-round lineage (the
-    connected_components discipline). The survivor frame is persisted —
-    callers typically read it once for the census and once per join;
-    it is node-bounded and shrinks every round.
+    connected_components discipline). Each survivor frame is persisted
+    for its hot window — the two edge-filter joins that build the next
+    round's checkpoint — then the PREVIOUS round's cache is dropped
+    once that checkpoint has materialized (eager by default), so at
+    most two node-sized frames are cached at any time regardless of
+    ``rounds`` (r9 ADVICE: the per-round persists used to accumulate
+    for the session lifetime). The final round's survivor stays cached
+    for the caller's census; a caller's census over EARLIER rounds
+    recomputes one degree groupBy from that round's checkpointed edge
+    frame — cheap, exact, and correctness-neutral (unpersist only
+    drops the cache, never the lineage).
     """
     out: list[tuple[DataFrame, DataFrame]] = []
     cur = edges
+    prev_surv: DataFrame | None = None
     for _ in range(rounds):
         nodes = cur.select(F.col("u").alias("node")).unionAll(
             cur.select(F.col("v").alias("node"))
@@ -126,7 +135,9 @@ def kcore_peel_rounds(
             F.count("*").cast("long").alias("d")
         )
         # PERSIST: node-bounded survivor set, shrinks per round; read by
-        # the caller's census aggregate and both edge-filter joins
+        # both edge-filter joins below (and, for the FINAL round, the
+        # caller's census). Bounded lifetime: dropped right after the
+        # next round's checkpoint materializes — see the unpersist below.
         surv = deg.filter(F.col("d") >= k).select("node").persist()
         cur = (
             cur.join(surv.withColumnRenamed("node", "u"), "u")
@@ -134,6 +145,11 @@ def kcore_peel_rounds(
             .select("u", "v")
             .localCheckpoint()  # truncate lineage: constant-size plan per round
         )
+        # the checkpoint above ran eagerly, so the previous survivor's
+        # consumers have all executed; cap the cache at two frames
+        if prev_surv is not None:
+            prev_surv.unpersist()
+        prev_surv = surv
         out.append((surv, cur))
     return out
 

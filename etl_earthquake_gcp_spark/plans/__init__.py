@@ -19,64 +19,77 @@ from . import curation_queries  # noqa: E402,F401
 from . import calibration_queries  # noqa: E402,F401
 
 # The external correctness driver checks the first 50 queries in dict
-# order per round. Round-9 head, per the SURVEY.md forward schedule:
-# (1) the five NEW round-9 registrations promoted from the round-9
-# preview bank (stratified split, source-overlap MinHash, Zipf slope,
-# n-gram novelty, lexical diversity — parity pairs proven in
-# tests/test_round9_previews.py across rounds 7-8 including the
-# perturbed-testdata rehearsals), (2) the 13 r4-rowed tail names
-# (round-8 positions 51-63 — this completes the r4 cohort), (3) the
-# 32 stalest of the 43 r5-last-rowed queries by the standing
-# history-age rule: the 30 r1-history names in their r1 driver order,
-# then pagerank_3iter (r2 history), then skyline_pareto_orders (first
-# r3-history name in r3 driver order). That fills exactly 50; the 11
-# deferred r5-rowed names hold positions 51-61 and complete in round
-# 10 together with the round-10 preview bank. The NAME LISTS here and
+# order per round. Round-10 head, per the SURVEY.md forward schedule:
+# (1) the five NEW round-10 registrations promoted from the round-10
+# preview bank (span islands, centroid shift, LPA, Bellman-Ford,
+# greedy assignment — parity pairs proven in
+# tests/test_round10_previews.py across rounds 8-9 including the
+# perturbed-testdata rehearsals, cores in operators/graph.py with
+# Hypothesis brutes), (2) the 11 deferred r5-rowed names (round-9
+# positions 51-61 — this completes the r5 cohort), (3) the 34 stalest
+# of the 49 r6-last-rowed queries by the standing history-age rule:
+# the 13 r1-history names in their r1 driver order, then 21 r2-history
+# names in r2 driver order WITH ONE pairing-rule swap — rows-only
+# streaming_dedup_watermark (r2 pos 38) takes the 34th slot so it
+# lands in the SAME head as its audit sibling streaming_dedup_audit
+# (r5-deferred, position 16 here), and hll_distinct_users (r2 pos 32)
+# rolls to round 11 in its place. That fills exactly 50; the 15
+# deferred r6-rowed names hold positions 51-65 and complete in round
+# 11 together with the round-11 preview bank. The NAME LISTS here and
 # in SURVEY.md's forward schedule are the schedule of record;
 # re-derive nothing from prose.
 #
 # PAIRING RULE (r8 VERDICT next-step #4): whenever a ROWS-ONLY query
-# takes a head slot in any future rotation (r10+, r16-r20 refreshes,
+# takes a head slot in any future rotation (r11+, r16-r20 refreshes,
 # or any rework wave), its hash-green AUDIT SIBLING goes in the SAME
-# head (approx_distinct_events+approx_distinct_audit — both below —
-# streaming_dedup_watermark+streaming_dedup_audit, ml_predictions+
-# ml_accuracy_audit, pq_adc_topk/ivf_pq_topk+ann_recall_audit), so
-# the driver certifies the pair in one round.
+# head (approx_distinct_events+approx_distinct_audit — r9 head —
+# streaming_dedup_watermark+streaming_dedup_audit — BOTH below, the
+# swap this head exists to make — ml_predictions+ml_accuracy_audit,
+# pq_adc_topk/ivf_pq_topk+ann_recall_audit), so the driver certifies
+# the pair in one round.
 _DRIVER_PRIORITY = [
-    # -- new in round 9 (promoted from the round-9 preview bank) -----------
-    "exact_stratified_split", "source_overlap_minhash", "zipf_slope_fit",
-    "doc_novelty_ngram", "lexical_diversity_stats",
-    # -- the r4 cohort tail (round-8 positions 51-63; completes r4) --------
-    "doc_chunks_catalyst", "chunk_fixed_context", "approx_distinct_audit",
-    "approx_percentile_audit", "stratified_sample_audit",
-    "equidepth_approx_audit", "ml_accuracy_audit",
-    "semantic_dedup_signbucket", "cosine_topk_arrow",
-    "char_entropy_scores", "zorder_layout_stats", "multimodal_resize_nn",
-    "grouped_ols_trend",
-    # -- stalest r5-rowed re-confirmations (positions 19-50): the 30
-    #    r1-history names in r1 driver order, then pagerank_3iter (r2
-    #    history), then skyline_pareto_orders (r3 history) ----------------
-    "pricing_summary", "validation_filter", "case_buckets",
-    "latest_event_dedup", "latest_event_dedup_maxby",
-    "distinct_dim_with_key", "date_hierarchy_rollup", "global_kpis",
-    "approx_distinct_events", "sum_by_two_keys", "top_orders",
-    "union_priorities", "nation_set_ops", "explode_token_counts",
-    "bpe_token_counts", "countmin_token_freq", "array_access_first_last",
-    "exact_dedup_docs", "text_quality_stats", "lang_score",
-    "jaccard_near_dup_pairs", "near_dup_components",
-    "clean_corpus_by_source", "minhash_shingle_near_dup",
-    "fuzzy_pairs_levenshtein", "doc_fingerprints", "scrub_mask_tokens",
-    "containment_subset_pairs", "cosine_topk_bruteforce",
-    "embedding_norm_stats", "pagerank_3iter", "skyline_pareto_orders",
-    # -- positions 51-61: the 11 deferred r5-rowed names, complete in
-    #    round 10 (streaming_dedup_audit pairs with its rows-only
-    #    partner streaming_dedup_watermark per the pairing rule when
-    #    the partner next takes a head slot) ------------------------------
+    # -- new in round 10 (promoted from the round-10 preview bank) ---------
+    "shared_span_islands", "label_centroid_shift",
+    "label_propagation_3iter", "bellman_ford_3relax",
+    "greedy_assign_topmatch",
+    # -- positions 6-16: the 11 deferred r5-rowed names (round-9
+    #    positions 51-61; completes the r5 cohort). streaming_dedup_audit
+    #    is the hash-green sibling of rows-only streaming_dedup_watermark
+    #    at position 50 — the pairing rule in action ----------------------
     "bigram_lm_loglik", "hll_mergeable_rollup", "source_kl_divergence",
     "holt_linear_state", "incremental_rollup_merge", "funnel_3step_strict",
     "decontaminate_by_embedding", "ml_lag_features",
     "interpolate_linear_gaps", "seasonal_decompose_dow",
     "streaming_dedup_audit",
+    # -- positions 17-29: the 13 stalest r6-rowed names with r1 history,
+    #    in r1 driver order ------------------------------------------------
+    "window_rank_suite", "moving_average", "date_parts",
+    "dim_date_generated", "json_extract_props", "tumbling_daily_counts",
+    "window_distribution_suite", "stats_agg_suite", "string_ops_suite",
+    "array_ops_suite", "null_handling_suite", "weighted_avg_order_price",
+    "value_mad_robust",
+    # -- positions 30-50: 21 r6-rowed names with r2 history in r2 driver
+    #    order, with the ONE pairing-rule swap: streaming_dedup_watermark
+    #    (r2 pos 38) in, hll_distinct_users (r2 pos 32) rolls to r11 ------
+    "range_frame_running_sum", "semi_anti_join_customers",
+    "sql_entry_correlated_subquery", "unpivot_order_counts",
+    "gap_fill_user_daily", "value_histogram", "bloom_prefilter_semi_join",
+    "stratified_sample_counts", "grouping_sets_order_stats",
+    "conversion_funnel", "cohort_retention", "value_outliers_zscore",
+    "inverted_index_postings", "profile_events_columns",
+    "scd2_user_value_intervals", "event_type_bigrams",
+    "equidepth_histogram", "snapshot_reconciliation",
+    "deterministic_hash_sample", "rolling_7d_active_users",
+    "streaming_dedup_watermark",
+    # -- positions 51-65: the 15 deferred r6-rowed names, complete in
+    #    round 11 ----------------------------------------------------------
+    "hll_distinct_users", "streaming_tumbling_counts",
+    "streaming_sliding_counts", "streaming_stream_stream_join",
+    "streaming_static_enrich", "streaming_upsert_merge",
+    "asof_purchase_prior_click", "asof_cogroup_pandas",
+    "asof_nearest_click", "sessionize_events", "boilerplate_ngrams",
+    "weighted_sample_ares", "temperature_mix_weights",
+    "epoch_shuffle_order", "embedding_int8_quantize",
 ]
 
 

@@ -2723,3 +2723,160 @@ def hll_sliding_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_distinct",
         "exact_distinct",
     )
+
+
+# --------------------------------------------------------------------------
+# round-10 bank: label propagation + Bellman-Ford on the co-activity graph
+# --------------------------------------------------------------------------
+
+_LPA_K = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled-CTE replay of the three synchronous LPA rounds: the
+    (count DESC, label ASC) argmax is pure integer arithmetic, so every
+    iteration is bit-identical across engines."""
+    ctes = [
+        _TRIANGLE_EDGES_SQL.strip(),
+        """d2 AS (
+            SELECT u AS src, v AS dst FROM edges
+            UNION ALL
+            SELECT v, u FROM edges
+        )""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM d2)",
+    ]
+    for i in range(1, _LPA_K + 1):
+        ctes.append(f"""n{i} AS (
+            SELECT d.src, l.label, CAST(count(*) AS BIGINT) AS c
+            FROM d2 d JOIN l{i - 1} l ON d.dst = l.node
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""l{i} AS (
+            SELECT src AS node, label FROM (
+                SELECT src, label, row_number() OVER (
+                    PARTITION BY src ORDER BY c DESC, label) AS rn
+                FROM n{i})
+            WHERE rn = 1
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_sum
+    FROM l{_LPA_K} GROUP BY 1
+    """
+    )
+
+
+@register(
+    "label_propagation_3iter",
+    oracle=_lpa_oracle(),
+    doc="community detection on the shared degree-capped co-activity "
+    "graph (the triangle/BFS/pagerank substrate): three synchronous "
+    "label-propagation rounds via operators/graph.py::label_propagation, "
+    "made fully deterministic by the (count DESC, label ASC) argmax "
+    "tie-break - pure integer arithmetic, so the unrolled-CTE oracle "
+    "replays every iteration bit-for-bit. Output certifies the complete "
+    "final assignment via per-community sizes + node-id sums. Scale "
+    "shape per round: one vertex-keyed equi-join + one count groupBy + "
+    "a per-node argmax window bounded by the degree cap - the pagerank "
+    "shuffle pattern, no vertex-sized broadcast anywhere.",
+)
+def label_propagation_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    edges = _capped_user_edges(spark, sf_dir)
+    # PERSIST: the symmetrized degree-capped edge list (2x the capped
+    # edge count - linear in users by the cap), traversed once per LPA
+    # iteration (the pagerank pattern); session-LRU lifetime
+    directed = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .persist()
+    )
+    labels = label_propagation(directed, iters=_LPA_K)
+    return labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("node_sum"),
+    ).select(
+        F.col("label").cast("long").alias("community"),
+        "n_nodes",
+        "node_sum",
+    )
+
+
+_BF_COST = 1_000_000
+
+
+def _bf_oracle() -> str:
+    """Unrolled-CTE replay of the three Bellman-Ford relaxations:
+    min-plus over integers, every distance exact."""
+    ctes = [
+        _TRIANGLE_EDGES_SQL.strip(),
+        f"""wdir AS (
+            SELECT u AS src, v AS dst, {_BF_COST} // shared AS cost
+            FROM edges_w
+            UNION ALL
+            SELECT v, u, {_BF_COST} // shared FROM edges_w
+        )""",
+        "s AS (SELECT min(src) AS sid FROM wdir)",
+        "d0 AS (SELECT sid AS node, CAST(0 AS BIGINT) AS dist FROM s)",
+    ]
+    for i in range(1, 4):
+        ctes.append(f"""r{i} AS (
+            SELECT e.dst AS node,
+                   CAST(min(d.dist + e.cost) AS BIGINT) AS dist
+            FROM d{i - 1} d JOIN wdir e ON e.src = d.node
+            GROUP BY 1
+        )""")
+        ctes.append(f"""d{i} AS (
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist
+            FROM (SELECT * FROM d{i - 1} UNION ALL SELECT * FROM r{i})
+            GROUP BY node
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(node AS BIGINT) AS node, dist FROM d3"
+    )
+
+
+@register(
+    "bellman_ford_3relax",
+    oracle=_bf_oracle(),
+    doc="weighted shortest paths on the SAME degree-capped co-activity "
+    "graph the triangle/BFS/LPA queries ride (the weighted sibling of "
+    f"bfs_hops_user_graph): edge cost = {_BF_COST} div shared (stronger "
+    "co-activity = cheaper), three Bellman-Ford relaxations from the "
+    "smallest user id via operators/graph.py::bellman_ford_relax. "
+    "Min-plus over integers - every distance exact, the oracle unrolls "
+    "the three relaxations over the shared edges_w CTE. Unreached nodes "
+    "are absent (the frontier-growth formulation), matching both "
+    "engines. Scale shape per round: one vertex-keyed equi-join + one "
+    "min groupBy, lineage truncated per round by localCheckpoint inside "
+    "the operator (the connected_components discipline).",
+)
+def bellman_ford_3relax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bellman_ford_relax
+
+    edges_w = _capped_user_edges_weighted(spark, sf_dir)  # persisted there
+    cost = F.expr(f"{_BF_COST} div shared").cast("long")
+    wdir = edges_w.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), cost.alias("cost")
+    ).unionByName(
+        edges_w.select(
+            F.col("v").alias("src"),
+            F.col("u").alias("dst"),
+            cost.alias("cost"),
+        )
+    )
+    src = wdir.agg(F.min("src").alias("sid"))
+    dist = src.select(
+        F.col("sid").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    dist = bellman_ford_relax(wdir, dist, iters=3)
+    return dist.select(F.col("node").cast("long").alias("node"), "dist")

@@ -610,9 +610,16 @@ def bpe_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the shared (a*x+b) mod p modulus — the ONE house value; the signature
 # hash below reduces mod HASH_P while minhash_coeffs draws mod
-# dedup._MERSENNE_P, so the asserts bind all three names to one number
+# dedup._MERSENNE_P, so this import-time check binds all three names to
+# one number (an explicit raise, not assert — a bare assert is compiled
+# away under `python -O`, silently disabling the drift guard; r9 ADVICE)
 HASH_P = sampling.HASH_P
-assert HASH_P == dedup._MERSENNE_P == 2147483647
+if not (HASH_P == dedup._MERSENNE_P == 2147483647):
+    raise ValueError(
+        "modulus drift: sampling.HASH_P, dedup._MERSENNE_P and the "
+        f"curation oracle literal must all be 2147483647 (got {HASH_P}, "
+        f"{dedup._MERSENNE_P})"
+    )
 OVL_H = 16  # minhash signature width of the source-overlap audit
 OVL_SEED = 42
 ZIPF_R = 100  # top-R ranks entering the log-log OLS fit

@@ -2552,3 +2552,98 @@ def passjoin_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.levenshtein("sa", "sb").cast("long").alias("edit_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# round-10 bank: exact duplicated-span finder (maximal islands)
+# --------------------------------------------------------------------------
+
+_SPAN_K = 5
+
+_SPAN_ISLANDS_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, s.i AS pos,
+               array_to_string(toks[s.i:s.i + {_SPAN_K} - 1], ' ') AS gram
+        FROM t, LATERAL (SELECT unnest(generate_series(1,
+                 len(toks) - {_SPAN_K} + 1)) AS i) s
+        WHERE len(toks) >= {_SPAN_K}
+    ), reach AS (
+        SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY gram
+    ), shared AS (
+        SELECT g.doc_id, g.pos
+        FROM g JOIN reach USING (gram)
+        WHERE reach.n_docs >= 2
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pos) AS grp
+        FROM shared
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS start_pos,
+           CAST(max(pos) + {_SPAN_K} - 1 AS BIGINT) AS end_pos,
+           CAST(max(pos) - min(pos) + {_SPAN_K} AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+"""
+
+
+@register(
+    "shared_span_islands",
+    oracle=_SPAN_ISLANDS_ORACLE,
+    doc="exact cross-document duplicated spans (the Lee-et-al "
+    "substring-dedup find stage on maximal islands): every position "
+    f"whose {_SPAN_K}-gram occurs in >= 2 DISTINCT documents, merged "
+    "into maximal runs with the gap-and-island trick (pos - row_number "
+    "is constant within a consecutive run - pure integer arithmetic, so "
+    "the oracle replays every span bit-for-bit). The maximal-span "
+    "companion to segment_dedup_rewrite's fixed segments: a shared run "
+    f"of w tokens is recovered as ONE span of w + {_SPAN_K} - 1 "
+    "positions, not ceil(w/seg) fragments. Scale shape: one tokenize "
+    "pass feeding a gram-keyed doc-frequency groupBy and an equi-join "
+    "back (two shuffles on gram), then a per-doc island window - no "
+    "all-pairs stage anywhere, and the window partitions by doc_id so "
+    "no single-task global sort.",
+)
+def shared_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # PERSIST: the position-gram frame (one row per token position -
+    # corpus-token-sized, the same bound as the certified inverted-index
+    # family), read by BOTH the doc-frequency groupBy and the join-back
+    # below; caching trades one tokenize/explode pass for the cache,
+    # session-LRU lifetime
+    grams = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_SPAN_K} + 1),"
+                    f" i -> array_join(slice(toks, i, {_SPAN_K}), ' '))"
+                )
+            ).alias("idx", "gram"),
+        )
+        .select("doc_id", (F.col("idx") + 1).alias("pos"), "gram")
+        .persist()
+    )
+    reach = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    )
+    shared = (
+        grams.join(reach, "gram")
+        .filter(F.col("n_docs") >= 2)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = shared.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("start_pos"),
+        (F.max("pos") + _SPAN_K - 1).cast("long").alias("end_pos"),
+        (F.max("pos") - F.min("pos") + _SPAN_K)
+        .cast("long")
+        .alias("span_tokens"),
+    ).drop("grp")

@@ -1569,3 +1569,201 @@ def random_projection_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("long").alias("dim"),
         (F.round(y, 6) + F.lit(0.0)).alias("y"),
     )
+
+
+# --------------------------------------------------------------------------
+# round-10 bank: centroid-shift audit + greedy one-to-one assignment
+# --------------------------------------------------------------------------
+
+_CENTROID_SHIFT_ORACLE = """
+    WITH x AS (
+        SELECT label, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), cent AS (
+        SELECT label, i,
+               CAST(round(avg(v) * 1000000, 0) AS BIGINT) AS u
+        FROM x GROUP BY label, i
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum((a.u - b.u) * (a.u - b.u)) AS BIGINT) AS dist2_u,
+           round(sum((a.u - b.u) * (a.u - b.u)) * 1.0
+                 / 1000000000000, 6) AS dist2_6
+    FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "label_centroid_shift",
+    oracle=_CENTROID_SHIFT_ORACLE,
+    doc="embedding distribution-shift audit: per-label centroids "
+    "(per-dim means quantized ONCE to 1e-6 integer units - the "
+    "moments-first rule; avg combine-order ulp drift is absorbed by the "
+    "single quantization), then EXACT integer squared distances between "
+    "every label pair. The only float op is the final display ratio "
+    "(dist2_u / 1e12, one int/int ratio rounded once - inside the "
+    "measured one-op safety band). Scale shape: the pair join runs on "
+    "the |labels| x dims POST-AGGREGATION centroid frames, never the "
+    "raw exploded fact frame - the expensive stage is one (label, dim) "
+    "groupBy with map-side partial aggregation, and the pair stage is "
+    "label-dimension-bounded regardless of corpus size.",
+)
+def label_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "v")
+    ).select(
+        "label", (F.col("i0") + 1).alias("i"), F.col("v").cast("double")
+    )
+    cent = x.groupBy("label", "i").agg(
+        F.round(F.avg("v") * 1_000_000, 0).cast("long").alias("u")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "i", F.col("u").alias("ua")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "i", F.col("u").alias("ub")
+    )
+    d2 = F.sum(
+        (F.col("ua") - F.col("ub")) * (F.col("ua") - F.col("ub"))
+    ).cast("long")
+    return (
+        a.join(b, (a["i"] == b["i"]) & (a["label_a"] < b["label_b"]))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.count("*").cast("long").alias("n_dims"),
+            d2.alias("dist2_u"),
+            F.round(d2 * 1.0 / 1_000_000_000_000, 6).alias("dist2_6"),
+        )
+    )
+
+
+_GA_STEPS = _N_QUERIES  # the standing 5-vector anchor query set
+
+
+def _ga_oracle() -> str:
+    """Unrolled greedy assignment: five chained argmax CTEs with NOT-IN
+    exclusions (the MMR pattern). Scores quantized ONCE to 1e-6 integer
+    units before every comparison, (s_u DESC, query_id, item_id) total
+    order - both engines replay the identical greedy trajectory."""
+    base = f"""
+    exploded AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, sqrt(sum(x * x)) AS norm FROM exploded GROUP BY vec_id
+    ), dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+               sum(a.x * b.x) AS dot
+        FROM exploded a JOIN exploded b ON a.i = b.i
+        WHERE a.vec_id < {_GA_STEPS} AND b.vec_id >= {_GA_STEPS}
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT d.query_id, d.item_id,
+               CAST(round(d.dot / (nq.norm * ni.norm) * 1000000, 0)
+                    AS BIGINT) AS s_u
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms ni ON d.item_id = ni.vec_id
+        WHERE nq.norm > 0 AND ni.norm > 0
+    )"""
+    ctes = [base.strip()]
+    sel = []
+    for j in range(1, _GA_STEPS + 1):
+        excl = ""
+        if j > 1:
+            prev = " UNION ALL ".join(
+                f"SELECT query_id FROM g{p}" for p in range(1, j)
+            )
+            previ = " UNION ALL ".join(
+                f"SELECT item_id FROM g{p}" for p in range(1, j)
+            )
+            excl = (
+                f" WHERE query_id NOT IN ({prev})"
+                f" AND item_id NOT IN ({previ})"
+            )
+        ctes.append(
+            f"g{j} AS (SELECT {j} AS step, query_id, item_id, s_u"
+            f" FROM scored{excl}"
+            f" ORDER BY s_u DESC, query_id, item_id LIMIT 1)"
+        )
+        sel.append(
+            f"SELECT CAST(step AS BIGINT) AS step, query_id, item_id,"
+            f" s_u FROM g{j}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@register(
+    "greedy_assign_topmatch",
+    oracle=_ga_oracle(),
+    doc="global one-to-one assignment: greedily match each of the "
+    f"{_GA_STEPS} anchor queries to a distinct corpus vector by highest "
+    "cosine (the unique-assignment variant of cosine top-k - dedup-aware "
+    "retrieval / annotator routing). Scores quantized ONCE to 1e-6 "
+    "integer units, the greedy argmax totally ordered by (score DESC, "
+    "query, item); the oracle unrolls all five steps with NOT-IN "
+    "exclusions (the MMR pattern). Each Spark step is a 1-row "
+    "TakeOrderedAndProject argmax (the BPE greedy-loop pattern) - the "
+    "corpus-sized pair table itself never leaves the cluster, and the "
+    "per-step filter prunes by two bounded id lists.",
+)
+def greedy_assign_topmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(
+        (F.col("vec_id") < _GA_STEPS) & (F.col("norm") > 0)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    items = emb.filter(
+        (F.col("vec_id") >= _GA_STEPS) & (F.col("norm") > 0)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # CROSSJOIN: the _GA_STEPS-row anchor query frame (fixed eval-set
+    # size, independent of data scale) broadcast onto the corpus
+    # PERSIST: |corpus| x _GA_STEPS scored pairs - one fan-out row set,
+    # read by the _GA_STEPS argmax passes below; session-LRU lifetime
+    scored = (
+        items.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("item_id"),
+            F.round(dot / (F.col("norm") * F.col("qnorm")) * 1_000_000, 0)
+            .cast("long")
+            .alias("s_u"),
+        )
+        .persist()
+    )
+    rows = []
+    taken_q: list[int] = []
+    taken_i: list[int] = []
+    for step in range(1, _GA_STEPS + 1):
+        # COLLECT: the 1-row greedy argmax, _GA_STEPS steps total -
+        # driver traffic bounded by _GA_STEPS rows (the BPE pattern)
+        best = (
+            scored.filter(
+                ~F.col("query_id").isin(taken_q)
+                & ~F.col("item_id").isin(taken_i)
+            )
+            .orderBy(F.desc("s_u"), "query_id", "item_id")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        r = best[0]
+        rows.append((step, r["query_id"], r["item_id"], r["s_u"]))
+        taken_q.append(r["query_id"])
+        taken_i.append(r["item_id"])
+    return spark.createDataFrame(
+        rows, schema="step long, query_id long, item_id long, s_u long"
+    )

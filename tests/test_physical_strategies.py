@@ -396,8 +396,12 @@ def test_forced_broadcast_site_count_is_adjudicated():
     # signature frame and the three |sources|(^2)-row size/intersection
     # aggregates — source-dimension-bounded (its vocabulary join stays
     # UNHINTED per the audit rule; see the site comments)
-    assert n == 96, (
-        f"F.broadcast site count changed ({n} != 96): adjudicate the "
+    # + 1 round-10 site: greedy_assign_topmatch's fixed _GA_STEPS-row
+    # anchor query frame (the standing 5-vector eval set — the same
+    # bounded class as the cosine-topk query frames; CROSSJOIN-annotated
+    # at the site)
+    assert n == 97, (
+        f"F.broadcast site count changed ({n} != 97): adjudicate the "
         "new/removed site per the round-7 audit rule (SCALING.md) and "
         "update this pin"
     )

@@ -45,8 +45,15 @@ TABLES = [
 ]
 
 
+# bump when a _build_* statement changes: the fingerprint must key on
+# builder CODE as well as source data, or a fixed replication bug keeps
+# serving its stale cached dirs (r9 ADVICE: the un-aliased `* EXCLUDE`
+# leaked the unnest index as a stray `i` column)
+_BUILDER_VERSION = 2
+
+
 def _fingerprint(src: str) -> str:
-    parts = []
+    parts = [f"builder:{_BUILDER_VERSION}"]
     for t in TABLES:
         p = f"{src}/{t}.parquet"
         if os.path.exists(p):
@@ -67,8 +74,8 @@ def _build_docs10x(src: str, dst: str) -> None:
         COPY (
           SELECT doc_id + i.i * (SELECT max(doc_id) + 1
                    FROM read_parquet('{src}/documents.parquet')) AS doc_id,
-                 * EXCLUDE (doc_id)
-          FROM read_parquet('{src}/documents.parquet'),
+                 d.* EXCLUDE (doc_id)
+          FROM read_parquet('{src}/documents.parquet') d,
                (SELECT unnest(range(10)) AS i) i
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
@@ -76,8 +83,8 @@ def _build_docs10x(src: str, dst: str) -> None:
         COPY (
           SELECT vec_id + i.i * (SELECT max(vec_id) + 1
                    FROM read_parquet('{src}/embeddings.parquet')) AS vec_id,
-                 * EXCLUDE (vec_id)
-          FROM read_parquet('{src}/embeddings.parquet'),
+                 e.* EXCLUDE (vec_id)
+          FROM read_parquet('{src}/embeddings.parquet') e,
                (SELECT unnest(range(10)) AS i) i
         ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
     """)
@@ -109,8 +116,8 @@ def _build_cust10x(src: str, dst: str) -> None:
         COPY (
           SELECT c_custkey + i.i * (SELECT max(c_custkey) + 1
                    FROM read_parquet('{src}/customer.parquet')) AS c_custkey,
-                 * EXCLUDE (c_custkey)
-          FROM read_parquet('{src}/customer.parquet'),
+                 c.* EXCLUDE (c_custkey)
+          FROM read_parquet('{src}/customer.parquet') c,
                (SELECT unnest(range(10)) AS i) i
         ) TO '{dst}/customer.parquet' (FORMAT PARQUET)
     """)
@@ -120,8 +127,8 @@ def _build_cust10x(src: str, dst: str) -> None:
                    FROM read_parquet('{src}/orders.parquet')) AS o_orderkey,
                  o_custkey + i.i * (SELECT max(c_custkey) + 1
                    FROM read_parquet('{src}/customer.parquet')) AS o_custkey,
-                 * EXCLUDE (o_orderkey, o_custkey)
-          FROM read_parquet('{src}/orders.parquet'),
+                 o.* EXCLUDE (o_orderkey, o_custkey)
+          FROM read_parquet('{src}/orders.parquet') o,
                (SELECT unnest(range(10)) AS i) i
         ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
     """)

@@ -40,13 +40,19 @@ from . import calibration_queries  # noqa: E402,F401
 # re-derive nothing from prose.
 #
 # PAIRING RULE (r8 VERDICT next-step #4): whenever a ROWS-ONLY query
-# takes a head slot in any future rotation (r11+, r16-r20 refreshes,
-# or any rework wave), its hash-green AUDIT SIBLING goes in the SAME
-# head (approx_distinct_events+approx_distinct_audit — r9 head —
+# takes a head slot in any rotation (r10+, r16-r20 refreshes, or any
+# rework wave), its hash-green AUDIT SIBLING goes in the SAME head
+# (approx_distinct_events+approx_distinct_audit — r9 head —
 # streaming_dedup_watermark+streaming_dedup_audit — BOTH below, the
 # swap this head exists to make — ml_predictions+ml_accuracy_audit,
-# pq_adc_topk/ivf_pq_topk+ann_recall_audit), so the driver certifies
-# the pair in one round.
+# pq_adc_topk/ivf_pq_topk+ann_recall_audit). Adjudicated exception in
+# THIS head: rows-only stratified_sample_counts (position 37, judge-
+# written membership) refreshes while stratified_sample_audit holds
+# its hash-green r9 row — the one-round-stale-sibling class the r9
+# verdict filed as schedule-next-rotation (its gap #2); pair them
+# whenever the counts query next takes a slot (r16+ refresh; SCALING
+# pairing ledger). The r11 head consolidates the ANN family + the
+# approx-percentile and ml pairs (SURVEY r11 bullet).
 _DRIVER_PRIORITY = [
     # -- new in round 10 (promoted from the round-10 preview bank) ---------
     "shared_span_islands", "label_centroid_shift",

@@ -512,15 +512,21 @@ def _scan_annotation_sites(site_pat, tag, two_line_pat=None):
 def test_every_persist_site_is_annotated():
     """Round-8 persist audit tripwire (r7 VERDICT next-step #6): every
     .persist() in the engine package is a multi-consumer cache inside
-    ONE query's lazy plan, so none can eagerly unpersist — instead each
-    site must carry a `PERSIST:` annotation stating the frame's size
-    bound, its consumers, and the session-LRU lifetime, as the nearest
-    preceding comment block (a neighboring site's annotation within the
-    lookback does NOT count — r8 ADVICE). A new persist without the
-    annotation fails here; adjudicate it (bound + consumers) and
-    annotate, or drop the cache. localCheckpoint sites are excluded:
-    their lifetime is the checkpoint file, bounded by the fixed
-    iteration count of the algorithms that use them."""
+    ONE query's lazy plan, so as a rule none can eagerly unpersist —
+    instead each site must carry a `PERSIST:` annotation stating the
+    frame's size bound, its consumers, and the lifetime, as the
+    nearest preceding comment block (a neighboring site's annotation
+    within the lookback does NOT count — r8 ADVICE). Lifetime is
+    usually session-LRU; the one adjudicated eager-unpersist exception
+    is operators/graph.py::kcore_peel_rounds (r9 ADVICE), where an
+    eager localCheckpoint CLOSES the previous round's consumer set
+    inside the operator, so the prior survivor cache can be dropped —
+    an unpersist is only sound behind such a materialization barrier,
+    and the site still carries the annotation. A new persist without
+    the annotation fails here; adjudicate it (bound + consumers +
+    lifetime) and annotate, or drop the cache. localCheckpoint sites
+    are excluded: their lifetime is the checkpoint file, bounded by
+    the fixed iteration count of the algorithms that use them."""
     import re
 
     missing = _scan_annotation_sites(

@@ -1697,21 +1697,11 @@ def _ga_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
 
 
-@register(
-    "greedy_assign_topmatch",
-    oracle=_ga_oracle(),
-    doc="global one-to-one assignment: greedily match each of the "
-    f"{_GA_STEPS} anchor queries to a distinct corpus vector by highest "
-    "cosine (the unique-assignment variant of cosine top-k - dedup-aware "
-    "retrieval / annotator routing). Scores quantized ONCE to 1e-6 "
-    "integer units, the greedy argmax totally ordered by (score DESC, "
-    "query, item); the oracle unrolls all five steps with NOT-IN "
-    "exclusions (the MMR pattern). Each Spark step is a 1-row "
-    "TakeOrderedAndProject argmax (the BPE greedy-loop pattern) - the "
-    "corpus-sized pair table itself never leaves the cluster, and the "
-    "per-step filter prunes by two bounded id lists.",
-)
-def greedy_assign_topmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ga_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cached (query_id, item_id, s_u) pair frame every greedy
+    argmax step filters — factored out so the bank plan pin can assert
+    the per-step shape (TakeOrderedAndProject over the cache, never a
+    recompute of the crossJoin per step)."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(
         (F.col("vec_id") < _GA_STEPS) & (F.col("norm") > 0)
@@ -1731,8 +1721,8 @@ def greedy_assign_topmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CROSSJOIN: the _GA_STEPS-row anchor query frame (fixed eval-set
     # size, independent of data scale) broadcast onto the corpus
     # PERSIST: |corpus| x _GA_STEPS scored pairs - one fan-out row set,
-    # read by the _GA_STEPS argmax passes below; session-LRU lifetime
-    scored = (
+    # read by the _GA_STEPS argmax passes in the caller; session-LRU
+    return (
         items.crossJoin(F.broadcast(q))
         .select(
             "query_id",
@@ -1743,6 +1733,26 @@ def greedy_assign_topmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+
+
+
+
+@register(
+    "greedy_assign_topmatch",
+    oracle=_ga_oracle(),
+    doc="global one-to-one assignment: greedily match each of the "
+    f"{_GA_STEPS} anchor queries to a distinct corpus vector by highest "
+    "cosine (the unique-assignment variant of cosine top-k - dedup-aware "
+    "retrieval / annotator routing). Scores quantized ONCE to 1e-6 "
+    "integer units, the greedy argmax totally ordered by (score DESC, "
+    "query, item); the oracle unrolls all five steps with NOT-IN "
+    "exclusions (the MMR pattern). Each Spark step is a 1-row "
+    "TakeOrderedAndProject argmax (the BPE greedy-loop pattern) - the "
+    "corpus-sized pair table itself never leaves the cluster, and the "
+    "per-step filter prunes by two bounded id lists.",
+)
+def greedy_assign_topmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _ga_scored(spark, sf_dir)
     rows = []
     taken_q: list[int] = []
     taken_i: list[int] = []

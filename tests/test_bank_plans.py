@@ -319,6 +319,38 @@ def test_bellman_ford_lineage_truncated(spark):
     assert "Join" not in plan, plan
 
 
+def test_greedy_assign_step_reads_cache_take_ordered(spark):
+    """The registered greedy_assign_topmatch: each of the five argmax
+    steps must be a TakeOrderedAndProject over a Filter of the CACHED
+    scored-pair frame — never a global sort, and never a per-step
+    recompute of the corpus x anchor crossJoin (the broadcast NLJ is
+    built once, inside the cache). The registered callable returns a
+    driver-local 5-row frame, so the pin drives the factored
+    _ga_scored helper plus one representative step filter — the exact
+    plan the loop executes."""
+    from pyspark.sql import functions as F
+
+    from etl_earthquake_gcp_spark.plans.vector_queries import _ga_scored
+
+    scored = _ga_scored(spark, SF_DIR)
+    step = (
+        scored.filter(
+            ~F.col("query_id").isin([0]) & ~F.col("item_id").isin([7])
+        )
+        .orderBy(F.desc("s_u"), "query_id", "item_id")
+        .limit(1)
+    )
+    plan = _plan_of(step)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the crossJoin lives only inside the cached relation's build plan;
+    # the step itself must not re-join anything
+    assert plan.index("InMemoryTableScan") < plan.index(
+        "BroadcastNestedLoopJoin"
+    ), plan
+
+
 def test_kcore_survivors_cached_lineage_truncated(spark):
     """The banked kcore_3peel: each round's survivor set must be
     persisted (census + both edge-filter joins read it) and the edge

@@ -19,76 +19,58 @@ from . import curation_queries  # noqa: E402,F401
 from . import calibration_queries  # noqa: E402,F401
 
 # The external correctness driver checks the first 50 queries in dict
-# order per round. Round-10 head, per the SURVEY.md forward schedule:
-# (1) the five NEW round-10 registrations promoted from the round-10
-# preview bank (span islands, centroid shift, LPA, Bellman-Ford,
-# greedy assignment — parity pairs proven in
-# tests/test_round10_previews.py across rounds 8-9 including the
-# perturbed-testdata rehearsals, cores in operators/graph.py with
-# Hypothesis brutes), (2) the 11 deferred r5-rowed names (round-9
-# positions 51-61 — this completes the r5 cohort), (3) the 34 stalest
-# of the 49 r6-last-rowed queries by the standing history-age rule:
-# the 13 r1-history names in their r1 driver order, then 21 r2-history
-# names in r2 driver order WITH ONE pairing-rule swap — rows-only
-# streaming_dedup_watermark (r2 pos 38) takes the 34th slot so it
-# lands in the SAME head as its audit sibling streaming_dedup_audit
-# (r5-deferred, position 16 here), and hll_distinct_users (r2 pos 32)
-# rolls to round 11 in its place. That fills exactly 50; the 15
-# deferred r6-rowed names hold positions 51-65 and complete in round
-# 11 together with the round-11 preview bank. The NAME LISTS here and
-# in SURVEY.md's forward schedule are the schedule of record;
-# re-derive nothing from prose.
+# order per round. Round-11 head, per the SURVEY.md forward schedule
+# (its r11 bullet is the prose twin of this list):
+# (1) the seven NEW round-11 registrations promoted from the round-11
+# preview bank (RFM quartiles, the composed per-source datacard, the
+# HLL inclusion-exclusion intersection audit, length-distribution EMD
+# pairs, the vocabulary coverage curve, conditional bigram entropy,
+# the Kaplan-Meier session survival curve — parity pairs proven in
+# tests/test_round11_previews.py across rounds 9-10 including the
+# perturbed-testdata rehearsals, six with pure-Python replays),
+# (2) the 15 deferred r6-rowed names (round-10 positions 51-65 — this
+# retires the r6 cohort: after this round no query's newest driver row
+# is older than r7), (3) 28 refresh slots from the 50 r7-last-rowed
+# queries by the standing history-age rule (computed at the end of
+# round 10): the 7 r1-history names in r1 driver order, then 15
+# r2-history names in r2 driver order, then ml_predictions (first
+# r3-history name), then FIVE pairing-rule additions that certify
+# every rows-only name in this head beside its hash-green audit
+# sibling in one round (the r10 watermark-pair template — and exactly
+# the ANN-family consolidation the r9 verdict asked for):
+# pq_adc_topk, ivf_pq_topk, ann_recall_audit (certifies
+# ann_lsh_bucketed / ann_ivf_topk / pq_adc_topk / ivf_pq_topk),
+# approx_percentile_audit (certifies approx_value_percentiles),
+# ml_accuracy_audit (certifies ml_predictions). 7 + 15 + 28 = 50.
+# The five least-stale names the pairing additions displace
+# (embedding_cosine_near_dup, cosine_topk_pandas,
+# embedding_centroids_by_label, ml_class_balance,
+# multimodal_meta_stats) hold positions 51-55 and roll to round 12
+# per the standing displacement rule. The NAME LISTS here and in
+# SURVEY.md's forward schedule are the schedule of record; re-derive
+# nothing from prose.
 #
 # PAIRING RULE (r8 VERDICT next-step #4): whenever a ROWS-ONLY query
 # takes a head slot in any rotation (r10+, r16-r20 refreshes, or any
-# rework wave), its hash-green AUDIT SIBLING goes in the SAME head
-# (approx_distinct_events+approx_distinct_audit — r9 head —
-# streaming_dedup_watermark+streaming_dedup_audit — BOTH below, the
-# swap this head exists to make — ml_predictions+ml_accuracy_audit,
-# pq_adc_topk/ivf_pq_topk+ann_recall_audit). Adjudicated exception in
-# THIS head: rows-only stratified_sample_counts (position 37, judge-
-# written membership) refreshes while stratified_sample_audit holds
-# its hash-green r9 row — the one-round-stale-sibling class the r9
-# verdict filed as schedule-next-rotation (its gap #2); pair them
-# whenever the counts query next takes a slot (r16+ refresh; SCALING
-# pairing ledger). The r11 head consolidates the ANN family + the
-# approx-percentile and ml pairs (SURVEY r11 bullet).
+# rework wave), its hash-green AUDIT SIBLING goes in the SAME head.
+# In THIS head every rows-only name is paired: ann_lsh_bucketed /
+# ann_ivf_topk / pq_adc_topk / ivf_pq_topk with ann_recall_audit,
+# approx_value_percentiles with approx_percentile_audit,
+# ml_predictions with ml_accuracy_audit, streaming_sessionize_state
+# with the hash-green session pair classes (sessionize_events /
+# session_window_agg, both in this head). Standing ledger exception
+# (SCALING.md pairing ledger): stratified_sample_counts refreshed in
+# r10 while stratified_sample_audit holds its hash-green r9 row —
+# pair them whenever the counts query next takes a slot (r16+).
 _DRIVER_PRIORITY = [
-    # -- new in round 10 (promoted from the round-10 preview bank) ---------
-    "shared_span_islands", "label_centroid_shift",
-    "label_propagation_3iter", "bellman_ford_3relax",
-    "greedy_assign_topmatch",
-    # -- positions 6-16: the 11 deferred r5-rowed names (round-9
-    #    positions 51-61; completes the r5 cohort). streaming_dedup_audit
-    #    is the hash-green sibling of rows-only streaming_dedup_watermark
-    #    at position 50 — the pairing rule in action ----------------------
-    "bigram_lm_loglik", "hll_mergeable_rollup", "source_kl_divergence",
-    "holt_linear_state", "incremental_rollup_merge", "funnel_3step_strict",
-    "decontaminate_by_embedding", "ml_lag_features",
-    "interpolate_linear_gaps", "seasonal_decompose_dow",
-    "streaming_dedup_audit",
-    # -- positions 17-29: the 13 stalest r6-rowed names with r1 history,
-    #    in r1 driver order ------------------------------------------------
-    "window_rank_suite", "moving_average", "date_parts",
-    "dim_date_generated", "json_extract_props", "tumbling_daily_counts",
-    "window_distribution_suite", "stats_agg_suite", "string_ops_suite",
-    "array_ops_suite", "null_handling_suite", "weighted_avg_order_price",
-    "value_mad_robust",
-    # -- positions 30-50: 21 r6-rowed names with r2 history in r2 driver
-    #    order, with the ONE pairing-rule swap: streaming_dedup_watermark
-    #    (r2 pos 38) in, hll_distinct_users (r2 pos 32) rolls to r11 ------
-    "range_frame_running_sum", "semi_anti_join_customers",
-    "sql_entry_correlated_subquery", "unpivot_order_counts",
-    "gap_fill_user_daily", "value_histogram", "bloom_prefilter_semi_join",
-    "stratified_sample_counts", "grouping_sets_order_stats",
-    "conversion_funnel", "cohort_retention", "value_outliers_zscore",
-    "inverted_index_postings", "profile_events_columns",
-    "scd2_user_value_intervals", "event_type_bigrams",
-    "equidepth_histogram", "snapshot_reconciliation",
-    "deterministic_hash_sample", "rolling_7d_active_users",
-    "streaming_dedup_watermark",
-    # -- positions 51-65: the 15 deferred r6-rowed names, complete in
-    #    round 11 ----------------------------------------------------------
+    # -- positions 1-7: new in round 11 (promoted from the round-11
+    #    preview bank) ------------------------------------------------------
+    "rfm_quartile_scores", "source_datacard_pipeline",
+    "hll_intersection_audit", "length_emd_pairs",
+    "vocab_coverage_curve", "bigram_entropy_stats",
+    "session_survival_curve",
+    # -- positions 8-22: the 15 deferred r6-rowed names (round-10
+    #    positions 51-65; retires the r6 cohort) ----------------------------
     "hll_distinct_users", "streaming_tumbling_counts",
     "streaming_sliding_counts", "streaming_stream_stream_join",
     "streaming_static_enrich", "streaming_upsert_merge",
@@ -96,6 +78,31 @@ _DRIVER_PRIORITY = [
     "asof_nearest_click", "sessionize_events", "boilerplate_ngrams",
     "weighted_sample_ares", "temperature_mix_weights",
     "epoch_shuffle_order", "embedding_int8_quantize",
+    # -- positions 23-29: the 7 stalest r7-rowed names with r1 history,
+    #    in r1 driver order -------------------------------------------------
+    "flagship_events_by_region", "regex_extract", "minhash_lsh_near_dup",
+    "simhash_near_pairs", "tf_idf_scores", "token_pmi",
+    "jaccard_bigram_pairs",
+    # -- positions 30-44: 15 r7-rowed names with r2 history in r2 driver
+    #    order ---------------------------------------------------------------
+    "cube_order_counts", "pivot_status_by_priority",
+    "range_join_value_buckets", "date_part_join_weekday",
+    "event_value_percentiles", "salted_join_user_nation",
+    "join_broadcast_hint", "join_sortmerge_hint",
+    "approx_value_percentiles", "sales_share_by_region",
+    "ewma_user_values", "session_window_agg",
+    "streaming_sessionize_state", "ann_ivf_topk", "ann_lsh_bucketed",
+    # -- position 45: first r3-history name ---------------------------------
+    "ml_predictions",
+    # -- positions 46-50: the five pairing-rule additions (the ANN-family
+    #    + approx-percentile + ml consolidation; see PAIRING RULE above) ----
+    "pq_adc_topk", "ivf_pq_topk", "ann_recall_audit",
+    "approx_percentile_audit", "ml_accuracy_audit",
+    # -- positions 51-55: the five names the pairing additions displaced,
+    #    rolling to round 12 per the standing displacement rule -------------
+    "embedding_cosine_near_dup", "cosine_topk_pandas",
+    "embedding_centroids_by_label", "ml_class_balance",
+    "multimodal_meta_stats",
 ]
 
 

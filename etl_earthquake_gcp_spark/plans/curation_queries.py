@@ -1031,3 +1031,430 @@ def lexical_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("*") * 1.0 / F.sum("cnt"), 6).alias("ttr6"),
         F.round(hapax * 1.0 / F.count("*"), 6).alias("hapax6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-11 registrations (promoted from the round-11 preview bank).
+# Parity pairs proven in tests/test_round11_previews.py across rounds
+# 9-10 including the perturbed-testdata rehearsals — this move is
+# mechanical. No reference counterpart (the reference's ETL ends at a
+# star schema); these are the corpus-health tier of an LLM curation run.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_datacard_pipeline",
+    oracle=f"""
+    WITH {FREQ_SQL},
+    lex AS (
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               round(count(*) * 1.0 / sum(cnt), 6) AS ttr6
+        FROM freq GROUP BY source
+    ),
+    {zipf_sql_stages(ZIPF_R)},
+    zipf AS (
+        SELECT source, {ZIPF_SLOPE_SQL} AS zipf_slope6
+        FROM zs WHERE n_ranks > 1
+    ),
+    {GRAM_SQL_STAGES},
+    nov AS (
+        SELECT g.source,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN r.n_docs_with > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared,
+               round(sum(CASE WHEN r.n_docs_with > 1 THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS shared6
+        FROM grams g JOIN reach r USING (gram)
+        GROUP BY g.source
+    ), nd AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    )
+    SELECT nd.source, n_docs, n_tokens, n_types, ttr6,
+           zipf_slope6, n_grams, n_shared, shared6
+    FROM nd
+    JOIN lex USING (source)
+    JOIN zipf USING (source)
+    JOIN nov USING (source)
+    """,
+    doc="the per-source data card as ONE lazy plan: document counts, "
+    "token totals, lexical diversity, the Zipf slope, and the "
+    "corpus-wide shared-5-gram rate — the composed health report a "
+    "curation run prints per shard. Shared-rate comes from INTEGER "
+    "sums (never a mean of per-doc ratios), the slope from the "
+    "integer-unit log OLS; the oracle replays the whole composition. "
+    "Scale: one tokenize feeds lex AND zipf via the persisted "
+    "frequency frame; the gram stages are the registered "
+    "doc_novelty_ngram two-shuffle shape; every join after the aggs "
+    "is |sources|-keyed. Reference has no counterpart.",
+)
+def source_datacard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # PERSIST: vocabulary-sized (source, tok, cnt) frame (Heaps-
+    # sublinear in corpus size), read by the lexical aggregate AND the
+    # zipf rank window — one tokenize pass; session-LRU lifetime
+    freq = token_freq(docs).persist()
+    lex = freq.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.count("*") * 1.0 / F.sum("cnt"), 6).alias("ttr6"),
+    )
+    zipf = (
+        zipf_sums(freq, ZIPF_R)
+        .filter(F.col("n_ranks") > 1)
+        .select("source", zipf_slope6_col().alias("zipf_slope6"))
+    )
+    grams = gram_frame(docs)
+    shared = F.sum(
+        F.when(F.col("n_docs_with") > 1, 1).otherwise(0)
+    ).cast("long")
+    nov = (
+        grams.join(reach_frame(grams), "gram")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            shared.alias("n_shared"),
+            F.round(shared * 1.0 / F.count("*"), 6).alias("shared6"),
+        )
+    )
+    nd = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return (
+        nd.join(lex, "source")
+        .join(zipf, "source")
+        .join(nov, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            "ttr6",
+            "zipf_slope6",
+            "n_grams",
+            "n_shared",
+            "shared6",
+        )
+    )
+
+
+@register(
+    "length_emd_pairs",
+    oracle="""
+    WITH hist AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), sizes AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n AS n_a, b.n AS n_b
+        FROM sizes a JOIN sizes b ON a.source < b.source
+    ), support AS (
+        SELECT DISTINCT p.src_a, p.src_b, h.v
+        FROM pairs p JOIN hist h
+          ON h.source = p.src_a OR h.source = p.src_b
+    ), joined AS (
+        SELECT s.src_a, s.src_b, s.v,
+               coalesce(ha.cnt, 0) AS ca, coalesce(hb.cnt, 0) AS cb
+        FROM support s
+        LEFT JOIN hist ha ON ha.source = s.src_a AND ha.v = s.v
+        LEFT JOIN hist hb ON hb.source = s.src_b AND hb.v = s.v
+    ), cum AS (
+        SELECT src_a, src_b, v,
+               sum(ca) OVER (PARTITION BY src_a, src_b ORDER BY v) AS cum_a,
+               sum(cb) OVER (PARTITION BY src_a, src_b ORDER BY v) AS cum_b,
+               lead(v) OVER (PARTITION BY src_a, src_b ORDER BY v) - v
+                   AS gap
+        FROM joined
+    ), num AS (
+        SELECT src_a, src_b,
+               CAST(sum(abs(cum_a * p.n_b - cum_b * p.n_a) * gap)
+                    AS BIGINT) AS emd_num
+        FROM cum JOIN pairs p USING (src_a, src_b)
+        WHERE gap IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT n.src_a, n.src_b, p.n_a, p.n_b, n.emd_num,
+           round(n.emd_num * 1.0 / (p.n_a * p.n_b), 6) AS emd6
+    FROM num n JOIN pairs p USING (src_a, src_b)
+    """,
+    doc="distribution drift between sources, third metric beside the "
+    "registered PSI/binned-KS: exact 1-D earth mover's distance "
+    "between per-source doc-length distributions. EMD_1D = sum over "
+    "the union support of |cdfA - cdfB| * gap; cross-multiplying by "
+    "the two counts keeps the whole accumulation in exact integers "
+    "(|cumA*nB - cumB*nA| * gap), with ONE int/int ratio round at "
+    "display. Scale: after the one fact-scan histogram agg, every "
+    "frame is value-domain x |sources|-bounded (per-source length "
+    "histograms) — the pair fan-out never touches fact rows. "
+    "Reference has no counterpart.",
+)
+def length_emd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # PERSIST: per-source length histogram — |sources| x length-domain
+    # rows, SF-free after the one fact-scan agg; read by sizes, the
+    # support union, and both cdf sides; session-LRU lifetime
+    hist = (
+        docs.groupBy(
+            "source", F.col("n_chars").cast("long").alias("v")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .persist()
+    )
+    sizes = hist.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    a, b = sizes.alias("a"), sizes.alias("b")
+    # CROSSJOIN: |sources|^2/2 ordered source pairs from the
+    # |sources|-row sizes dim — inequality NLJ on a dimension-bounded
+    # frame (AQE broadcasts the post-agg side)
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    h = hist.select("source", "v")
+    # CROSSJOIN: OR-of-equality NLJ — broadcast side is the SF-free
+    # (source, v) histogram key frame; left side is the |sources|^2/2
+    # pair dim. Both bounded independently of fact-row count.
+    support = (
+        pairs.join(
+            F.broadcast(h),
+            (h["source"] == pairs["src_a"])
+            | (h["source"] == pairs["src_b"]),
+        )
+        .select("src_a", "src_b", "v")
+        .distinct()
+    )
+    ha = hist.select(
+        F.col("source").alias("src_a"),
+        F.col("v").alias("v"),
+        F.col("cnt").alias("ca"),
+    )
+    hb = hist.select(
+        F.col("source").alias("src_b"),
+        F.col("v").alias("v"),
+        F.col("cnt").alias("cb"),
+    )
+    joined = (
+        support.join(F.broadcast(ha), ["src_a", "v"], "left")
+        .join(F.broadcast(hb), ["src_b", "v"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("src_a", "src_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy("src_a", "src_b").orderBy("v")
+    cum = joined.select(
+        "src_a",
+        "src_b",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        (F.lead("v").over(wl) - F.col("v")).alias("gap"),
+    )
+    num = (
+        cum.filter(F.col("gap").isNotNull())
+        .join(F.broadcast(pairs), ["src_a", "src_b"])
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+                * F.col("gap")
+            )
+            .cast("long")
+            .alias("emd_num")
+        )
+    )
+    return num.join(F.broadcast(pairs), ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "emd_num",
+        F.round(
+            F.col("emd_num") * 1.0 / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("emd6"),
+    )
+
+
+_COV_KS = (10, 100, 1000)  # vocabulary sizes probed by the coverage curve
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH gfreq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_vocab
+        FROM gfreq
+    ), ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, tok) AS r
+        FROM gfreq
+    ), ks AS (
+        SELECT unnest(ARRAY{list(_COV_KS)}) AS k
+    )
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(sum(r.cnt) AS BIGINT) AS covered,
+           tot.n_total, tot.n_vocab,
+           round(sum(r.cnt) * 1.0 / tot.n_total, 6) AS coverage6
+    FROM ks JOIN ranked r ON r.r <= ks.k CROSS JOIN tot
+    GROUP BY ks.k, tot.n_total, tot.n_vocab
+    """,
+    doc="tokenizer-design read: what share of the corpus token mass "
+    "the top-K vocabulary entries cover, at K = 10 / 100 / 1000 — the "
+    "cumulative companion to zipf_slope_fit. Ranks and cumulative "
+    "masses are exact integers (frequency histogram + rank filter); "
+    "one ratio per row. Scale: top-maxK FIRST via "
+    "TakeOrderedAndProject (map-side partial top-k), THEN rank the "
+    "bounded head — a row_number over the full vocabulary would "
+    "single-partition-sort a corpus-growing frame (Heaps' law), the "
+    "epoch_shuffle_order lesson. Reference has no counterpart.",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    # PERSIST: global vocabulary frequency frame (Heaps-sublinear),
+    # read by the 1-row totals agg AND the top-maxK head; session-LRU
+    gfreq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .persist()
+    )
+    tot = gfreq.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_vocab"),
+    )
+    head = gfreq.orderBy(F.desc("cnt"), "tok").limit(max(_COV_KS))
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    ranked = head.withColumn("r", F.row_number().over(w))
+    ks = spark.createDataFrame([(k,) for k in _COV_KS], "k long")
+    # CROSSJOIN: the fixed 3-row k-grid NLJs against the bounded
+    # maxK-row ranked head, then the 1-row totals frame fans out —
+    # both sides constant-bounded
+    return (
+        F.broadcast(ks)
+        .join(ranked, ranked["r"] <= ks["k"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_total", "n_vocab")
+        .agg(
+            F.sum("cnt").cast("long").alias("covered"),
+            F.round(F.sum("cnt") * 1.0 / F.first("n_total"), 6).alias(
+                "coverage6"
+            ),
+        )
+        .select("k", "covered", "n_total", "n_vocab", "coverage6")
+    )
+
+
+@register(
+    "bigram_entropy_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT source, toks[s.i] AS a, toks[s.i + 1] AS b
+        FROM t, LATERAL (SELECT unnest(generate_series(1,
+                 len(toks) - 1)) AS i) s
+        WHERE len(toks) >= 2
+    ), cab AS (
+        SELECT source, a, b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bg GROUP BY 1, 2, 3
+    ), ca AS (
+        SELECT source, a, CAST(sum(c_ab) AS BIGINT) AS c_a
+        FROM cab GROUP BY 1, 2
+    ), terms AS (
+        SELECT cab.source,
+               cab.c_ab,
+               CAST(round(ln(ca.c_a) * 1000000, 0) AS BIGINT) AS lna_u,
+               CAST(round(ln(cab.c_ab) * 1000000, 0) AS BIGINT) AS lnab_u
+        FROM cab JOIN ca USING (source, a)
+    )
+    SELECT source,
+           CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(sum(c_ab * (lna_u - lnab_u)) AS BIGINT) AS h_num_u,
+           round(sum(c_ab * (lna_u - lnab_u)) * 1.0
+                 / (sum(c_ab) * 1000000), 6) AS entropy6
+    FROM terms GROUP BY source
+    """,
+    doc="per-source conditional bigram entropy H(next | prev) = "
+    "(1/N) * sum over bigrams of c_ab * (ln c_a - ln c_ab) — the "
+    "language-health read that separates natural text from templated "
+    "or shuffled shards. Both logs are over EXACT integer counts, "
+    "quantized ONCE to 1e-6 units (the DSIR libm-absorption class); "
+    "the weighted sum is exact integer arithmetic; one display ratio "
+    "(entropy in nats). Scale: the bigram frame is "
+    "vocabulary^2-sublinear (observed bigrams only); the marginal "
+    "join is (source, a)-keyed on the persisted count frame — no "
+    "second tokenize, no fact re-scan. Reference has no counterpart.",
+)
+def bigram_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    bg = (
+        docs.select("source", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS a,"
+                    "             element_at(toks, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("source", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    # PERSIST: observed-bigram count frame (vocabulary^2-sublinear,
+    # corpus-sublinear), read by the prev-token marginal agg AND the
+    # term join; session-LRU lifetime
+    cab = bg.groupBy("source", "a", "b").agg(
+        F.count("*").cast("long").alias("c_ab")
+    ).persist()
+    ca = cab.groupBy("source", "a").agg(
+        F.sum("c_ab").cast("long").alias("c_a")
+    )
+    terms = cab.join(ca, ["source", "a"]).select(
+        "source",
+        "c_ab",
+        F.round(F.log("c_a") * 1_000_000, 0).cast("long").alias("lna_u"),
+        F.round(F.log("c_ab") * 1_000_000, 0)
+        .cast("long")
+        .alias("lnab_u"),
+    )
+    h_num = F.sum(
+        F.col("c_ab") * (F.col("lna_u") - F.col("lnab_u"))
+    ).cast("long")
+    return terms.groupBy("source").agg(
+        F.sum("c_ab").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_distinct_bigrams"),
+        h_num.alias("h_num_u"),
+        F.round(
+            h_num * 1.0 / (F.sum("c_ab") * 1_000_000), 6
+        ).alias("entropy6"),
+    )

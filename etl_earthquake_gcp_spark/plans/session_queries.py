@@ -202,3 +202,108 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= _PATH_MIN_COUNT)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-11 registration (promoted from the round-11 preview bank;
+# parity pair proven in tests/test_round11_previews.py across rounds
+# 9-10 including the perturbed-testdata rehearsals — mechanical move).
+# --------------------------------------------------------------------------
+
+
+_SURVIVAL_ORACLE = f"""
+    WITH sess AS ({sessionize_oracle_sql()}),
+    dur AS (
+        SELECT (epoch_ms(session_end) - epoch_ms(session_start)) // 1000
+                   AS t
+        FROM sess
+    ), hist AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS d FROM dur GROUP BY t
+    ), cum AS (
+        SELECT t, d,
+               CAST((SELECT count(*) FROM dur)
+                    - coalesce(sum(d) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM hist
+    ), terms AS (
+        SELECT t, d, n_risk,
+               CAST(round(ln(n_risk - d) * 1000000, 0) AS BIGINT)
+                   - CAST(round(ln(n_risk) * 1000000, 0) AS BIGINT)
+                   AS term_u
+        FROM cum WHERE n_risk > d
+    ), curve AS (
+        SELECT t, d, n_risk,
+               CAST(sum(term_u) OVER (ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ls_u
+        FROM terms
+    )
+    SELECT CAST(t AS BIGINT) AS t_s, n_risk, d AS d_events, ls_u,
+           round(exp(ls_u / 1000000.0), 6) AS surv6
+    FROM curve
+"""
+
+
+@register(
+    "session_survival_curve",
+    oracle=_SURVIVAL_ORACLE,
+    doc="survival analysis on session durations (Kaplan-Meier "
+    "product-limit): at-risk and event counts at each distinct "
+    "duration are exact integers from a duration histogram; the "
+    "cumulative log-survival is an EXACT integer sum of per-step "
+    "ln(n-d) - ln(n) terms, each log of an exact integer quantized "
+    "once to 1e-6 units (the DSIR libm-absorption class) — the float "
+    "product the textbook formula implies never happens. One final "
+    "display exp/round. Steps where survival hits zero (n_risk == d) "
+    "are excluded symmetrically. Sessions come from the proven "
+    "sessionize construction (operators/sessions.py, oracle SQL "
+    "reused verbatim). Scale: after sessionize's single user-keyed "
+    "exchange, the curve runs on the duration-domain histogram "
+    "(value-bounded, SF-free); the ordered windows over it are "
+    "histogram-sized, never fact-sized. Reference has no counterpart.",
+)
+def session_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionize(load_table(spark, sf_dir, "events"))
+    dur = sess.select(
+        F.expr(
+            "(unix_millis(session_end) - unix_millis(session_start))"
+            " div 1000"
+        ).alias("t")
+    )
+    hist = dur.groupBy("t").agg(F.count("*").cast("long").alias("d"))
+    total = dur.agg(F.count("*").cast("long").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # CROSSJOIN: 1-row session-total frame fans out onto the
+    # duration-domain histogram (value-bounded, SF-free)
+    cum = hist.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("d").over(w_prev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    lnq = lambda c: F.round(F.log(c) * 1_000_000, 0).cast("long")
+    terms = cum.filter(F.col("n_risk") > F.col("d")).select(
+        "t",
+        "d",
+        "n_risk",
+        (lnq(F.col("n_risk") - F.col("d")) - lnq(F.col("n_risk"))).alias(
+            "term_u"
+        ),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return terms.select(
+        F.col("t").cast("long").alias("t_s"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.sum("term_u").over(w_cum).cast("long").alias("ls_u"),
+    ).withColumn(
+        "surv6", F.round(F.exp(F.col("ls_u") / 1_000_000.0), 6)
+    )

@@ -345,7 +345,10 @@ def test_greedy_assign_step_reads_cache_take_ordered(spark):
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
     # the crossJoin lives only inside the cached relation's build plan;
-    # the step itself must not re-join anything
+    # the step itself must not re-join anything. Membership first, so a
+    # Spark rename of either node fails as a readable pin, not a
+    # ValueError (r10 ADVICE).
+    assert "BroadcastNestedLoopJoin" in plan, plan
     assert plan.index("InMemoryTableScan") < plan.index(
         "BroadcastNestedLoopJoin"
     ), plan

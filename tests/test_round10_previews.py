@@ -146,3 +146,54 @@ def test_greedy_assign_oracle_parity(spark, oracle):
     # greedy scores are non-increasing
     s = spdf.sort_values("step")["s_u"].tolist()
     assert s == sorted(s, reverse=True)
+
+
+def test_greedy_assign_step_margins_no_boundary_ties(spark):
+    """Rehearsal guard (r10 ADVICE): greedy_assign_topmatch is a
+    CHAINED argmax — unlike the quantize-once queries where a
+    0.5-boundary ulp flip would perturb one independent row, a single
+    flipped s_u unit here can change step j's winner and cascade
+    divergence through every later step. Assert each step's winning
+    s_u beats the runner-up by >= 2 quantization units on the base
+    corpus AND a values-perturbed variant, so boundary-tie fragility
+    is detected before the driver sees it."""
+    import pathlib
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from tools.regeneration_rehearsal import build_variant
+
+    from etl_earthquake_gcp_spark.plans.vector_queries import _ga_scored
+
+    pert = "/tmp/greedy_margin_rehearsal_values_29"
+    build_variant("values", SF_DIR, pert, 29)
+    for sf_dir in (SF_DIR, pert):
+        scored = _ga_scored(spark, sf_dir)
+        taken_q: list[int] = []
+        taken_i: list[int] = []
+        for step in range(1, _GA_STEPS + 1):
+            top2 = (
+                scored.filter(
+                    ~F.col("query_id").isin(taken_q)
+                    & ~F.col("item_id").isin(taken_i)
+                )
+                .orderBy(F.desc("s_u"), "query_id", "item_id")
+                .limit(2)
+                .collect()
+            )
+            if not top2:
+                break
+            win = top2[0]
+            if len(top2) == 2:
+                margin = win["s_u"] - top2[1]["s_u"]
+                assert margin >= 2, (
+                    f"{sf_dir} step {step}: winner "
+                    f"({win['query_id']},{win['item_id']},{win['s_u']}) "
+                    f"leads runner-up by only {margin} quantization "
+                    "units — boundary-tie fragile"
+                )
+            taken_q.append(win["query_id"])
+            taken_i.append(win["item_id"])
+        scored.unpersist()

@@ -432,3 +432,45 @@ def test_stratified_split_no_single_partition_stage(spark):
     )
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_hll_intersection_registers_cached_equijoins_only(spark):
+    """The registered hll_intersection_audit: the filled register frame
+    must be persisted (per-type estimates AND both pair sides read it)
+    and both the pairwise register merge and the exact-set
+    intersection must stay bucket/user equi-joins — no cartesian
+    product anywhere (an all-pairs register compare without the bucket
+    key would be 2^2p per type pair)."""
+    from tests.test_round11_previews import hll_intersection_audit
+
+    plan = _plan_of(hll_intersection_audit(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_length_emd_hist_cached_no_cartesian(spark):
+    """The registered length_emd_pairs: the per-source length histogram
+    must be persisted (sizes, the support union, and both cdf sides
+    read it — one fact scan total) and the pair fan-out must stay
+    broadcast-NLJ over dimension-bounded frames, never a cartesian
+    product of anything fact-sized."""
+    from tests.test_round11_previews import length_emd_pairs
+
+    plan = _plan_of(length_emd_pairs(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bigram_entropy_counts_cached_windows_partitioned(spark):
+    """The registered bigram_entropy_stats: the observed-bigram count
+    frame must be persisted (the marginal agg AND the term join read it
+    — one tokenize pass), the marginal join must stay a (source, a)
+    equi-join, and the plan must carry no window at all (pure aggs) —
+    a global window here would mean a single-partition sort of the
+    bigram frame."""
+    from tests.test_round11_previews import bigram_entropy_stats
+
+    plan = _plan_of(bigram_entropy_stats(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan

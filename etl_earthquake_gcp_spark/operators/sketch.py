@@ -360,36 +360,52 @@ def hll_registers_by(keys: DataFrame, key_col: str, group_col: str) -> DataFrame
     )
 
 
-def hll_estimate_by(registers: DataFrame) -> DataFrame:
-    """(grp, est_distinct) from per-group register tables — the grouped
-    twin of :func:`hll_estimate`, same exact-arithmetic harmonic sum and
-    small-range correction per group."""
+def hll_filled_registers_by(registers: DataFrame) -> DataFrame:
+    """(grp, bucket, m_j) with every one of the HLL_M cells materialized
+    (absent → 0): the shared grid-fill stage of the grouped estimator
+    and of any register-level consumer (pairwise max-merge, rollup,
+    intersection). Constant |groups| × HLL_M rows, SF-free."""
     spark = registers.sparkSession
     allb = spark.range(HLL_M).select(F.col("id").alias("bucket"))
     groups = registers.select("grp").distinct()
     # CROSSJOIN: fixed HLL_M-row bucket grid (constant)
     grid = groups.crossJoin(F.broadcast(allb))
-    full = grid.join(registers, ["grp", "bucket"], "left").select(
-        "grp", F.coalesce("m_j", F.lit(0)).alias("m_j")
+    return grid.join(registers, ["grp", "bucket"], "left").select(
+        "grp", "bucket", F.coalesce("m_j", F.lit(0)).alias("m_j")
     )
-    agg = full.groupBy("grp").agg(
+
+
+def hll_sv_agg(filled: DataFrame, *keys: str) -> DataFrame:
+    """(*keys, s, v) harmonic-sum estimator state over filled register
+    cells — s adds exact powers of two (order-independent, the
+    cross-engine bit-parity argument in :func:`hll_estimate`), v counts
+    empty registers (the linear-counting input)."""
+    return filled.groupBy(*keys).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s"),
         F.count_if(F.col("m_j") == 0).alias("v"),
     )
+
+
+def hll_estimate_by(registers: DataFrame) -> DataFrame:
+    """(grp, est_distinct) from per-group register tables — the grouped
+    twin of :func:`hll_estimate`, same exact-arithmetic harmonic sum and
+    small-range correction per group."""
+    agg = hll_sv_agg(hll_filled_registers_by(registers), "grp")
     est = hll_raw_est_col(F.col("s"), F.col("v"))
     return agg.select("grp", F.round(est, 4).alias("est_distinct"))
 
 
-def hll_rollup_oracle_sql(table: str, key_col: str, group_col: str) -> str:
-    """DuckDB SQL for the grouped + merged HLL rollup — identical hash,
-    registers, per-group estimates, register-max merge, and corrections."""
+def hll_filled_sql_stages(table: str, key_col: str, group_col: str) -> str:
+    """regs/groups/grid/filled CTE chain (DuckDB) producing the filled
+    per-group register cells (grp, bucket, m_j) — the oracle twin of
+    :func:`hll_filled_registers_by`, shared by the rollup and
+    intersection oracles so the grid-fill convention has ONE source of
+    truth on each engine side."""
     a, b = minhash_coeffs(1, HLL_SEED)[0]
     h1 = f"(({key_col} * {a} + {b}) % {_MERSENNE_P})"
     h = f"(({h1} * {h1}) % {_MERSENNE_P})"
     rho = _rho_case_sql(f"({h} // {HLL_M})")
-    est_case = f"""round({hll_raw_est_sql()}, 4)"""
-    return f"""
-        WITH regs AS (
+    return f"""regs AS (
             SELECT {group_col} AS grp, ({h} % {HLL_M}) AS bucket,
                    max({rho}) AS m_j
             FROM {table} GROUP BY 1, 2
@@ -398,9 +414,17 @@ def hll_rollup_oracle_sql(table: str, key_col: str, group_col: str) -> str:
         ), grid AS (
             SELECT g.grp, t.bucket FROM groups g CROSS JOIN range({HLL_M}) t(bucket)
         ), filled AS (
-            SELECT grid.grp, coalesce(r.m_j, 0) AS m_j
+            SELECT grid.grp, grid.bucket, coalesce(r.m_j, 0) AS m_j
             FROM grid LEFT JOIN regs r USING (grp, bucket)
-        ), agg AS (
+        )"""
+
+
+def hll_rollup_oracle_sql(table: str, key_col: str, group_col: str) -> str:
+    """DuckDB SQL for the grouped + merged HLL rollup — identical hash,
+    registers, per-group estimates, register-max merge, and corrections."""
+    est_case = f"""round({hll_raw_est_sql()}, 4)"""
+    return f"""
+        WITH {hll_filled_sql_stages(table, key_col, group_col)}, agg AS (
             SELECT grp, sum(pow(2.0, -m_j)) AS s,
                    count(*) FILTER (WHERE m_j = 0) AS v
             FROM filled GROUP BY 1

@@ -3008,34 +3008,13 @@ def _hll_est_u_col(s_col, v_col):
 
 
 def _hll_intersection_oracle() -> str:
-    from ..operators.dedup import _MERSENNE_P, minhash_coeffs
-    from ..operators.sketch import (
-        HLL_M,
-        HLL_SEED,
-        _rho_case_sql,
-        hll_raw_est_sql,
-    )
+    from ..operators.sketch import hll_filled_sql_stages, hll_raw_est_sql
 
-    a, b = minhash_coeffs(1, HLL_SEED)[0]
-    h1 = f"((user_id * {a} + {b}) % {_MERSENNE_P})"
-    h = f"(({h1} * {h1}) % {_MERSENNE_P})"
-    rho = _rho_case_sql(f"({h} // {HLL_M})")
     est_u = (
         f"CAST(round({hll_raw_est_sql()} * 10000, 0) AS BIGINT)"
     )
     return f"""
-    WITH regs AS (
-        SELECT event_type AS grp, ({h} % {HLL_M}) AS bucket,
-               max({rho}) AS m_j
-        FROM events GROUP BY 1, 2
-    ), grid AS (
-        SELECT g.grp, t.bucket
-        FROM (SELECT DISTINCT grp FROM regs) g
-        CROSS JOIN range({HLL_M}) t(bucket)
-    ), filled AS (
-        SELECT grid.grp, grid.bucket, coalesce(r.m_j, 0) AS m_j
-        FROM grid LEFT JOIN regs r USING (grp, bucket)
-    ), agg AS (
+    WITH {hll_filled_sql_stages("events", "user_id", "event_type")}, agg AS (
         SELECT grp, sum(pow(2.0, -m_j)) AS s,
                count(*) FILTER (WHERE m_j = 0) AS v
         FROM filled GROUP BY 1
@@ -3095,45 +3074,34 @@ def _hll_intersection_oracle() -> str:
     "Reference has no counterpart.",
 )
 def hll_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketch import HLL_M, hll_registers_by
+    from ..operators.sketch import (
+        hll_filled_registers_by,
+        hll_registers_by,
+        hll_sv_agg,
+    )
 
     e = load_table(spark, sf_dir, "events")
     regs = hll_registers_by(e, "user_id", "event_type")
-    allb = spark.range(HLL_M).select(F.col("id").alias("bucket"))
-    # CROSSJOIN: the fixed 2^p-row register grid fans out onto the
-    # |types|-row group dim — both sides SF-free
-    grid = regs.select("grp").distinct().crossJoin(F.broadcast(allb))
     # PERSIST: |types| x 2^p filled register cells (sketch-sized,
-    # SF-free), read by the per-type estimates AND both sides of the
-    # pairwise max-merge; session-LRU lifetime
-    filled = (
-        grid.join(regs, ["grp", "bucket"], "left")
-        .select("grp", "bucket", F.coalesce("m_j", F.lit(0)).alias("m_j"))
-        .persist()
-    )
-    agg = filled.groupBy("grp").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s"),
-        F.count_if(F.col("m_j") == 0).alias("v"),
-    )
+    # SF-free; the shared sketch.py grid-fill stage), read by the
+    # per-type estimates AND both sides of the pairwise max-merge;
+    # session-LRU lifetime
+    filled = hll_filled_registers_by(regs).persist()
+    agg = hll_sv_agg(filled, "grp")
     est = agg.select(
         "grp", _hll_est_u_col(F.col("s"), F.col("v")).alias("e_u")
     )
     fa, fb = filled.alias("fa"), filled.alias("fb")
-    mj = F.greatest(F.col("fa.m_j"), F.col("fb.m_j"))
-    pagg = (
-        fa.join(
-            fb,
-            (F.col("fa.bucket") == F.col("fb.bucket"))
-            & (F.col("fa.grp") < F.col("fb.grp")),
-        )
-        .groupBy(
-            F.col("fa.grp").alias("type_a"), F.col("fb.grp").alias("type_b")
-        )
-        .agg(
-            F.sum(F.pow(F.lit(2.0), -mj)).alias("s"),
-            F.count_if(mj == 0).alias("v"),
-        )
+    merged = fa.join(
+        fb,
+        (F.col("fa.bucket") == F.col("fb.bucket"))
+        & (F.col("fa.grp") < F.col("fb.grp")),
+    ).select(
+        F.col("fa.grp").alias("type_a"),
+        F.col("fb.grp").alias("type_b"),
+        F.greatest(F.col("fa.m_j"), F.col("fb.m_j")).alias("m_j"),
     )
+    pagg = hll_sv_agg(merged, "type_a", "type_b")
     uest = pagg.select(
         "type_a", "type_b", _hll_est_u_col(F.col("s"), F.col("v")).alias("uu_u")
     )

@@ -1085,8 +1085,14 @@ def lexical_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation run prints per shard. Shared-rate comes from INTEGER "
     "sums (never a mean of per-doc ratios), the slope from the "
     "integer-unit log OLS; the oracle replays the whole composition. "
-    "Scale: one tokenize feeds lex AND zipf via the persisted "
-    "frequency frame; the gram stages are the registered "
+    "Membership contract (deliberate, symmetric on both sides): a "
+    "source must be slope-fittable (>= 2 distinct top-R ranks) to get "
+    "a card — a degenerate shard (single-rank vocabulary) is excluded "
+    "from THIS report by the inner zipf join rather than carrying a "
+    "meaningless slope; the registered lexical_diversity_stats / "
+    "length_emd_pairs surfaces still profile such shards (no rank "
+    "filter there). Scale: one tokenize feeds lex AND zipf via the "
+    "persisted frequency frame; the gram stages are the registered "
     "doc_novelty_ngram two-shuffle shape; every join after the aggs "
     "is |sources|-keyed. Reference has no counterpart.",
 )
@@ -1189,11 +1195,15 @@ def source_datacard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "between per-source doc-length distributions. EMD_1D = sum over "
     "the union support of |cdfA - cdfB| * gap; cross-multiplying by "
     "the two counts keeps the whole accumulation in exact integers "
-    "(|cumA*nB - cumB*nA| * gap), with ONE int/int ratio round at "
-    "display. Scale: after the one fact-scan histogram agg, every "
-    "frame is value-domain x |sources|-bounded (per-source length "
-    "histograms) — the pair fan-out never touches fact rows. "
-    "Reference has no counterpart.",
+    "(|cumA*nB - cumB*nA| * gap), with ONE ratio round at display. "
+    "The accumulation runs in DECIMAL(38,0) on the Spark side and "
+    "HUGEINT on DuckDB (exact to 1e38 — BIGINT would overflow once "
+    "per-source doc counts reach ~3e7 at a 1e4 length domain); only "
+    "the emitted emd_num downcasts to BIGINT, loudly under ANSI if a "
+    "corpus ever outgrows it. Scale: after the one fact-scan "
+    "histogram agg, every frame is value-domain x |sources|-bounded "
+    "(per-source length histograms) — the pair fan-out never touches "
+    "fact rows. Reference has no counterpart.",
 )
 def length_emd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1267,6 +1277,17 @@ def length_emd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cb").over(w).alias("cum_b"),
         (F.lead("v").over(wl) - F.col("v")).alias("gap"),
     )
+    # exact DECIMAL(38,0) accumulation (the checksum_modsum class): each
+    # term is bounded by n_a*n_b*gap and the total by n_a*n_b*span,
+    # which outgrows BIGINT once per-source doc counts reach ~3e7 at a
+    # 1e4 length domain — DECIMAL keeps every product and the sum exact
+    # to 1e38 (past any 100 TB corpus); DuckDB accumulates integer sums
+    # in HUGEINT natively, so both engines hold the same exact value.
+    # The BIGINT *emission* is the wire format both downcast from that
+    # exact value; under Spark ANSI a result past 2^63 raises loudly
+    # rather than wrapping (widen the emission column, not the math,
+    # if a corpus ever needs it).
+    dec = lambda c: c.cast("decimal(38,0)")
     num = (
         cum.filter(F.col("gap").isNotNull())
         .join(F.broadcast(pairs), ["src_a", "src_b"])
@@ -1274,15 +1295,19 @@ def length_emd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.abs(
-                    F.col("cum_a") * F.col("n_b")
-                    - F.col("cum_b") * F.col("n_a")
+                    dec(F.col("cum_a")) * dec(F.col("n_b"))
+                    - dec(F.col("cum_b")) * dec(F.col("n_a"))
                 )
-                * F.col("gap")
+                * dec(F.col("gap"))
             )
             .cast("long")
             .alias("emd_num")
         )
     )
+    # n_a*1.0*n_b: the denominator product in DOUBLE (an integer BIGINT
+    # product would ANSI-raise past 2^63 at corpus scale); identical to
+    # the oracle's integer product below 2^53, and the display ratio is
+    # the accepted single-round double class either way
     return num.join(F.broadcast(pairs), ["src_a", "src_b"]).select(
         "src_a",
         "src_b",
@@ -1290,7 +1315,9 @@ def length_emd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "emd_num",
         F.round(
-            F.col("emd_num") * 1.0 / (F.col("n_a") * F.col("n_b")), 6
+            F.col("emd_num")
+            / (F.col("n_a").cast("double") * F.col("n_b")),
+            6,
         ).alias("emd6"),
     )
 

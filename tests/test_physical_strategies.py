@@ -400,17 +400,19 @@ def test_forced_broadcast_site_count_is_adjudicated():
     # anchor query frame (the standing 5-vector eval set — the same
     # bounded class as the cosine-topk query frames; CROSSJOIN-annotated
     # at the site)
-    # + 15 round-11 sites, each bounded independently of data scale:
+    # + 14 round-11 sites, each bounded independently of data scale:
     # rfm_quartile_scores 1 (1-row global-max date),
-    # hll_intersection_audit 6 (the fixed 2^p register grid + five
-    # |types|(^2)-row estimate/size/intersection dims),
+    # hll_intersection_audit 5 (five |types|(^2)-row
+    # estimate/size/intersection dims; its fixed 2^p register grid
+    # reuses the sketch.py::hll_filled_registers_by site shared with
+    # hll_estimate_by — the post-review consolidation),
     # length_emd_pairs 5 (the SF-free per-source length-histogram key
     # frame and the |sources|^2/2 pair dim, hinted at four sites),
     # vocab_coverage_curve 2 (the fixed 3-row k-grid + 1-row totals),
     # session_survival_curve 1 (1-row session total); see the
     # CROSSJOIN/PERSIST site comments
-    assert n == 112, (
-        f"F.broadcast site count changed ({n} != 112): adjudicate the "
+    assert n == 111, (
+        f"F.broadcast site count changed ({n} != 111): adjudicate the "
         "new/removed site per the round-7 audit rule (SCALING.md) and "
         "update this pin"
     )

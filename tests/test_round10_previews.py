@@ -148,7 +148,7 @@ def test_greedy_assign_oracle_parity(spark, oracle):
     assert s == sorted(s, reverse=True)
 
 
-def test_greedy_assign_step_margins_no_boundary_ties(spark):
+def test_greedy_assign_step_margins_no_boundary_ties(spark, tmp_path):
     """Rehearsal guard (r10 ADVICE): greedy_assign_topmatch is a
     CHAINED argmax — unlike the quantize-once queries where a
     0.5-boundary ulp flip would perturb one independent row, a single
@@ -167,7 +167,7 @@ def test_greedy_assign_step_margins_no_boundary_ties(spark):
 
     from etl_earthquake_gcp_spark.plans.vector_queries import _ga_scored
 
-    pert = "/tmp/greedy_margin_rehearsal_values_29"
+    pert = str(tmp_path / "greedy_margin_values_29")
     build_variant("values", SF_DIR, pert, 29)
     for sf_dir in (SF_DIR, pert):
         scored = _ga_scored(spark, sf_dir)

@@ -1187,7 +1187,9 @@ def source_datacard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT n.src_a, n.src_b, p.n_a, p.n_b, n.emd_num,
-           round(n.emd_num * 1.0 / (p.n_a * p.n_b), 6) AS emd6
+           round(n.emd_num
+                 / CAST(CAST(p.n_a AS HUGEINT) * p.n_b AS DOUBLE), 6)
+               AS emd6
     FROM num n JOIN pairs p USING (src_a, src_b)
     """,
     doc="distribution drift between sources, third metric beside the "
@@ -1304,10 +1306,14 @@ def length_emd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("emd_num")
         )
     )
-    # n_a*1.0*n_b: the denominator product in DOUBLE (an integer BIGINT
-    # product would ANSI-raise past 2^63 at corpus scale); identical to
-    # the oracle's integer product below 2^53, and the display ratio is
-    # the accepted single-round double class either way
+    # denominator = the EXACT integer product n_a*n_b (DECIMAL(38,0)
+    # here, HUGEINT in the oracle — neither can overflow at any corpus
+    # scale) converted to double ONCE: both engines round the same
+    # exact integer to the same double, so the display ratio is the
+    # accepted single-round double class at ANY scale, not just below
+    # 2^53 (r11 ADVICE — the two denominators are now structurally
+    # identical expressions)
+    dec2 = lambda c: c.cast("decimal(38,0)")
     return num.join(F.broadcast(pairs), ["src_a", "src_b"]).select(
         "src_a",
         "src_b",
@@ -1316,7 +1322,7 @@ def length_emd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emd_num",
         F.round(
             F.col("emd_num")
-            / (F.col("n_a").cast("double") * F.col("n_b")),
+            / (dec2(F.col("n_a")) * dec2(F.col("n_b"))).cast("double"),
             6,
         ).alias("emd6"),
     )

@@ -19,90 +19,88 @@ from . import curation_queries  # noqa: E402,F401
 from . import calibration_queries  # noqa: E402,F401
 
 # The external correctness driver checks the first 50 queries in dict
-# order per round. Round-11 head, per the SURVEY.md forward schedule
-# (its r11 bullet is the prose twin of this list):
-# (1) the seven NEW round-11 registrations promoted from the round-11
-# preview bank (RFM quartiles, the composed per-source datacard, the
-# HLL inclusion-exclusion intersection audit, length-distribution EMD
-# pairs, the vocabulary coverage curve, conditional bigram entropy,
-# the Kaplan-Meier session survival curve — parity pairs proven in
-# tests/test_round11_previews.py across rounds 9-10 including the
-# perturbed-testdata rehearsals, six with pure-Python replays),
-# (2) the 15 deferred r6-rowed names (round-10 positions 51-65 — this
-# retires the r6 cohort: after this round no query's newest driver row
-# is older than r7), (3) 28 refresh slots from the 50 r7-last-rowed
-# queries by the standing history-age rule (computed at the end of
-# round 10): the 7 r1-history names in r1 driver order, then 15
-# r2-history names in r2 driver order, then ml_predictions (first
-# r3-history name), then FIVE pairing-rule additions that certify
-# every rows-only name in this head beside its hash-green audit
-# sibling in one round (the r10 watermark-pair template — and exactly
-# the ANN-family consolidation the r9 verdict asked for):
-# pq_adc_topk, ivf_pq_topk, ann_recall_audit (certifies
-# ann_lsh_bucketed / ann_ivf_topk / pq_adc_topk / ivf_pq_topk),
-# approx_percentile_audit (certifies approx_value_percentiles),
-# ml_accuracy_audit (certifies ml_predictions). 7 + 15 + 28 = 50.
-# The five least-stale names the pairing additions displace
-# (embedding_cosine_near_dup, cosine_topk_pandas,
-# embedding_centroids_by_label, ml_class_balance,
-# multimodal_meta_stats) hold positions 51-55 and roll to round 12
-# per the standing displacement rule. The NAME LISTS here and in
-# SURVEY.md's forward schedule are the schedule of record; re-derive
-# nothing from prose.
+# order per round. Round-12 head, per the SURVEY.md forward schedule
+# (its r12 bullet is the prose twin of this list):
+# (1) the five NEW round-12 registrations promoted from the round-12
+# preview bank (exact Mann-Whitney ROC AUC, per-source Gini length
+# concentration, 8-gram eval-set decontamination — the n-gram sibling
+# of decontaminate_by_embedding, completing the GPT-3-protocol
+# contamination pair — daily-count autocorrelation at lags 1..3, and
+# the chi-squared token-x-source association — parity pairs proven in
+# tests/test_round12_previews.py across rounds 10-11 including the
+# perturbed-testdata rehearsals, two with pure-Python replays),
+# (2) 44 refresh slots by the standing history-age rule (computed at
+# the end of round 11): the 26 r7-last-rowed names — 3 with r2
+# history in r2 driver order (the five r11-displaced names lead
+# naturally: embedding_cosine_near_dup, cosine_topk_pandas,
+# embedding_centroids_by_label), then 14 with r3 history in r3 driver
+# order (ml_class_balance and multimodal_meta_stats — the other two
+# r11-displaced — open this group), then 3 with r4 history, then the
+# 6 r7-banked curation surfaces — then the 18 stalest r8-last-rowed
+# names: 16 with r3 history in r3 driver order, then 2 with r4
+# history, (3) ONE pairing-rule addition closing the head:
+# equidepth_approx_audit (hash-green, r9-rowed) lands in the SAME
+# head as its rows-only sibling equidepth_histogram_approx (refresh
+# slot 9 of the r3-history group) per the standing rule.
+# 5 + 44 + 1 = 50. The one name the pairing addition displaces
+# (heavy_hitters_mergeable, the least-stale of the natural 45) holds
+# position 51 and rolls to round 13 per the standing displacement
+# rule. The NAME LISTS here and in SURVEY.md's forward schedule are
+# the schedule of record; re-derive nothing from prose.
 #
 # PAIRING RULE (r8 VERDICT next-step #4): whenever a ROWS-ONLY query
 # takes a head slot in any rotation (r10+, r16-r20 refreshes, or any
 # rework wave), its hash-green AUDIT SIBLING goes in the SAME head.
-# In THIS head every rows-only name is paired: ann_lsh_bucketed /
-# ann_ivf_topk / pq_adc_topk / ivf_pq_topk with ann_recall_audit,
-# approx_value_percentiles with approx_percentile_audit,
-# ml_predictions with ml_accuracy_audit, streaming_sessionize_state
-# with the hash-green session pair classes (sessionize_events /
-# session_window_agg, both in this head). Standing ledger exception
-# (SCALING.md pairing ledger): stratified_sample_counts refreshed in
-# r10 while stratified_sample_audit holds its hash-green r9 row —
-# pair them whenever the counts query next takes a slot (r16+).
+# In THIS head the only rows-only name is equidepth_histogram_approx,
+# paired with equidepth_approx_audit (position 50). Standing ledger
+# exception (SCALING.md pairing ledger): stratified_sample_counts
+# refreshed in r10 while stratified_sample_audit holds its hash-green
+# r9 row — pair them whenever the counts query next takes a slot
+# (r16+).
 _DRIVER_PRIORITY = [
-    # -- positions 1-7: new in round 11 (promoted from the round-11
+    # -- positions 1-5: new in round 12 (promoted from the round-12
     #    preview bank) ------------------------------------------------------
-    "rfm_quartile_scores", "source_datacard_pipeline",
-    "hll_intersection_audit", "length_emd_pairs",
-    "vocab_coverage_curve", "bigram_entropy_stats",
-    "session_survival_curve",
-    # -- positions 8-22: the 15 deferred r6-rowed names (round-10
-    #    positions 51-65; retires the r6 cohort) ----------------------------
-    "hll_distinct_users", "streaming_tumbling_counts",
-    "streaming_sliding_counts", "streaming_stream_stream_join",
-    "streaming_static_enrich", "streaming_upsert_merge",
-    "asof_purchase_prior_click", "asof_cogroup_pandas",
-    "asof_nearest_click", "sessionize_events", "boilerplate_ngrams",
-    "weighted_sample_ares", "temperature_mix_weights",
-    "epoch_shuffle_order", "embedding_int8_quantize",
-    # -- positions 23-29: the 7 stalest r7-rowed names with r1 history,
-    #    in r1 driver order -------------------------------------------------
-    "flagship_events_by_region", "regex_extract", "minhash_lsh_near_dup",
-    "simhash_near_pairs", "tf_idf_scores", "token_pmi",
-    "jaccard_bigram_pairs",
-    # -- positions 30-44: 15 r7-rowed names with r2 history in r2 driver
-    #    order ---------------------------------------------------------------
-    "cube_order_counts", "pivot_status_by_priority",
-    "range_join_value_buckets", "date_part_join_weekday",
-    "event_value_percentiles", "salted_join_user_nation",
-    "join_broadcast_hint", "join_sortmerge_hint",
-    "approx_value_percentiles", "sales_share_by_region",
-    "ewma_user_values", "session_window_agg",
-    "streaming_sessionize_state", "ann_ivf_topk", "ann_lsh_bucketed",
-    # -- position 45: first r3-history name ---------------------------------
-    "ml_predictions",
-    # -- positions 46-50: the five pairing-rule additions (the ANN-family
-    #    + approx-percentile + ml consolidation; see PAIRING RULE above) ----
-    "pq_adc_topk", "ivf_pq_topk", "ann_recall_audit",
-    "approx_percentile_audit", "ml_accuracy_audit",
-    # -- positions 51-55: the five names the pairing additions displaced,
-    #    rolling to round 12 per the standing displacement rule -------------
+    "roc_auc_exact", "gini_concentration", "ngram_decontaminate",
+    "acf_daily_counts", "chi2_token_source",
+    # -- positions 6-8: the 3 stalest r7-rowed names with r2 history, in
+    #    r2 driver order (the r11-displaced names lead naturally) ----------
     "embedding_cosine_near_dup", "cosine_topk_pandas",
-    "embedding_centroids_by_label", "ml_class_balance",
-    "multimodal_meta_stats",
+    "embedding_centroids_by_label",
+    # -- positions 9-22: 14 r7-rowed names with r3 history in r3 driver
+    #    order (ml_class_balance / multimodal_meta_stats — the other two
+    #    r11-displaced — open the group) ------------------------------------
+    "ml_class_balance", "multimodal_meta_stats",
+    "multimodal_decode_features", "multimodal_frame_sample",
+    "minhash_grouped_mask_near_dup", "equidepth_histogram_approx",
+    "bucketed_join_orders_customer", "minhash_open_vocab_near_dup",
+    "pack_sequences_by_budget", "decontaminate_ngram_overlap",
+    "quality_filter_verdicts", "variant_extract_props",
+    "recursive_event_chains", "unigram_logprob_scores",
+    # -- positions 23-25: 3 r7-rowed names with r4 history ------------------
+    "incremental_dedup_probe", "ppjoin_prefix_pairs",
+    "corpus_curation_pipeline",
+    # -- positions 26-31: the 6 r7-banked curation surfaces -----------------
+    "hard_negative_mining", "cluster_quota_sample",
+    "bpe_merge_induction", "dsir_importance_weights",
+    "winnowing_match_pairs", "rrf_fusion_topk",
+    # -- positions 32-47: the 16 stalest r8-rowed names with r3 history,
+    #    in r3 driver order -------------------------------------------------
+    "source_mixing_weights", "select_top_quality_within_budget",
+    "dedup_keep_canonical", "top_bigram_share", "dup_ngram_ratio",
+    "cross_source_exact_dups", "resample_ohlc_5min",
+    "triangle_count_user_graph", "map_ops_suite",
+    "join_shufflehash_hint", "bm25_scores", "minhash_candidate_quality",
+    "sql_entry_lateral_topk", "merge_overlapping_intervals",
+    "streaming_ewma_state", "fpgrowth_brand_itemsets",
+    # -- positions 48-49: 2 r8-rowed names with r4 history ------------------
+    "segment_dedup_rewrite", "mmr_diversified_topk",
+    # -- position 50: the pairing-rule addition — equidepth_approx_audit
+    #    certifies rows-only equidepth_histogram_approx (position 14) in
+    #    the SAME head (see PAIRING RULE above) -----------------------------
+    "equidepth_approx_audit",
+    # -- position 51: the name the pairing addition displaced, rolling to
+    #    round 13 per the standing displacement rule ------------------------
+    "heavy_hitters_mergeable",
 ]
 
 

@@ -3149,3 +3149,96 @@ def hll_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_inter", F.lit(0)).cast("long").alias("n_inter"),
         )
     )
+
+
+@register(
+    "acf_daily_counts",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+        FROM daily
+    ), r AS (
+        SELECT d, n * c - s AS res FROM daily, stats
+    ), den AS (
+        SELECT CAST(sum(res * res) AS BIGINT) AS den FROM r
+    ), lags AS (
+        SELECT unnest(generate_series(1, 3)) AS lag
+    ), num AS (
+        SELECT l.lag,
+               CAST(sum(a.res * b.res) AS BIGINT) AS num,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM lags l
+        JOIN r a ON TRUE
+        JOIN r b ON b.d = a.d + to_days(CAST(l.lag AS INTEGER))
+        GROUP BY l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, num, den, n_pairs,
+           round(num * 1.0 / den, 6) + 0.0 AS acf
+    FROM num, den
+    WHERE den > 0
+    """,
+    doc="sample autocorrelation of the daily event-count series at "
+    "lags 1..3 (load-seasonality / burst-detection read — the "
+    "time-series companion to mann_kendall_trend and resample_ohlc). "
+    "ZERO quantization anywhere: with n days and S = sum of counts, "
+    "the scaled residual r_d = n*c_d - S is an exact integer "
+    "(= n*(c_d - mean)), both the lag products and the denominator are "
+    "integer sums, and the n^2 factor cancels in the ratio — the one "
+    "display round is the accepted single-ratio class (+0.0: ACF can "
+    "be negative). Pairs are DATE-joined (d, d+k), so a missing day "
+    "contributes no pair on either engine. Scale: facts reduce to the "
+    "|days|-row daily series in one groupBy; the residual frame, the "
+    "3-row lag grid, and the lag equi-join are all dimension-sized — "
+    "SF enters only through the one fact scan. Overflow: |res| <= "
+    "n*max_c and den <= n^3*max_c^2, inside BIGINT while max_c < "
+    "sqrt(9.2e18/n^3) (~380k events/day at n = 400 days); beyond that, "
+    "pre-scale counts by a fixed power of 10 (ACF is scale-invariant) "
+    "or widen the products to DECIMAL(38,0) on both engines. "
+    "Reference has no counterpart.",
+)
+def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    stats = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    # CROSSJOIN: 1-row global (n, S) stats frame onto the |days|-row
+    # daily series — bounded independently of data scale
+    # PERSIST: |days|-row exact-residual frame — read by the
+    # denominator agg AND the three lag joins; session-LRU lifetime
+    r = daily.crossJoin(F.broadcast(stats)).select(
+        "d", (F.col("n") * F.col("c") - F.col("s")).alias("res")
+    ).persist()
+    den = r.agg(F.sum(F.col("res") * F.col("res")).cast("long").alias("den"))
+    lags = r.sparkSession.range(1, 4).select(F.col("id").alias("lag"))
+    b = r.select(F.col("d").alias("bd"), F.col("res").alias("bres"))
+    # CROSSJOIN: fixed 3-row lag grid x the |days|-row residual dim,
+    # immediately equi-joined on the shifted date — both sides bounded
+    num = (
+        lags.crossJoin(r)
+        .join(b, F.col("bd") == F.expr("date_add(d, CAST(lag AS INT))"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("res") * F.col("bres")).cast("long").alias("num"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    # CROSSJOIN: 1-row denominator total onto the 3-row lag results
+    return (
+        num.crossJoin(F.broadcast(den))
+        .filter(F.col("den") > 0)
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "num",
+            "den",
+            "n_pairs",
+            (F.round(F.col("num") * 1.0 / F.col("den"), 6) + F.lit(0.0))
+            .alias("acf"),
+        )
+    )

@@ -1491,3 +1491,186 @@ def bigram_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             h_num * 1.0 / (F.sum("c_ab") * 1_000_000), 6
         ).alias("entropy6"),
     )
+
+
+@register(
+    "gini_concentration",
+    oracle="""
+    WITH r AS (
+        SELECT source, n_chars AS x,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS rk
+        FROM documents
+    ), s AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(x) AS BIGINT) AS total_chars,
+               CAST(sum(rk * x) AS BIGINT) AS lorenz_sum
+        FROM r GROUP BY source
+    )
+    SELECT source, n_docs, total_chars,
+           round((2 * lorenz_sum - (n_docs + 1) * total_chars) * 1.0
+                 / (n_docs * total_chars), 6) + 0.0 AS gini
+    FROM s WHERE total_chars > 0
+    """,
+    doc="per-source Gini coefficient of the doc-length distribution "
+    "(is one shard dominated by a few huge documents? — the corpus-"
+    "inequality read beside the registered EMD/PSI/KS drift trio). "
+    "With lengths ranked ascending 1..n per source, G = (2*sum(rk*x) "
+    "- (n+1)*sum(x)) / (n*sum(x)); all three sums are exact integers, "
+    "ties are value-invariant (permuting equal x among ranks leaves "
+    "sum(rk*x) unchanged — doc_id tie-break pins only the row_number), "
+    "and the one display ratio is the accepted single-round class "
+    "(+0.0 because a degenerate all-equal source rounds to -0.0 on "
+    "neither engine but the guard is house style for negative-capable "
+    "rounds). Scale: ONE per-source window sort over documents — the "
+    "same dimension-partitioned sort class as the rank suites (plan-"
+    "pinned source-partitioned in tests/test_bank_plans.py, no global "
+    "exchange). Overflow: sum(rk*x) <= n^2 * max_len, inside BIGINT "
+    "while n_docs/source * sqrt(max_len) < 3e9 — beyond the driver "
+    "scales; widen to DECIMAL(38,0) (the length_emd_pairs pattern) "
+    "before registering past that. Reference has no counterpart.",
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source",
+        F.col("n_chars").alias("x"),
+        F.row_number().over(w).alias("rk"),
+    )
+    s = r.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("total_chars"),
+        F.sum(F.col("rk") * F.col("x")).cast("long").alias("lorenz_sum"),
+    )
+    return s.filter(F.col("total_chars") > 0).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        (
+            F.round(
+                (2 * F.col("lorenz_sum")
+                 - (F.col("n_docs") + 1) * F.col("total_chars"))
+                * 1.0
+                / (F.col("n_docs") * F.col("total_chars")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+    )
+
+
+_CHI2_TOP = 20  # fixed top-K token grid for the chi-squared association
+
+
+@register(
+    "chi2_token_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ), tok_f AS (
+        SELECT source, t FROM tok WHERE t != ''
+    ), cells AS (
+        SELECT t, source, CAST(count(*) AS BIGINT) AS o
+        FROM tok_f GROUP BY t, source
+    ), rtot AS (
+        SELECT t, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY t
+    ), ctot AS (
+        SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY source
+    ), n AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+    ), top AS (
+        SELECT t, r FROM rtot ORDER BY r DESC, t LIMIT {_CHI2_TOP}
+    ), grid AS (
+        SELECT top.t, top.r, ctot.source, ctot.c, n.n,
+               coalesce(cells.o, 0) AS o
+        FROM top CROSS JOIN ctot CROSS JOIN n
+        LEFT JOIN cells ON cells.t = top.t AND cells.source = ctot.source
+    ), terms AS (
+        SELECT t, r, n,
+               CAST(floor(
+                   (CAST(o * n - r * c AS DOUBLE)
+                    * CAST(o * n - r * c AS DOUBLE))
+                   / ((CAST(n AS DOUBLE) * CAST(r AS DOUBLE))
+                      * CAST(c AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT) AS q
+        FROM grid
+    )
+    SELECT t AS token, CAST(max(r) AS BIGINT) AS token_total,
+           CAST(count(*) - 1 AS BIGINT) AS dof,
+           CAST(sum(q) AS BIGINT) AS chi2_units,
+           CAST(sum(q) AS BIGINT) / 1000000.0 AS chi2
+    FROM terms
+    GROUP BY t
+    """,
+    doc=f"chi-squared token-x-source association over the top-"
+    f"{_CHI2_TOP} global tokens — the classic feature-selection / "
+    "shard-shibboleth statistic (which frequent words are "
+    "disproportionately concentrated in one source?). Every "
+    "contingency cell contributes ((O*N - R*C)^2)/(N*R*C) INCLUDING "
+    "O = 0 cells (fixed top-K x |sources| grid, observed left-joined). "
+    "Parity class: d = O*N - R*C is an exact BIGINT; the float term is "
+    "ONE fixed IEEE op sequence — (d*d)/((N*R)*C) in doubles — "
+    "bit-identical across engines on the same integers, quantized ONCE "
+    "to 1e-6 units (half-away floor(x*1e6 + 0.5)) and summed as "
+    "INTEGERS, so the cross-source sum has no combine-order drift; the "
+    "display chi2 is the exact integer/1e6 division (one identical op, "
+    "no re-round — the playbook's quantize-then-integer-sum rule). "
+    "Scale: facts reduce to the (token, source) cell frame in one "
+    "groupBy (vocabulary x |sources|, Heaps-sublinear); the grid is "
+    f"{_CHI2_TOP} x |sources| — SF-free. Overflow: O*N and R*C inside "
+    "BIGINT while total_tokens * max_token_count < 9.2e18. Reference "
+    "has no counterpart.",
+)
+def chi2_token_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    # PERSIST: (token, source) contingency-cell frame — vocabulary x
+    # |sources| rows (Heaps-sublinear in the corpus), read by the
+    # row/column/grand-total aggs AND the grid left-join; session-LRU
+    cells = tok.groupBy("t", "source").agg(
+        F.count("*").cast("long").alias("o")
+    ).persist()
+    rtot = cells.groupBy("t").agg(F.sum("o").cast("long").alias("r"))
+    ctot = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    top = rtot.orderBy(F.desc("r"), "t").limit(_CHI2_TOP)
+    # CROSSJOIN: the contingency GRID — fixed top-K token head
+    # (TakeOrderedAndProject, K = _CHI2_TOP) x |sources|-row column
+    # totals x the 1-row grand total; all three sides bounded
+    # independently of data scale, then equi-left-joined to cells
+    grid = (
+        F.broadcast(top)
+        .crossJoin(F.broadcast(ctot))
+        .crossJoin(F.broadcast(n))
+        .join(cells, ["t", "source"], "left")
+        .select(
+            "t", "r", "source", "c", "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    d = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    term = (d.cast("double") * d.cast("double")) / (
+        (F.col("n").cast("double") * F.col("r").cast("double"))
+        * F.col("c").cast("double")
+    )
+    terms = grid.select(
+        "t", "r", "n",
+        F.floor(term * 1000000 + 0.5).cast("long").alias("q"),
+    )
+    return terms.groupBy("t").agg(
+        F.max("r").cast("long").alias("token_total"),
+        (F.count("*") - 1).cast("long").alias("dof"),
+        F.sum("q").cast("long").alias("chi2_units"),
+    ).select(
+        F.col("t").alias("token"),
+        "token_total",
+        "dof",
+        "chi2_units",
+        (F.col("chi2_units") / F.lit(1000000.0)).alias("chi2"),
+    )

@@ -12,7 +12,7 @@ Non-SQL-expressible → rows-only driver checks (SURVEY §5.1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import portable_hash8, quantized_half_away
@@ -347,4 +347,86 @@ def ml_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trail7_mean"),
         disp4("trail7_max_u").alias("trail7_max"),
         F.col("n").alias("n_events"),
+    )
+
+
+@register(
+    "roc_auc_exact",
+    oracle="""
+    WITH lab AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ), h AS (
+        SELECT v, CAST(sum(y) AS BIGINT) AS np,
+               CAST(count(*) - sum(y) AS BIGINT) AS nn
+        FROM lab GROUP BY v
+    ), w AS (
+        SELECT v, np, nn,
+               CAST(coalesce(sum(nn) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS nn_below
+        FROM h
+    )
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           CAST(2 * sum(np * nn_below) + sum(np * nn) AS BIGINT) AS u2,
+           round((2 * sum(np * nn_below) + sum(np * nn)) * 1.0
+                 / (2 * sum(np) * sum(nn)), 6) AS auc
+    FROM w
+    """,
+    doc="exact Mann-Whitney ROC AUC of `value` as a purchase-vs-click "
+    "ranking score — the hash-green exact sibling of the MLlib "
+    "BinaryClassificationEvaluator's binned curve AUC (which is "
+    "approximate by construction, numBins). Ranking raw doubles is a "
+    "pure order statistic (permutation-invariant, no rounding hazard); "
+    "U is computed over the distinct-VALUE histogram with integer "
+    "tied-rank arithmetic — we carry 2U so ties stay integer, and the "
+    "single display round is the accepted one-ratio double class. "
+    "Overflow: 2U < 2*n_pos*n_neg, inside BIGINT while n_pos*n_neg "
+    "< 4.6e18 (~2e9 events per class — beyond the driver scales). "
+    "Scale: the facts reduce to the value histogram in one groupBy; "
+    "the unpartitioned running-sum window then runs on that histogram, "
+    "not the facts (plan-pinned in tests/test_bank_plans.py). For a "
+    "CONTINUOUS score at 100 TB the histogram itself grows ~ |facts|, "
+    "so the certified scale path is fixed-width score binning before "
+    "the groupBy (the MLlib evaluator's own numBins strategy — AUC is "
+    "then exact on the binned scores); the registered form is the "
+    "exact-on-raw-scores baseline. Reference has no counterpart.",
+)
+def roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    lab = e.filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    h = lab.groupBy("v").agg(
+        F.sum("y").cast("long").alias("np"),
+        (F.count("*") - F.sum("y")).cast("long").alias("nn"),
+    )
+    w_below = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = h.withColumn(
+        "nn_below",
+        F.coalesce(F.sum("nn").over(w_below), F.lit(0)).cast("long"),
+    )
+    return w.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        (2 * F.sum(F.col("np") * F.col("nn_below"))
+         + F.sum(F.col("np") * F.col("nn"))).cast("long").alias("u2"),
+        F.round(
+            (2 * F.sum(F.col("np") * F.col("nn_below"))
+             + F.sum(F.col("np") * F.col("nn")))
+            * 1.0
+            / (2 * F.sum("np") * F.sum("nn")),
+            6,
+        ).alias("auc"),
     )

@@ -2647,3 +2647,97 @@ def shared_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("span_tokens"),
     ).drop("grp")
+
+
+_EVAL_DECON_N = 8  # gram width of the exact-overlap decontamination protocol
+_EVAL_DECON_MOD = 7  # deterministic doc_id % _EVAL_DECON_MOD == 0 eval shard
+
+
+@register(
+    "ngram_decontaminate",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[i:i + {_EVAL_DECON_N} - 1], ' ') AS gram
+        FROM t, LATERAL (SELECT unnest(generate_series(1,
+                 len(toks) - {_EVAL_DECON_N} + 1)) AS i) s
+        WHERE len(toks) >= {_EVAL_DECON_N}
+    ), eval_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % {_EVAL_DECON_MOD} = 0
+    ), corpus AS (
+        SELECT doc_id, gram FROM grams WHERE doc_id % {_EVAL_DECON_MOD} != 0
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS hit_share
+    FROM corpus c LEFT JOIN eval_grams e USING (gram)
+    GROUP BY c.doc_id
+    HAVING sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+    """,
+    doc=f"exact {_EVAL_DECON_N}-gram-overlap eval-set decontamination — the "
+    "n-gram sibling of the registered decontaminate_by_embedding, "
+    "completing the GPT-3/Llama eval-contamination protocol pair "
+    "(find stage: a corpus doc is contaminated iff any of its DISTINCT "
+    f"{_EVAL_DECON_N}-grams appears in any eval doc). The held-out eval "
+    f"shard is the deterministic doc_id % {_EVAL_DECON_MOD} == 0 slice — a "
+    "TEST-HARNESS choice (the synthetic corpus repeats template "
+    "sentences, so overlap exists and the driver row is non-vacuous); "
+    "production eval sets are fixed benchmark suites — dimension-sized "
+    "regardless of corpus scale — which is the contract the broadcast "
+    "semi-join plan encodes (plan-pinned eval-side-broadcast in "
+    "tests/test_bank_plans.py). Candidate volume is linear in corpus "
+    "grams, never quadratic. Output per contaminated doc: gram count, "
+    "hit count, hit share (exact integers + one single-ratio round). "
+    "Cites decontaminate_ngram_overlap (this module) for the "
+    "cross-SOURCE overlap variant; this one is eval-shard-directional.",
+)
+def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # PERSIST: distinct (doc_id, gram) frame — linear in corpus token
+    # mass; read by BOTH the eval-shard distinct and the corpus side of
+    # the contamination join; session-LRU lifetime
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= _EVAL_DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_EVAL_DECON_N} + 1),"
+                    f" i -> array_join(slice(toks, i, {_EVAL_DECON_N}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .persist()
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _EVAL_DECON_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % _EVAL_DECON_MOD != 0)
+    # eval side broadcast by CONTRACT: production eval suites are fixed
+    # benchmark sets, dimension-sized regardless of corpus scale (see
+    # doc above) — the corpus side streams past it scan-shaped
+    hits = corpus.join(
+        F.broadcast(eval_grams.withColumn("_hit", F.lit(1))),
+        "gram",
+        "left",
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("_hit", F.lit(0))) * 1.0 / F.count("*"), 6
+            ).alias("hit_share"),
+        )
+        .filter(F.col("n_hit") > 0)
+    )

@@ -474,3 +474,18 @@ def test_bigram_entropy_counts_cached_windows_partitioned(spark):
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_chi2_cells_cached_top_is_take_ordered_no_sortmerge(spark):
+    """The registered chi2_token_source: the (token, source) cell frame
+    must be persisted (row/col/grand totals AND the grid join read it —
+    one tokenize pass), the top-K head must be TakeOrderedAndProject
+    (map-side partial top-k, never a global vocabulary sort), and the
+    fixed-grid joins must stay broadcast — no sort-merge of the
+    vocabulary-sized cell frame onto a 20-row grid."""
+    from tests.test_round12_previews import chi2_token_source
+
+    plan = _plan_of(chi2_token_source(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -411,8 +411,15 @@ def test_forced_broadcast_site_count_is_adjudicated():
     # vocab_coverage_curve 2 (the fixed 3-row k-grid + 1-row totals),
     # session_survival_curve 1 (1-row session total); see the
     # CROSSJOIN/PERSIST site comments
-    assert n == 111, (
-        f"F.broadcast site count changed ({n} != 111): adjudicate the "
+    # + 6 round-12 sites, each bounded independently of data scale:
+    # ngram_decontaminate 1 (the eval-gram set — dimension-sized BY
+    # CONTRACT: production eval suites are fixed benchmark sets; see
+    # the site comment), acf_daily_counts 2 (1-row global stats, 1-row
+    # denominator total), chi2_token_source 3 (the fixed top-K token
+    # head, the |sources|-row column totals, the 1-row grand total);
+    # see the CROSSJOIN/PERSIST site comments
+    assert n == 117, (
+        f"F.broadcast site count changed ({n} != 117): adjudicate the "
         "new/removed site per the round-7 audit rule (SCALING.md) and "
         "update this pin"
     )

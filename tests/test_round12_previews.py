@@ -15,6 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_earthquake_gcp_spark.plans import QUERIES
+from etl_earthquake_gcp_spark.plans.curation_queries import _CHI2_TOP
 from etl_earthquake_gcp_spark.plans.text_queries import (
     _EVAL_DECON_MOD as _DECON_MOD,
     _EVAL_DECON_N as _DECON_N,
@@ -30,9 +31,6 @@ gini_concentration = QUERIES["gini_concentration"].spark_fn
 ngram_decontaminate = QUERIES["ngram_decontaminate"].spark_fn
 acf_daily_counts = QUERIES["acf_daily_counts"].spark_fn
 chi2_token_source = QUERIES["chi2_token_source"].spark_fn
-
-_CHI2_TOP = 20  # mirrors plans/curation_queries.py::_CHI2_TOP
-
 
 # -- roc_auc_exact -----------------------------------------------------------
 

@@ -3242,3 +3242,134 @@ def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("acf"),
         )
     )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.c > a.c THEN 1
+                             WHEN b.c < a.c THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY 1
+    ), n AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    ), ties AS (
+        SELECT event_type,
+               CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                    AS BIGINT) AS tie_term
+        FROM (
+            SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+    SELECT s.event_type, n.n_days, s.s_stat,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                - t.tie_term AS BIGINT) AS var18,
+           round((s.s_stat - CAST(sign(s.s_stat) AS BIGINT))
+                 / sqrt((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                         - t.tie_term) / 18.0), 6) + 0.0 AS z
+    FROM s JOIN n USING (event_type) JOIN ties t USING (event_type)
+    WHERE n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term > 0
+    """,
+    doc="Mann-Kendall nonparametric trend test over each event type's "
+    "daily-count series: S = sum_{i<j} sign(c_j - c_i) by date order. "
+    "S and the tie-corrected variance are EXACT INTEGERS — var18 = "
+    "n(n-1)(2n+5) - sum_t t(t-1)(2t+5) carries the /18 into the one "
+    "float step, z = (S - sign(S)) / sqrt(var18/18.0); sqrt is IEEE "
+    "correctly-rounded (not a libm approximation), so z is "
+    "bit-identical across engines on identical integer inputs; single "
+    "display round + 0.0 (z can be negative). All-tied series "
+    "(var18 = 0) are excluded symmetrically on both engines. Scale: "
+    "the facts reduce to the |types| x |days| daily series in one "
+    "groupBy; the |days|^2-per-type pair self-join, the tie groups, "
+    "and n all run on that dimension frame, never on the facts (a "
+    "year of days is ~365 rows per type — the acf_daily_counts "
+    "frame class). Companion of acf_daily_counts: ACF measures "
+    "autocorrelation shape, Mann-Kendall gives the distribution-free "
+    "monotone-trend verdict a drift monitor alerts on. Sibling of "
+    "distribution_drift_metrics / cusum_changepoints in the drift "
+    "family. Reference has no counterpart (its ETL ends at BI "
+    "aggregates, scripts/process_silver_to_gold.py).",
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("long").alias("c"))
+        # PERSIST: |types| x |days| daily-count dimension frame (~1e3
+        # rows per year-type, SF-free once the calendar saturates) —
+        # read by BOTH sides of the pair self-join, the n_days count,
+        # and the tie groups; session-LRU lifetime
+        .persist()
+    )
+    a = daily.select(
+        F.col("event_type"), F.col("d").alias("da"), F.col("c").alias("ca")
+    )
+    b = daily.select(
+        F.col("event_type"), F.col("d").alias("db"), F.col("c").alias("cb")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    )
+    return (
+        s.join(n, "event_type")
+        .join(ties, "event_type")
+        .withColumn("var18", var18.cast("long"))
+        .filter(F.col("var18") > 0)
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            "var18",
+            (
+                F.round(
+                    (F.col("s_stat") - F.signum("s_stat").cast("long"))
+                    / F.sqrt(F.col("var18") / 18.0),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("z"),
+        )
+    )

@@ -1674,3 +1674,149 @@ def chi2_token_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2_units",
         (F.col("chi2_units") / F.lit(1000000.0)).alias("chi2"),
     )
+
+
+@register(
+    "ks_exact_pairs",
+    oracle="""
+    WITH hist AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), sizes AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n AS n_a, b.n AS n_b
+        FROM sizes a JOIN sizes b ON a.source < b.source
+    ), support AS (
+        SELECT DISTINCT p.src_a, p.src_b, h.v
+        FROM pairs p JOIN hist h
+          ON h.source = p.src_a OR h.source = p.src_b
+    ), joined AS (
+        SELECT s.src_a, s.src_b, s.v,
+               coalesce(ha.cnt, 0) AS ca, coalesce(hb.cnt, 0) AS cb
+        FROM support s
+        LEFT JOIN hist ha ON ha.source = s.src_a AND ha.v = s.v
+        LEFT JOIN hist hb ON hb.source = s.src_b AND hb.v = s.v
+    ), cum AS (
+        SELECT src_a, src_b,
+               sum(ca) OVER (PARTITION BY src_a, src_b ORDER BY v)
+                   AS cum_a,
+               sum(cb) OVER (PARTITION BY src_a, src_b ORDER BY v)
+                   AS cum_b
+        FROM joined
+    ), stat AS (
+        SELECT c.src_a, c.src_b,
+               CAST(max(abs(c.cum_a * p.n_b - c.cum_b * p.n_a))
+                    AS BIGINT) AS ks_num
+        FROM cum c JOIN pairs p USING (src_a, src_b)
+        GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, p.n_a, p.n_b, s.ks_num,
+           round(s.ks_num * 1.0 / (p.n_a * p.n_b), 6) AS ks6
+    FROM stat s JOIN pairs p USING (src_a, src_b)
+    """,
+    doc="exact two-sample Kolmogorov-Smirnov distance between every "
+    "source pair's doc-length distribution — the exact companion of "
+    "the binned-KS drift metric in distribution_drift_metrics, on the "
+    "length_emd_pairs scaffold (one histogram groupBy, pair-expanded "
+    "union support, integer cumulative sums); the statistic is "
+    "max|cum_a*n_b - cum_b*n_a| instead of the gap-weighted EMD sum. "
+    "KS_num <= n_a*n_b so the integer numerator is exact in BIGINT "
+    "while per-source doc counts stay under ~3e9 (past any driver "
+    "scale); the display ratio multiplies by 1.0 first on both "
+    "engines — one double division of identical exact integers. "
+    "Scale: everything after the one fact-scan agg runs on |sources| "
+    "x length-domain frames (SF-free once the length domain "
+    "saturates); the unpartitioned work is per-PAIR windows over the "
+    "union support, never the facts. Reference has no counterpart.",
+)
+def ks_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # PERSIST: per-source length histogram — |sources| x length-domain
+    # rows, SF-free after the one fact-scan agg; read by sizes, the
+    # support union, and both cdf sides; session-LRU lifetime
+    hist = (
+        docs.groupBy("source", F.col("n_chars").cast("long").alias("v"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .persist()
+    )
+    sizes = hist.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    a, b = sizes.alias("a"), sizes.alias("b")
+    # CROSSJOIN: |sources|^2/2 ordered source pairs from the
+    # |sources|-row sizes dim — inequality NLJ on a dimension-bounded
+    # frame (AQE broadcasts the post-agg side)
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    h = hist.select("source", "v")
+    # CROSSJOIN: OR-of-equality NLJ — broadcast side is the SF-free
+    # (source, v) histogram key frame; left side is the |sources|^2/2
+    # pair dim. Both bounded independently of fact-row count.
+    support = (
+        pairs.join(
+            F.broadcast(h),
+            (h["source"] == pairs["src_a"])
+            | (h["source"] == pairs["src_b"]),
+        )
+        .select("src_a", "src_b", "v")
+        .distinct()
+    )
+    ha = hist.select(
+        F.col("source").alias("src_a"), "v", F.col("cnt").alias("ca")
+    )
+    hb = hist.select(
+        F.col("source").alias("src_b"), "v", F.col("cnt").alias("cb")
+    )
+    # both cdf sides broadcast: each is the SF-free per-source length
+    # histogram (the EMD adjudication)
+    joined = (
+        support.join(F.broadcast(ha), ["src_a", "v"], "left")
+        .join(F.broadcast(hb), ["src_b", "v"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("src_a", "src_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = joined.select(
+        "src_a",
+        "src_b",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    # pairs re-joins broadcast twice: the |sources|^2/2 pair dim
+    stat = (
+        cum.join(F.broadcast(pairs), ["src_a", "src_b"])
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+            )
+            .cast("long")
+            .alias("ks_num")
+        )
+    )
+    return stat.join(F.broadcast(pairs), ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "ks_num",
+        F.round(F.col("ks_num") * 1.0 / (F.col("n_a") * F.col("n_b")), 6)
+        .alias("ks6"),
+    )

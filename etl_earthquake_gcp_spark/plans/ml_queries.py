@@ -376,6 +376,7 @@ def ml_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((2 * sum(np * nn_below) + sum(np * nn)) * 1.0
                  / (2 * sum(np) * sum(nn)), 6) AS auc
     FROM w
+    HAVING sum(np) > 0 AND sum(nn) > 0
     """,
     doc="exact Mann-Whitney ROC AUC of `value` as a purchase-vs-click "
     "ranking score — the hash-green exact sibling of the MLlib "
@@ -394,7 +395,11 @@ def ml_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the certified scale path is fixed-width score binning before "
     "the groupBy (the MLlib evaluator's own numBins strategy — AUC is "
     "then exact on the binned scores); the registered form is the "
-    "exact-on-raw-scores baseline. Reference has no counterpart.",
+    "exact-on-raw-scores baseline. A degenerate input with an empty "
+    "purchase or click class is excluded symmetrically on both engines "
+    "(HAVING / filter n_pos > 0 AND n_neg > 0, the den>0 house style) "
+    "rather than emitting an engine-dependent NULL/NaN ratio row "
+    "(r12 ADVICE). Reference has no counterpart.",
 )
 def roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -429,4 +434,81 @@ def roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.sum("np") * F.sum("nn")),
             6,
         ).alias("auc"),
+    ).filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+
+
+_KFOLD_K = 5  # folds in the deterministic CV split
+
+
+@register(
+    "kfold_assign_audit",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cv'),
+                                    1, 8)) AS BIGINT) % {_KFOLD_K} AS fold
+        FROM documents
+    ), cells AS (
+        SELECT fold, source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM assigned GROUP BY 1, 2
+    ), totals AS (
+        SELECT fold, CAST(sum(n_docs) AS BIGINT) AS fold_total
+        FROM cells GROUP BY 1
+    ), corpus AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n_all FROM cells
+    )
+    SELECT c.fold, c.source, c.n_docs, t.fold_total,
+           round(t.fold_total * 1.0 / x.n_all, 6) AS fold_share
+    FROM cells c JOIN totals t USING (fold) CROSS JOIN corpus x
+    """,
+    doc=f"deterministic {_KFOLD_K}-fold cross-validation assignment "
+    "audit: fold = portable md5-hash8(doc_id:cv) % k — no RNG state, "
+    "any engine replays every row's fold (the group_shuffle_split / "
+    "epoch_shuffle_ranges hash-split family). Emits the per-(fold, "
+    "source) cell counts plus each fold's total and corpus share: the "
+    "balance check a CV split needs before training. Scale: one "
+    "map-side fold-key projection + one groupBy reduce the facts to "
+    "the k x |sources| cell frame; totals and the 1-row corpus count "
+    "run on that frame. The single display ratio divides two exact "
+    "BIGINTs. Reference splits 80/20 via randomSplit "
+    "(train_tsunami_model.py:80) — this is the deterministic, "
+    "resumable version of that protocol generalized to k folds.",
+)
+def kfold_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "source",
+        (
+            portable_hash8(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":cv"))
+            )
+            % _KFOLD_K
+        ).alias("fold"),
+    )
+    # PERSIST: k x |sources| cell frame (SF-free once every cell is
+    # hit) — read by the fold totals, the corpus total, and the final
+    # join; session-LRU lifetime
+    cells = assigned.groupBy("fold", "source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    ).persist()
+    totals = cells.groupBy("fold").agg(
+        F.sum("n_docs").cast("long").alias("fold_total")
+    )
+    corpus = cells.agg(F.sum("n_docs").cast("long").alias("n_all"))
+    # broadcast sides: the |folds|-row totals dim and the 1-row corpus
+    # total — both bounded independently of data scale
+    return (
+        cells.join(F.broadcast(totals), "fold")
+        # CROSSJOIN: 1-row corpus-total frame fans out onto the
+        # k x |sources| cell dim
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "fold",
+            "source",
+            "n_docs",
+            "fold_total",
+            F.round(F.col("fold_total") * 1.0 / F.col("n_all"), 6).alias(
+                "fold_share"
+            ),
+        )
     )

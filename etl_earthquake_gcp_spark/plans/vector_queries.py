@@ -11,6 +11,8 @@ functions, no Python UDFs.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1777,3 +1779,329 @@ def greedy_assign_topmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="step long, query_id long, item_id long, s_u long"
     )
+
+
+_NDCG_K = 10
+_NDCG_QUERIES = 5  # vec_id < 5 are the query vectors (the standing eval set)
+# 1e6-quantized position discounts w[i] = round(1e6 / log2(i + 1)),
+# PRECOMPUTED in Python once at import — zero runtime libm on either
+# engine, so DCG and IDCG are exact integer sums
+_NDCG_W = [round(1_000_000 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+_NDCG_PREFIX = [sum(_NDCG_W[: j + 1]) for j in range(_NDCG_K)]
+_NDCG_W_SQL = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
+_NDCG_PFX_SQL = "[" + ", ".join(str(p) for p in _NDCG_PREFIX) + "]"
+
+
+@register(
+    "ndcg_at10_exact",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, label, sqrt(sum(x * x)) AS norm
+        FROM exploded GROUP BY 1, 2
+    ), q AS (
+        SELECT vec_id AS query_id, label AS qlabel, norm AS qnorm
+        FROM norms WHERE vec_id < {_NDCG_QUERIES} AND norm > 0
+    ), c AS (
+        SELECT vec_id, label, norm FROM norms
+        WHERE vec_id >= {_NDCG_QUERIES} AND norm > 0
+    ), dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id,
+               sum(a.x * b.x) AS dot
+        FROM exploded a JOIN exploded b ON a.i = b.i
+        WHERE a.vec_id < {_NDCG_QUERIES} AND b.vec_id >= {_NDCG_QUERIES}
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT d.query_id, q.qlabel, d.vec_id, c.label,
+               round(d.dot / (q.qnorm * c.norm), 6) AS cos6
+        FROM dots d
+        JOIN q ON q.query_id = d.query_id
+        JOIN c ON c.vec_id = d.vec_id
+    ), ranked AS (
+        SELECT query_id, qlabel, vec_id, label,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos6 DESC, vec_id
+               ) AS rnk
+        FROM scored
+    ), rel_corpus AS (
+        SELECT q.query_id,
+               CAST(count(*) AS BIGINT) AS n_rel
+        FROM q JOIN c ON c.label = q.qlabel
+        GROUP BY 1
+    ), dcg AS (
+        SELECT query_id, qlabel,
+               CAST(coalesce(sum(CASE WHEN label = qlabel
+                   THEN ({_NDCG_W_SQL})[rnk] ELSE 0 END), 0) AS BIGINT)
+                   AS dcg_units
+        FROM ranked WHERE rnk <= {_NDCG_K}
+        GROUP BY 1, 2
+    )
+    SELECT d.query_id, d.qlabel, r.n_rel, d.dcg_units,
+           CAST(({_NDCG_PFX_SQL})[CAST(least(r.n_rel, {_NDCG_K}) AS INT)]
+                AS BIGINT) AS idcg_units,
+           round(d.dcg_units * 1.0
+                 / ({_NDCG_PFX_SQL})[CAST(least(r.n_rel, {_NDCG_K})
+                                          AS INT)],
+                 6) AS ndcg
+    FROM dcg d JOIN rel_corpus r USING (query_id)
+    WHERE r.n_rel > 0
+    """,
+    doc=f"NDCG@{_NDCG_K} retrieval quality with binary label relevance "
+    "for the standing 5-query eval set against the rest of the corpus: "
+    "ranking by the proven (round(cos, 6) DESC, vec_id) collapse order "
+    "(the cosine_topk tie rule); position discounts 1/log2(i+1) are "
+    "PRECOMPUTED at import as 1e-6-unit integers — zero runtime libm "
+    "on either engine — so DCG and IDCG are exact integer sums and "
+    "NDCG is one int/int display ratio. IDCG caps the ideal at "
+    "min(#relevant, k); queries with no relevant corpus item are "
+    "excluded symmetrically. Scale: one scan of the corpus against "
+    "the broadcast fixed query frame (the cosine_topk shape), one "
+    "k-bounded per-query window on the scored frame; the relevance "
+    "counts reduce the corpus to a |queries|-row dim. Reference has "
+    "no counterpart.",
+)
+def ndcg_at10_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = cast_double_with_norm(emb, keep=("vec_id", "label")).filter(
+        F.col("norm") > 0
+    )
+    q = withn.filter(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = withn.filter(F.col("vec_id") >= _NDCG_QUERIES)
+    dot = F.aggregate(
+        F.zip_with("vec", "qvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # CROSSJOIN: the fixed 5-row query-anchor frame fans out onto the
+    # corpus scan (the cosine_topk / greedy_assign anchor class)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos6"),
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos6"), "vec_id"
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(wrank)).filter(
+        F.col("rnk") <= _NDCG_K
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    pfx_arr = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
+    dcg = ranked.groupBy("query_id", "qlabel").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("label") == F.col("qlabel"),
+                    F.element_at(w_arr, F.col("rnk")),
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dcg_units")
+    )
+    # broadcast the fixed query-label frame onto the corpus label scan;
+    # the result reduces to a |queries|-row relevance dim
+    rel = (
+        F.broadcast(q.select("query_id", "qlabel"))
+        .join(c, F.col("qlabel") == c["label"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_rel"))
+    )
+    # |queries|-row relevance-count dim broadcast onto the DCG frame
+    out = dcg.join(F.broadcast(rel), "query_id").filter(F.col("n_rel") > 0)
+    idcg = F.element_at(
+        pfx_arr, F.least(F.col("n_rel"), F.lit(_NDCG_K)).cast("int")
+    )
+    return out.select(
+        "query_id",
+        "qlabel",
+        "n_rel",
+        "dcg_units",
+        idcg.cast("long").alias("idcg_units"),
+        F.round(F.col("dcg_units") * 1.0 / idcg, 6).alias("ndcg"),
+    )
+
+
+_KM_K = 4  # clusters; seeds = the k smallest vec_ids
+
+
+def _km_q6_int(col):
+    """ONE half-away quantization of a raw coordinate to 1e-6 units —
+    the kmeans_lloyd_2iter entry grid (everything after it is exact
+    integer arithmetic)."""
+    return (
+        F.signum(col) * F.floor(F.abs(col) * 1_000_000 + F.lit(0.5))
+    ).cast("long")
+
+
+@register(
+    "kmeans_lloyd_2iter",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), xu AS (
+        SELECT vec_id, i,
+               CAST(sign(x) * floor(abs(x) * 1000000 + 0.5) AS BIGINT)
+                   AS xu
+        FROM exploded
+    ), c0 AS (
+        SELECT vec_id AS cluster_id, i, xu AS cu FROM xu
+        WHERE vec_id < {_KM_K}
+    ), d1 AS (
+        SELECT v.vec_id, c.cluster_id,
+               CAST(sum((v.xu - c.cu) * (v.xu - c.cu)) AS BIGINT)
+                   AS dist_u
+        FROM xu v JOIN c0 c USING (i) GROUP BY 1, 2
+    ), a1 AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT vec_id, cluster_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist_u, cluster_id
+                   ) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ), c1 AS (
+        SELECT a.cluster_id, x.i,
+               CAST(CAST(sign(sum(x.xu)) AS BIGINT)
+                    * ((2 * abs(sum(x.xu)) + count(*))
+                       // (2 * count(*))) AS BIGINT) AS cu
+        FROM a1 a JOIN xu x USING (vec_id) GROUP BY 1, 2
+    ), d2 AS (
+        SELECT v.vec_id, c.cluster_id,
+               CAST(sum((v.xu - c.cu) * (v.xu - c.cu)) AS BIGINT)
+                   AS dist_u
+        FROM xu v JOIN c1 c USING (i) GROUP BY 1, 2
+    ), a2 AS (
+        SELECT vec_id, cluster_id, dist_u FROM (
+            SELECT vec_id, cluster_id, dist_u,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist_u, cluster_id
+                   ) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ), c2 AS (
+        SELECT a.cluster_id, x.i,
+               CAST(CAST(sign(sum(x.xu)) AS BIGINT)
+                    * ((2 * abs(sum(x.xu)) + count(*))
+                       // (2 * count(*))) AS BIGINT) AS cu
+        FROM a2 a JOIN xu x USING (vec_id) GROUP BY 1, 2
+    )
+    SELECT m.cluster_id, m.n_members, m.inertia_u, s.centroid_checksum
+    FROM (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(dist_u) AS BIGINT) AS inertia_u
+        FROM a2 GROUP BY 1
+    ) m JOIN (
+        SELECT cluster_id, CAST(sum(cu) AS BIGINT) AS centroid_checksum
+        FROM c2 GROUP BY 1
+    ) s USING (cluster_id)
+    """,
+    doc=f"two deterministic Lloyd iterations, k = {_KM_K}, seeds = the "
+    "k smallest vec_ids — the distributed k-means inner loop (MLlib's "
+    "KMeans is seed/parallelism-dependent; this form any engine "
+    "replays bit-exactly). The ENTIRE algorithm is integer arithmetic "
+    "after ONE quantization of the raw coordinates (1e-6-unit "
+    "half-away ints): distances are exact integer sums of (xu-cu)^2, "
+    "argmin is totally ordered by (dist, cluster_id), the centroid "
+    "recompute is the integer half-away mean sign(s)*((2|s|+n) div "
+    "2n) — zero float ops inside the iteration, so the oracle replays "
+    "both iterations via unrolled CTEs with no ulp argument anywhere "
+    "(the compounding hazard of a quantized-float centroid feeding "
+    "iteration 2's argmin never arises). Scale: per iteration one "
+    "broadcast join of the k x dims centroid table against the "
+    "exploded coordinates + one groupBy per (vector, cluster) — "
+    "map-side combine, no collect at all; centroids never leave the "
+    "cluster. BIGINT bound: at unit norm ||x-c||^2 <= 4 i.e. dist_u "
+    "<= ~4e12 units (the norm caps the whole sum), so per-cluster "
+    "inertia_u fits BIGINT up to ~2.3e6 worst-case (~1e7-1e8 typical) "
+    "members per cluster; past that, report mean-distance-per-member "
+    "or widen the inertia aggregate to DECIMAL(38,0) on both engines. "
+    "Reference has no counterpart.",
+)
+def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    xu = (
+        emb.select(
+            "vec_id", F.posexplode("vec").alias("i0", "x")
+        )
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            _km_q6_int(F.col("x")).alias("xu"),
+        )
+        # PERSIST: |vectors| x dims exploded unit-coordinate frame —
+        # the ONE fact-sized cache (every iteration's distance join
+        # and both centroid recomputes read it; re-exploding the raw
+        # table 4x costs more than the cache); session-LRU lifetime
+        .persist()
+    )
+
+    def assign(cent):
+        # broadcast side: the k x dims centroid frame (bounded by the
+        # fixed cluster count, never by data scale)
+        j = xu.join(F.broadcast(cent), "i")
+        diff = F.col("xu") - F.col("cu")
+        d = j.groupBy("vec_id", "cluster_id").agg(
+            F.sum(diff * diff).cast("long").alias("dist_u")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist_u", "cluster_id")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster_id", "dist_u")
+        )
+
+    def recompute(assigned):
+        # shuffle_hash on the node-sized assignment side: sort-merge
+        # would re-sort the |vectors x dims| coordinate table per
+        # iteration (the pagerank lesson); neither side broadcasts at
+        # 1e9-vector scale
+        return (
+            assigned.select("vec_id", "cluster_id")
+            .hint("shuffle_hash")
+            .join(xu, "vec_id")
+            .groupBy("cluster_id", "i")
+            .agg(
+                F.sum("xu").alias("s"), F.count("*").alias("n")
+            )
+            .select(
+                "cluster_id",
+                "i",
+                F.expr(
+                    "CAST(CAST(sign(s) AS BIGINT)"
+                    " * ((2 * abs(s) + n) div (2 * n)) AS BIGINT)"
+                ).alias("cu"),
+            )
+        )
+
+    c0 = xu.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster_id"), "i", F.col("xu").alias("cu")
+    )
+    a1 = assign(c0)
+    c1 = recompute(a1)
+    a2 = assign(c1)
+    c2 = recompute(a2)
+    members = a2.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("dist_u").cast("long").alias("inertia_u"),
+    )
+    # broadcast side: the k-row centroid-checksum dim
+    checksums = c2.groupBy("cluster_id").agg(
+        F.sum("cu").cast("long").alias("centroid_checksum")
+    )
+    return members.join(F.broadcast(checksums), "cluster_id")

@@ -26,9 +26,9 @@ def test_epoch_shuffle_order_is_take_ordered(spark):
 def test_ndcg_query_side_broadcasts(spark):
     """The 5-query anchor frame must broadcast against the corpus scan —
     a shuffle of the corpus onto 5 keys would be the skew anti-pattern."""
-    from tests.test_round13_previews import ndcg_at10_exact
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(ndcg_at10_exact(spark, SF_DIR))
+    plan = _plan_of(QUERIES["ndcg_at10_exact"].spark_fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan, plan
 
@@ -36,18 +36,18 @@ def test_ndcg_query_side_broadcasts(spark):
 def test_kmeans_centroids_broadcast_not_sortmerge(spark):
     """Every Lloyd distance join must broadcast the k x dims centroid
     side; the exploded coordinate table must never sort-merge."""
-    from tests.test_round13_previews import kmeans_lloyd_2iter
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(kmeans_lloyd_2iter(spark, SF_DIR))
+    plan = _plan_of(QUERIES["kmeans_lloyd_2iter"].spark_fn(spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
 
 
 def test_ngram_decontaminate_eval_side_broadcasts(spark):
     """The eval gram set joins broadcast (the production contract:
     eval suites are dimension-sized)."""
-    from tests.test_round12_previews import ngram_decontaminate
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(ngram_decontaminate(spark, SF_DIR))
+    plan = _plan_of(QUERIES["ngram_decontaminate"].spark_fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
 
@@ -55,9 +55,9 @@ def test_ngram_decontaminate_eval_side_broadcasts(spark):
 def test_roc_auc_window_runs_on_histogram_not_facts(spark):
     """The cumulative window must consume the distinct-score histogram
     (post-aggregation), i.e. the plan aggregates BEFORE the window."""
-    from tests.test_round12_previews import roc_auc_exact
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(roc_auc_exact(spark, SF_DIR))
+    plan = _plan_of(QUERIES["roc_auc_exact"].spark_fn(spark, SF_DIR))
     # window over the aggregated frame: the Window node appears above
     # a HashAggregate in the tree (string order: Window printed before
     # its child aggregate)
@@ -90,9 +90,9 @@ def test_basket_prefilter_join_broadcasts_part_marginals(spark):
 def test_hard_negative_anchor_scan_is_single_broadcast_nlj(spark):
     """The contrastive anchor set broadcasts against one corpus scan —
     no sort-merge, no cartesian."""
-    from tests.test_round7_previews import hard_negative_mining
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(hard_negative_mining(spark, SF_DIR))
+    plan = _plan_of(QUERIES["hard_negative_mining"].spark_fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
@@ -101,9 +101,9 @@ def test_hard_negative_anchor_scan_is_single_broadcast_nlj(spark):
 def test_stratified_split_bounds_join_broadcasts(spark):
     """The |strata x splits| quota-interval table broadcasts against
     the ranked corpus (the builder's explicit F.broadcast(bounds))."""
-    from tests.test_round9_previews import exact_stratified_split
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(exact_stratified_split(spark, SF_DIR))
+    plan = _plan_of(QUERIES["exact_stratified_split"].spark_fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
 
@@ -111,9 +111,9 @@ def test_stratified_split_bounds_join_broadcasts(spark):
 def test_source_overlap_no_cartesian_or_sortmerge(spark):
     """The |sources|^2 pair frame is dimension-sized: every join is a
     broadcast, never a cartesian product or a fact-sized sort-merge."""
-    from tests.test_round9_previews import source_overlap_minhash
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(source_overlap_minhash(spark, SF_DIR))
+    plan = _plan_of(QUERIES["source_overlap_minhash"].spark_fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
 
@@ -124,9 +124,9 @@ def test_epoch_ranges_no_corpus_range_exchange(spark):
     so the plan must contain no range-partitioning exchange (a global
     sort of the corpus) — just the bucket hash-agg; the only
     single-partition stage is the |buckets|-row window."""
-    from tests.test_round8_previews import epoch_shuffle_ranges
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(epoch_shuffle_ranges(spark, SF_DIR))
+    plan = _plan_of(QUERIES["epoch_shuffle_ranges"].spark_fn(spark, SF_DIR))
     assert "Exchange rangepartitioning" not in plan, plan
     assert "TakeOrderedAndProject" not in plan, plan
 
@@ -137,9 +137,9 @@ def test_quantile_normalize_hist_cached_no_corpus_sort(spark):
     'scanned exactly twice' contract), and the corpus must never reach a
     sort-merge join or cartesian product: every selection is a broadcast
     range join against the bounded histogram."""
-    from tests.test_round8_previews import quantile_normalize_scores
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(quantile_normalize_scores(spark, SF_DIR))
+    plan = _plan_of(QUERIES["quantile_normalize_scores"].spark_fn(spark, SF_DIR))
     assert "InMemoryTableScan" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
@@ -148,9 +148,9 @@ def test_quantile_normalize_hist_cached_no_corpus_sort(spark):
 def test_robust_scale_mad_selection_broadcasts_histogram(spark):
     """Median/MAD are rank selections via broadcast joins against the
     per-group histogram — the corpus side must never sort-merge."""
-    from tests.test_round8_previews import robust_scale_mad
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(robust_scale_mad(spark, SF_DIR))
+    plan = _plan_of(QUERIES["robust_scale_mad"].spark_fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
 
@@ -159,9 +159,9 @@ def test_top_p_token_budget_single_scan_no_join(spark):
     """Per-source top-p truncation is one corpus scan + per-source
     windows — no join of any kind, no second scan (the group totals
     ride the same windows)."""
-    from tests.test_round8_previews import top_p_token_budget
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(top_p_token_budget(spark, SF_DIR))
+    plan = _plan_of(QUERIES["top_p_token_budget"].spark_fn(spark, SF_DIR))
     assert plan.count("Scan parquet") == 1, plan
     for node in ("Join", "CartesianProduct"):
         assert node not in plan, plan
@@ -171,9 +171,9 @@ def test_weighted_sample_docs_is_take_ordered(spark):
     """Efraimidis-Spirakis top-N selection must be
     TakeOrderedAndProject (map-side partial top-N), never a global
     sort."""
-    from tests.test_round8_previews import weighted_sample_docs
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(weighted_sample_docs(spark, SF_DIR))
+    plan = _plan_of(QUERIES["weighted_sample_docs"].spark_fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
 
 
@@ -191,9 +191,9 @@ def test_doc_novelty_ngram_equijoins_only(spark):
     """The distinct-gram doc-frequency join-back must stay an
     equi-join: no cartesian product, no nested-loop join of
     gram-scale frames."""
-    from tests.test_round9_previews import doc_novelty_ngram
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(doc_novelty_ngram(spark, SF_DIR))
+    plan = _plan_of(QUERIES["doc_novelty_ngram"].spark_fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
@@ -214,9 +214,9 @@ def test_vocab_coverage_head_is_take_ordered(spark):
     """The top-maxK vocabulary head must be TakeOrderedAndProject (the
     post-limit row_number pattern), never a row_number single-partition
     sort of the full corpus-growing vocabulary."""
-    from tests.test_round11_previews import vocab_coverage_curve
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(vocab_coverage_curve(spark, SF_DIR))
+    plan = _plan_of(QUERIES["vocab_coverage_curve"].spark_fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
 
 
@@ -240,9 +240,9 @@ def test_datacard_freq_cached_no_cartesian(spark):
     must be persisted (it feeds the lexical aggregate AND the zipf
     ranks — one tokenize pass) and the composed plan must never degrade
     to a cartesian product."""
-    from tests.test_round11_previews import source_datacard_pipeline
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(source_datacard_pipeline(spark, SF_DIR))
+    plan = _plan_of(QUERIES["source_datacard_pipeline"].spark_fn(spark, SF_DIR))
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
@@ -255,9 +255,9 @@ def test_span_islands_gram_frame_cached_equijoins_only(spark):
     window here would sort every shared position in one task)."""
     import re
 
-    from tests.test_round10_previews import shared_span_islands
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(shared_span_islands(spark, SF_DIR))
+    plan = _plan_of(QUERIES["shared_span_islands"].spark_fn(spark, SF_DIR))
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
@@ -273,9 +273,9 @@ def test_centroid_shift_joins_aggregated_frames_only(spark):
     fail), and nothing may degrade to a cartesian product."""
     import re
 
-    from tests.test_round10_previews import label_centroid_shift
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(label_centroid_shift(spark, SF_DIR))
+    plan = _plan_of(QUERIES["label_centroid_shift"].spark_fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     # root-first printing: the join line, then each child subtree in
     # sequence ending at its scan — so every scan under the join must
@@ -298,9 +298,9 @@ def test_label_propagation_edges_cached_argmax_partitioned(spark):
     product."""
     import re
 
-    from tests.test_round10_previews import label_propagation_3iter
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(label_propagation_3iter(spark, SF_DIR))
+    plan = _plan_of(QUERIES["label_propagation_3iter"].spark_fn(spark, SF_DIR))
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
@@ -312,9 +312,9 @@ def test_bellman_ford_lineage_truncated(spark):
     final localCheckpoint (ExistingRDD scan), not replay the 3-iteration
     join lineage — the connected_components discipline that keeps plan
     size constant per round."""
-    from tests.test_round10_previews import bellman_ford_3relax
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(bellman_ford_3relax(spark, SF_DIR))
+    plan = _plan_of(QUERIES["bellman_ford_3relax"].spark_fn(spark, SF_DIR))
     assert "ExistingRDD" in plan, plan
     assert "Join" not in plan, plan
 
@@ -374,9 +374,9 @@ def test_gini_single_scan_source_partitioned_window(spark):
     in one task), and no join of any kind."""
     import re
 
-    from tests.test_round12_previews import gini_concentration
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(gini_concentration(spark, SF_DIR))
+    plan = _plan_of(QUERIES["gini_concentration"].spark_fn(spark, SF_DIR))
     # "Scan parquet" is a substring of "FileScan parquet", so this
     # counts both spellings — and pins EXACTLY one corpus scan
     assert plan.count("Scan parquet") == 1, plan
@@ -390,9 +390,9 @@ def test_mann_kendall_daily_cached_equijoins_only(spark):
     persisted (it feeds the pair join twice, n, and the tie groups) and
     the |days|^2-per-type pair stage must stay an equi-join on
     event_type — no cartesian product."""
-    from tests.test_round13_previews import mann_kendall_trend
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(mann_kendall_trend(spark, SF_DIR))
+    plan = _plan_of(QUERIES["mann_kendall_trend"].spark_fn(spark, SF_DIR))
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
@@ -402,9 +402,9 @@ def test_ks_exact_hist_cached_no_cartesian_no_sortmerge(spark):
     (sizes, support, and both cdf sides read it), every join runs on
     dimension-sized frames — no cartesian product, no fact-sized
     sort-merge."""
-    from tests.test_round13_previews import ks_exact_pairs
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(ks_exact_pairs(spark, SF_DIR))
+    plan = _plan_of(QUERIES["ks_exact_pairs"].spark_fn(spark, SF_DIR))
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
@@ -414,9 +414,9 @@ def test_acf_residuals_cached_no_sortmerge(spark):
     """The banked acf_daily_counts: the |days|-row residual frame is
     persisted (den + three lag joins), and the lag joins stay on
     dimension-sized frames — no sort-merge of anything fact-sized."""
-    from tests.test_round12_previews import acf_daily_counts
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(acf_daily_counts(spark, SF_DIR))
+    plan = _plan_of(QUERIES["acf_daily_counts"].spark_fn(spark, SF_DIR))
     assert "InMemoryTableScan" in plan, plan
     assert "SortMergeJoin" not in plan, plan
 
@@ -441,9 +441,9 @@ def test_hll_intersection_registers_cached_equijoins_only(spark):
     intersection must stay bucket/user equi-joins — no cartesian
     product anywhere (an all-pairs register compare without the bucket
     key would be 2^2p per type pair)."""
-    from tests.test_round11_previews import hll_intersection_audit
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(hll_intersection_audit(spark, SF_DIR))
+    plan = _plan_of(QUERIES["hll_intersection_audit"].spark_fn(spark, SF_DIR))
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
@@ -454,9 +454,9 @@ def test_length_emd_hist_cached_no_cartesian(spark):
     read it — one fact scan total) and the pair fan-out must stay
     broadcast-NLJ over dimension-bounded frames, never a cartesian
     product of anything fact-sized."""
-    from tests.test_round11_previews import length_emd_pairs
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(length_emd_pairs(spark, SF_DIR))
+    plan = _plan_of(QUERIES["length_emd_pairs"].spark_fn(spark, SF_DIR))
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
@@ -468,9 +468,9 @@ def test_bigram_entropy_counts_cached_windows_partitioned(spark):
     equi-join, and the plan must carry no window at all (pure aggs) —
     a global window here would mean a single-partition sort of the
     bigram frame."""
-    from tests.test_round11_previews import bigram_entropy_stats
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(bigram_entropy_stats(spark, SF_DIR))
+    plan = _plan_of(QUERIES["bigram_entropy_stats"].spark_fn(spark, SF_DIR))
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
@@ -483,9 +483,9 @@ def test_chi2_cells_cached_top_is_take_ordered_no_sortmerge(spark):
     (map-side partial top-k, never a global vocabulary sort), and the
     fixed-grid joins must stay broadcast — no sort-merge of the
     vocabulary-sized cell frame onto a 20-row grid."""
-    from tests.test_round12_previews import chi2_token_source
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(chi2_token_source(spark, SF_DIR))
+    plan = _plan_of(QUERIES["chi2_token_source"].spark_fn(spark, SF_DIR))
     assert "InMemoryTableScan" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan

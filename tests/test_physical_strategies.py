@@ -418,8 +418,18 @@ def test_forced_broadcast_site_count_is_adjudicated():
     # denominator total), chi2_token_source 3 (the fixed top-K token
     # head, the |sources|-row column totals, the 1-row grand total);
     # see the CROSSJOIN/PERSIST site comments
-    assert n == 117, (
-        f"F.broadcast site count changed ({n} != 117): adjudicate the "
+    # + 12 round-13 sites, each bounded independently of data scale:
+    # ks_exact_pairs 5 (the SF-free per-source length-histogram key
+    # frame, both cdf sides, and the |sources|^2/2 pair dim twice —
+    # the length_emd_pairs adjudication applied verbatim),
+    # kfold_assign_audit 2 (the |folds|-row totals dim + the 1-row
+    # corpus total), ndcg_at10_exact 3 (the fixed 5-row query-anchor
+    # frame, the query-label frame, the |queries|-row relevance dim),
+    # kmeans_lloyd_2iter 2 (the k x dims centroid frame inside
+    # assign(), the k-row checksum dim); see the CROSSJOIN/PERSIST
+    # site comments
+    assert n == 129, (
+        f"F.broadcast site count changed ({n} != 129): adjudicate the "
         "new/removed site per the round-7 audit rule (SCALING.md) and "
         "update this pin"
     )

@@ -17,7 +17,6 @@ displacement slot frees (standing rule; it does not break the
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_earthquake_gcp_spark.plans import QUERIES

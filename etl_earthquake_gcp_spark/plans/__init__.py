@@ -52,8 +52,10 @@ from . import calibration_queries  # noqa: E402,F401
 # paired with approx_distinct_audit (position 50). Standing ledger
 # exception (SCALING.md pairing ledger): stratified_sample_counts
 # refreshed in r10 while stratified_sample_audit holds its hash-green
-# r9 row — pair them whenever the counts query next takes a slot
-# (r16+).
+# r9 row — pair them whenever the counts query next takes a slot:
+# per the computed r14/r15 schedule (SURVEY r14 bullet) that is r15,
+# where the counts query lands naturally and the audit (r14-rowed by
+# then) joins as that head's pairing addition.
 _DRIVER_PRIORITY = [
     # -- positions 1-5: new in round 13 (promoted from the round-13
     #    preview bank) ------------------------------------------------------

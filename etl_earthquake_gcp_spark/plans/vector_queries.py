@@ -1782,7 +1782,10 @@ def greedy_assign_topmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NDCG_K = 10
-_NDCG_QUERIES = 5  # vec_id < 5 are the query vectors (the standing eval set)
+# the standing eval set (vec_id < 5 are the query vectors) — derived
+# from the module's one source of truth so the query/corpus boundary
+# cannot drift between ndcg and the other eval-set queries
+_NDCG_QUERIES = _N_QUERIES
 # 1e6-quantized position discounts w[i] = round(1e6 / log2(i + 1)),
 # PRECOMPUTED in Python once at import — zero runtime libm on either
 # engine, so DCG and IDCG are exact integer sums

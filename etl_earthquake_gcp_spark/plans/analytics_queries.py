@@ -1920,28 +1920,40 @@ _BOOT_B = 50  # bootstrap replicas
                         ELSE 3 END AS w
             FROM events e CROSS JOIN reps rp
         ), rep_means AS (
+            -- replica means quantized ONCE to exact 1e-6-unit BIGINTs;
+            -- the 4dp display below is integer half-away — re-rounding
+            -- an already-6dp DOUBLE at 4dp diverges across engines
+            -- exactly on ...x50 boundaries (r5 rule; the s57 subsample
+            -- sweep caught this query's ci_hi on 49.368050)
             SELECT event_type, r,
-                   round(sum(w * value) / sum(w), 6) AS m
+                   CAST(round((sum(w * value) / sum(w)) * 1000000, 0)
+                        AS BIGINT) AS m_u
             FROM weighted
             GROUP BY event_type, r
             HAVING sum(w) > 0
         ), ranked AS (
-            SELECT event_type, m,
+            SELECT event_type, m_u,
                    row_number() OVER (
-                       PARTITION BY event_type ORDER BY m, r
+                       PARTITION BY event_type ORDER BY m_u, r
                    ) AS rn,
                    count(*) OVER (PARTITION BY event_type) AS n
             FROM rep_means
+        ), sel AS (
+            SELECT event_type,
+                   max(CASE WHEN rn = ceil(0.025 * n) THEN m_u END) AS lo_u,
+                   max(CASE WHEN rn = ceil(0.5 * n) THEN m_u END) AS mid_u,
+                   max(CASE WHEN rn = ceil(0.975 * n) THEN m_u END) AS hi_u
+            FROM ranked
+            GROUP BY event_type
         )
         SELECT event_type,
-               round(max(CASE WHEN rn = ceil(0.025 * n) THEN m END), 4)
+               sign(lo_u) * ((abs(lo_u) + 50) // 100) / 10000.0 + 0.0
                    AS ci_lo,
-               round(max(CASE WHEN rn = ceil(0.5 * n) THEN m END), 4)
+               sign(mid_u) * ((abs(mid_u) + 50) // 100) / 10000.0 + 0.0
                    AS ci_mid,
-               round(max(CASE WHEN rn = ceil(0.975 * n) THEN m END), 4)
+               sign(hi_u) * ((abs(hi_u) + 50) // 100) / 10000.0 + 0.0
                    AS ci_hi
-        FROM ranked
-        GROUP BY event_type
+        FROM sel
     """,
     doc="bootstrap confidence intervals for per-group means via "
     f"DETERMINISTIC hash-resampling: each of {_BOOT_B} replicas assigns "
@@ -1954,7 +1966,11 @@ _BOOT_B = 50  # bootstrap replicas
     "partial-agg to (group x replica) cells, "
     f"then {_BOOT_B}-value quantiles per group — the classic "
     "two-level-agg bootstrap that never shuffles raw rows twice. "
-    "Replica means are rounded before quantiling (moments-first rule).",
+    "Replica means are quantized ONCE to exact 1e-6-unit BIGINTs "
+    "(moments-first rule) and the 4dp CI display is integer half-away "
+    "(quantized_half_away) — the coarse re-round of an already-6dp "
+    "double is the r5-documented cross-engine ...x50 divergence, hit "
+    "live by the seed-57 subsample sweep on ci_hi = 49.368050.",
 )
 def grouped_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1972,38 +1988,50 @@ def grouped_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted.groupBy("event_type", "r")
         .agg(
             F.round(
-                F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6
-            ).alias("m"),
+                (F.sum(F.col("w") * F.col("value")) / F.sum("w"))
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("m_u"),
             F.sum("w").alias("sw"),
         )
         .filter(F.col("sw") > 0)
     )
     # CI bounds as pure ORDER STATISTICS (rank selection, replica-id
     # tie-break) — interpolating percentiles differ between engines in
-    # the last ulp on even counts; a selected element cannot
-    w_rank = Window.partitionBy("event_type").orderBy("m", "r")
+    # the last ulp on even counts; a selected element cannot. Means are
+    # carried as 1e-6-unit BIGINTs so the rank order is integer order
+    # and the 4dp display never re-rounds a quantized double.
+    w_rank = Window.partitionBy("event_type").orderBy("m_u", "r")
     w_n = Window.partitionBy("event_type")
     ranked = rep_means.select(
         "event_type",
-        "m",
+        "m_u",
         F.row_number().over(w_rank).alias("rn"),
         F.count("*").over(w_n).alias("n"),
     )
 
-    def _at(q: float):
-        return F.round(
-            F.max(
-                F.when(
-                    F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("m")
-                )
-            ),
-            4,
+    def _sel(q: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("m_u")
+            )
         )
 
-    return ranked.groupBy("event_type").agg(
-        _at(0.025).alias("ci_lo"),
-        _at(0.5).alias("ci_mid"),
-        _at(0.975).alias("ci_hi"),
+    def _disp4(col: str):  # 1e-6 units -> half-away 4dp double, exactly
+        return quantized_half_away(col, unit=100, out_scale=10_000.0)
+
+    sel = ranked.groupBy("event_type").agg(
+        _sel(0.025).alias("lo_u"),
+        _sel(0.5).alias("mid_u"),
+        _sel(0.975).alias("hi_u"),
+    )
+    return sel.select(
+        "event_type",
+        _disp4("lo_u").alias("ci_lo"),
+        _disp4("mid_u").alias("ci_mid"),
+        _disp4("hi_u").alias("ci_hi"),
     )
 
 

@@ -101,3 +101,38 @@ def test_rational_half_away_matches_duckdb(spark, num, den, expected):
         [num, den],
     ).fetchone()[0]
     assert sp == duck == pytest.approx(expected)
+
+
+def test_grouped_bootstrap_ci_boundary_matches_duckdb(spark, tmp_path):
+    """The seed-57 subsample-sweep catch (round 13): a replica mean
+    landing exactly on a ...x50 1e-6 boundary (49.368050) must display
+    identically at 4dp on both engines. One event row makes EVERY
+    surviving replica mean equal the raw value, so all three CI bounds
+    sit on the boundary — the pre-fix round(round(x,6),4) form reads
+    49.3681 on Spark and 49.368 on DuckDB; the integer half-away path
+    cannot split."""
+    import pandas as pd
+
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1],
+            "ts": pd.to_datetime(["2024-01-01"]),
+            "user_id": [1],
+            "event_type": ["purchase"],
+            "value": [49.36805],
+            "props": ["{}"],
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+
+    q = QUERIES["grouped_bootstrap_ci"]
+    sp = q.spark_fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    du = con.execute(q.oracle).df()
+    for col in ("ci_lo", "ci_mid", "ci_hi"):
+        assert sp.loc[0, col] == du.loc[0, col] == 49.3681, col

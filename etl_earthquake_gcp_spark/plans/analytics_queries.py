@@ -2581,42 +2581,60 @@ def rfm_segmentation_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUSUM_K = 0.5  # slack (in sigma units) — standard one-sided CUSUM tuning
 _CUSUM_H = 4.0  # decision threshold (in sigma units)
+# integer twins for the exact-rational recurrence (den = 2*sigma_u):
+# z - k = (2*(v_u - mu_u) - _CUSUM_K2*sigma_u) / (2*sigma_u) and the
+# alarm s > H is S > _CUSUM_H2*sigma_u — both exact in BIGINT
+_CUSUM_K2 = int(2 * _CUSUM_K)
+_CUSUM_H2 = int(2 * _CUSUM_H)
+assert 2 * _CUSUM_K == _CUSUM_K2 and 2 * _CUSUM_H == _CUSUM_H2
 
 
 @register(
     "cusum_changepoints",
     oracle=f"""
         WITH RECURSIVE daily AS (
+            -- daily means quantized ONCE to 1e-6-unit BIGINTs; with
+            -- k = {_CUSUM_K} the whole recurrence is EXACT integer
+            -- arithmetic over the fixed denominator 2*sigma_u, so no
+            -- cumulative float ever reaches a display round — the
+            -- round(float_chain, 4) form split on a ...x50 boundary
+            -- (1.18355) in the seed-5 subsample stress (r13)
             SELECT event_type, CAST(ts AS DATE) AS d,
-                   round(avg(value), 6) AS v
+                   CAST(round(avg(value) * 1000000, 0) AS BIGINT) AS v_u
             FROM events GROUP BY 1, 2
         ), m AS (
-            SELECT event_type, round(avg(v), 6) AS mu,
-                   round(stddev_samp(v), 6) AS sigma
-            FROM daily GROUP BY 1 HAVING round(stddev_samp(v), 6) > 0
+            SELECT event_type,
+                   CAST(round(avg(v_u * 1.0), 0) AS BIGINT) AS mu_u,
+                   CAST(round(stddev_samp(v_u * 1.0), 0) AS BIGINT)
+                       AS sigma_u
+            FROM daily GROUP BY 1
+            HAVING CAST(round(stddev_samp(v_u * 1.0), 0) AS BIGINT) > 0
         ), seq AS (
-            SELECT d.event_type, d.d, d.v, m.mu, m.sigma,
+            SELECT d.event_type, d.d, d.v_u, m.mu_u, m.sigma_u,
                    row_number() OVER (PARTITION BY d.event_type
                                       ORDER BY d.d) AS rn
             FROM daily d JOIN m ON d.event_type = m.event_type
-        ), rec(event_type, rn, d, s_hi, s_lo) AS (
-            SELECT event_type, rn, d,
-                   greatest(0.0, (v - mu) / sigma - {_CUSUM_K}),
-                   greatest(0.0, (mu - v) / sigma - {_CUSUM_K})
+        ), rec(event_type, rn, d, sigma_u, s_hi_n, s_lo_n) AS (
+            SELECT event_type, rn, d, sigma_u,
+                   greatest(0, 2 * (v_u - mu_u) - {_CUSUM_K2} * sigma_u),
+                   greatest(0, 2 * (mu_u - v_u) - {_CUSUM_K2} * sigma_u)
             FROM seq WHERE rn = 1
             UNION ALL
-            SELECT s.event_type, s.rn, s.d,
-                   greatest(0.0, r.s_hi + (s.v - s.mu) / s.sigma
-                                 - {_CUSUM_K}),
-                   greatest(0.0, r.s_lo + (s.mu - s.v) / s.sigma
-                                 - {_CUSUM_K})
+            SELECT s.event_type, s.rn, s.d, s.sigma_u,
+                   greatest(0, r.s_hi_n + 2 * (s.v_u - s.mu_u)
+                               - {_CUSUM_K2} * s.sigma_u),
+                   greatest(0, r.s_lo_n + 2 * (s.mu_u - s.v_u)
+                               - {_CUSUM_K2} * s.sigma_u)
             FROM rec r JOIN seq s
               ON s.event_type = r.event_type AND s.rn = r.rn + 1
         )
         SELECT event_type, CAST(d AS TIMESTAMP) AS day,
-               round(s_hi, 4) AS cusum_hi,
-               round(s_lo, 4) AS cusum_lo,
-               s_hi > {_CUSUM_H} OR s_lo > {_CUSUM_H} AS is_changepoint
+               ((s_hi_n * 20000 + 2 * sigma_u) // (4 * sigma_u))
+                   / 10000.0 AS cusum_hi,
+               ((s_lo_n * 20000 + 2 * sigma_u) // (4 * sigma_u))
+                   / 10000.0 AS cusum_lo,
+               s_hi_n > {_CUSUM_H2} * sigma_u
+                   OR s_lo_n > {_CUSUM_H2} * sigma_u AS is_changepoint
         FROM rec
     """,
     doc="one-sided CUSUM control charts (Page 1954) per event_type over "
@@ -2624,9 +2642,17 @@ _CUSUM_H = 4.0  # decision threshold (in sigma units)
     f"on KPIs: S_hi = max(0, S + z - {_CUSUM_K}), mirrored low side, "
     f"alarm at {_CUSUM_H} sigma. The max(0,·) recurrence is another "
     "window-inexpressible sequential fold: grouped applyInPandas applies "
-    "the recursive-CTE oracle's exact op order (moments rounded first), "
-    "so every cumulative value hash-matches. Facts reduce to the daily "
-    "series before any sequential work.",
+    "the recursive-CTE oracle's exact op order. With k a half-integer "
+    "the fold is EXACT INTEGER arithmetic in 1e-6 units over the fixed "
+    "denominator 2*sigma_u (the MMR quantize-all-scores rule): S' = "
+    f"max(0, S + 2*(v_u-mu_u) - {_CUSUM_K2}*sigma_u), display is "
+    "integer half-away (S is nonnegative), and the alarm compares "
+    f"S > {_CUSUM_H2}*sigma_u exactly — no cumulative float ever "
+    "reaches a display round (the r13 stress caught the float form on "
+    "a 1.18355 boundary). Bound: |S|*20000 <= days*4*max|v_u|*2e4 "
+    "~ 1e18 at 10k days x value<=1e4 — inside BIGINT; ANSI mode would "
+    "raise, not wrap, past it. Facts reduce to the daily series before "
+    "any sequential work.",
 )
 def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -2634,55 +2660,67 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    ).agg(F.round(F.avg("value") * 1_000_000, 0).cast("long").alias("v_u"))
     m = (
         daily.groupBy("event_type")
         .agg(
-            F.round(F.avg("v"), 6).alias("mu"),
-            F.round(F.stddev_samp("v"), 6).alias("sigma"),
+            F.round(F.avg(F.col("v_u").cast("double")), 0)
+            .cast("long")
+            .alias("mu_u"),
+            F.round(F.stddev_samp(F.col("v_u").cast("double")), 0)
+            .cast("long")
+            .alias("sigma_u"),
         )
-        .filter(F.col("sigma") > 0)
+        .filter(F.col("sigma_u") > 0)
     )
     seq = daily.join(m, "event_type")
     schema = (
-        "event_type string, day timestamp, cusum_hi double, "
-        "cusum_lo double, is_changepoint boolean"
+        "event_type string, day timestamp, sigma_u long, "
+        "s_hi_n long, s_lo_n long"
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # exact integer recurrence in 1e-6 units, denominator 2*sigma_u —
+        # Python ints, so no cumulative float exists to drift or to land
+        # a display round on a half boundary
         pdf = pdf.sort_values("d").reset_index(drop=True)
-        mu, sigma = float(pdf["mu"].iloc[0]), float(pdf["sigma"].iloc[0])
-        s_hi = s_lo = 0.0
+        mu_u = int(pdf["mu_u"].iloc[0])
+        sigma_u = int(pdf["sigma_u"].iloc[0])
+        s_hi = s_lo = 0
         out = []
         et = pdf["event_type"].iloc[0]
-        for d, v in zip(pdf["d"].to_numpy(), pdf["v"].to_numpy()):
-            z = (float(v) - mu) / sigma
-            s_hi = max(0.0, s_hi + z - _CUSUM_K)
-            s_lo = max(0.0, s_lo + (-z) - _CUSUM_K)
-            out.append(
-                (et, d, s_hi, s_lo, s_hi > _CUSUM_H or s_lo > _CUSUM_H)
-            )
+        for d, v_u in zip(pdf["d"].to_numpy(), pdf["v_u"].to_numpy()):
+            v_u = int(v_u)
+            s_hi = max(0, s_hi + 2 * (v_u - mu_u) - _CUSUM_K2 * sigma_u)
+            s_lo = max(0, s_lo + 2 * (mu_u - v_u) - _CUSUM_K2 * sigma_u)
+            out.append((et, d, sigma_u, s_hi, s_lo))
         df = pd.DataFrame(
             out,
-            columns=[
-                "event_type", "day", "cusum_hi", "cusum_lo", "is_changepoint"
-            ],
+            columns=["event_type", "day", "sigma_u", "s_hi_n", "s_lo_n"],
         )
         df["day"] = pd.to_datetime(df["day"])
         return df
 
-    # 4dp rounding Spark-side (F.round, house convention): Python round()
-    # is half-even, the oracle's round() is half-away
-    return (
-        seq.groupBy("event_type")
-        .applyInPandas(fold, schema)
-        .select(
-            "event_type",
-            "day",
-            F.round("cusum_hi", 4).alias("cusum_hi"),
-            F.round("cusum_lo", 4).alias("cusum_lo"),
-            "is_changepoint",
-        )
+    # display + alarm in BIGINT expr, textually mirroring the oracle:
+    # integer half-away 4dp of the nonnegative rational S/(2*sigma_u),
+    # alarm S > _CUSUM_H2*sigma_u exact (ANSI raises, not wraps, if the
+    # documented |S|*20000 bound were ever exceeded)
+    folded = seq.groupBy("event_type").applyInPandas(fold, schema)
+    return folded.select(
+        "event_type",
+        "day",
+        (
+            F.expr("(s_hi_n * 20000 + 2 * sigma_u) div (4 * sigma_u)")
+            / F.lit(10_000.0)
+        ).alias("cusum_hi"),
+        (
+            F.expr("(s_lo_n * 20000 + 2 * sigma_u) div (4 * sigma_u)")
+            / F.lit(10_000.0)
+        ).alias("cusum_lo"),
+        (
+            (F.col("s_hi_n") > _CUSUM_H2 * F.col("sigma_u"))
+            | (F.col("s_lo_n") > _CUSUM_H2 * F.col("sigma_u"))
+        ).alias("is_changepoint"),
     )
 
 

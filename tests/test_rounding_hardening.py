@@ -136,3 +136,43 @@ def test_grouped_bootstrap_ci_boundary_matches_duckdb(spark, tmp_path):
     du = con.execute(q.oracle).df()
     for col in ("ci_lo", "ci_mid", "ci_hi"):
         assert sp.loc[0, col] == du.loc[0, col] == 49.3681, col
+
+
+def test_cusum_boundary_matches_duckdb(spark, tmp_path):
+    """The seed-5 subsample-stress catch (round 13): a cumulative CUSUM
+    value whose 4dp display lands exactly on a half boundary must read
+    identically on both engines. Daily means 1.0/2.0/3.0/3.1547 put the
+    final s_hi at exactly 1154700/2000000 = 0.57735 (and the day-1/2
+    s_lo on the mirrored boundaries) — the pre-fix round(float_chain, 4)
+    form splits there (Spark 0.5774, DuckDB 0.5773); the exact integer
+    recurrence + integer half-away display cannot."""
+    import pandas as pd
+
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+            ),
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["purchase"] * 4,
+            "value": [1.0, 2.0, 3.0, 3.1547],
+            "props": ["{}"] * 4,
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+
+    q = QUERIES["cusum_changepoints"]
+    sp = q.spark_fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    du = con.execute(q.oracle).df()
+    from .conftest import assert_frames_match
+
+    assert_frames_match(sp, du, "cusum_changepoints")
+    last = sp.sort_values("day")["cusum_hi"].iloc[-1]
+    assert last == 0.5774  # the boundary, rounded half-away UP on both

@@ -21,6 +21,12 @@ axes locally so the hazards surface BEFORE a driver round:
   subdocs    subsample + documents rows dropped too (token/doc-count
              denominators; may legitimately move dedup-quality floors —
              a failure here can mean a seed-sensitive floor)
+  jitter     float columns multiplied by per-row U(0.9, 1.1) and
+             re-rounded to 2dp (embeddings jittered un-rounded) —
+             FRESH value draws, not a permutation of the old multiset:
+             new aggregate moments, new rounding-boundary landings,
+             and de-integralized l_quantity (integral test columns
+             mask CAST/round divergences — the r13 hunt lesson)
 
 Usage:
     python tools/regeneration_rehearsal.py [axis ...] [--seed N]
@@ -58,7 +64,9 @@ SUBDOC_FACTS = FACTS | {"documents"}
 # tools/perturbed_sweep.py validate against it, and build_variant
 # rejects anything else — a typoed axis must never fall through to the
 # identity write and report a perturbation as rehearsed
-AXES = ("base", "values", "layout", "subsample", "subdocs", "nanos")
+AXES = (
+    "base", "values", "layout", "subsample", "subdocs", "nanos", "jitter"
+)
 
 
 def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
@@ -113,6 +121,29 @@ def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
                 ):
                     col = col.combine_chunks().take(
                         pa.array(rng.permutation(tbl.num_rows))
+                    )
+                cols.append(col)
+            tbl = pa.table(dict(zip(tbl.schema.names, cols)))
+        elif axis == "jitter":
+            cols = []
+            for i, field in enumerate(tbl.schema):
+                col = tbl.column(i)
+                if pa.types.is_floating(field.type):
+                    v = col.combine_chunks().to_numpy(zero_copy_only=False)
+                    fac = 1.0 + (rng.random(len(v)) - 0.5) * 0.2
+                    col = pa.array(
+                        np.round(v * fac, 2), type=field.type
+                    )
+                elif name == "embeddings" and field.name == "embedding":
+                    lst = col.combine_chunks()
+                    flat = lst.values.to_numpy(zero_copy_only=False)
+                    fac = 1.0 + (rng.random(len(flat)) - 0.5) * 0.2
+                    col = pa.ListArray.from_arrays(
+                        lst.offsets,
+                        pa.array(
+                            (flat * fac).astype("float32"),
+                            type=lst.values.type,
+                        ),
                     )
                 cols.append(col)
             tbl = pa.table(dict(zip(tbl.schema.names, cols)))

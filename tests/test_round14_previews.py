@@ -611,6 +611,19 @@ def test_basket_matches_python_replay(spark):
 # per user. BIGINT bound: n*sum(g^2) < 2^63 — with 30-day spans
 # (g <= 2.6e6 s) safe to ~1000 events/user; beyond, compute gaps in
 # minutes or widen to DECIMAL(38,0) on both engines.
+#
+# Boundary-hazard audit (the r13 cusum criterion — small-denominator
+# rationals land on display-round boundaries at percent rates):
+# mean = S/n is exactly the hazard class (n is a per-user gap count —
+# hundreds; an exhaustive n < 3000 search found 243 exact 4dp
+# half-boundary rationals where the engines' round paths diverge, all
+# with reduced denominator 2^5*5^b), so mean_s is an integer
+# half-away quantization — mean_u = (2*S*10^4 + n) div (2*n), one
+# exact-integer-by-10^4.0 display division — never a float round.
+# cv6 stays the accepted single-round class: sqrt makes the true
+# value irrational unless the variance ratio is a perfect square, and
+# those degenerate cases carry the user's total gap seconds S
+# (thousands) in the denominator — not the small-denominator grid.
 
 INTERARRIVAL_ORACLE = """
     WITH ordered AS (
@@ -630,7 +643,7 @@ INTERARRIVAL_ORACLE = """
         FROM gaps GROUP BY 1
     )
     SELECT user_id, n_gaps, s AS sum_gap_s,
-           round(s * 1.0 / n_gaps, 4) AS mean_s,
+           ((2 * s * 10000 + n_gaps) // (2 * n_gaps)) / 10000.0 AS mean_s,
            round(sqrt((n_gaps * sg2 - s * s) * 1.0
                       / (n_gaps * (n_gaps - 1)))
                  * n_gaps / s, 6) AS cv6
@@ -659,7 +672,13 @@ def interarrival_cv(spark, sf_dir):
         "user_id",
         "n_gaps",
         F.col("s").alias("sum_gap_s"),
-        F.round(F.col("s") * 1.0 / F.col("n_gaps"), 4).alias("mean_s"),
+        # integer half-away 1e-4-unit mean: S/n is a small-denominator
+        # rational (see the boundary-hazard audit note above) — never
+        # float-round it; the only float op is the exact /10^4 display
+        (
+            F.expr("(2 * s * 10000 + n_gaps) div (2 * n_gaps)")
+            / F.lit(10000.0)
+        ).alias("mean_s"),
         F.round(
             F.sqrt(
                 (F.col("n_gaps") * F.col("sg2") - F.col("s") * F.col("s"))

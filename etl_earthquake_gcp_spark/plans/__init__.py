@@ -19,80 +19,87 @@ from . import curation_queries  # noqa: E402,F401
 from . import calibration_queries  # noqa: E402,F401
 
 # The external correctness driver checks the first 50 queries in dict
-# order per round. Round-13 head, per the SURVEY.md forward schedule
-# (its r13 bullet is the prose twin of this list):
-# (1) the five NEW round-13 registrations promoted from the round-13
-# preview bank (Mann-Kendall trend test over the daily-count series,
-# exact two-sample KS distance between per-source length
-# distributions, deterministic 5-fold CV assignment audit, NDCG@10
-# retrieval quality with integer-unit discounts, and two
-# integer-exact Lloyd k-means iterations — parity pairs proven in
-# tests/test_round13_previews.py across rounds 11-12 including the
-# perturbed-testdata rehearsals, four with pure-Python replays),
-# (2) 44 refresh slots by the standing history-age rule (computed at
-# the end of round 12): all 30 r8-last-rowed names — 22 with r4
-# history in r4 driver order (heavy_hitters_mergeable, the
-# r12-displaced name, leads naturally), then the 8 r8-banked
-# surfaces in r8 driver order — then the 14 stalest r9-last-rowed
-# names, all with r1 history, in r1 driver order,
-# (3) ONE pairing-rule addition closing the head:
-# approx_distinct_audit (hash-green, r9-rowed) lands in the SAME
-# head as its rows-only sibling approx_distinct_events (refresh
-# slot 9 of the r1-history group) per the standing rule.
-# 5 + 44 + 1 = 50. The one name the pairing addition displaces
-# (bpe_token_counts, the least-stale of the natural 45) holds
-# position 51 and rolls to round 14 per the standing displacement
+# order per round. Round-14 head, per the SURVEY.md forward schedule
+# (its r14 bullet is the prose twin of this list):
+# (1) the five NEW round-14 registrations promoted from the round-14
+# preview bank (order-sensitive event-pair lift, three k-core peeling
+# rounds, the Benford first-digit audit, exact market-basket pair
+# rules, and the per-user inter-arrival CV — parity pairs proven in
+# tests/test_round14_previews.py across rounds 12-13 including the
+# perturbed-testdata rehearsals, three with pure-Python replays),
+# (2) the proven OPTIONAL rework pair rfm_quartile_scores_scaled
+# (r11 verdict next-step #7) taking its displacement slot at
+# position 6 — closing the last global-orderBy baseline without a
+# registered scale twin,
+# (3) 44 refresh slots by the standing history-age rule (computed at
+# the end of round 13): all 32 r9-last-rowed names — 16 with r1
+# history in r1 driver order (bpe_token_counts, the r13-displaced
+# name, leads naturally), then 1 with r2 history (pagerank_3iter),
+# 1 with r3 history (skyline_pareto_orders), 9 with r4 history in r4
+# driver order, and the 5 r9-banked surfaces in r9 driver order —
+# then the 12 stalest r10-last-rowed names, all with r1 history, in
+# r1 driver order.
+# 6 + 44 = 50. NO rows-only name sits in this head, so no
+# pairing-rule addition (stratified_sample_audit refreshes here on
+# its own staleness; see the PAIRING RULE below for its sibling's
+# r15 slot). The one name the rfm displacement pushes out
+# (value_mad_robust, the least-stale of the natural 45) holds
+# position 51 and rolls to round 15 per the standing displacement
 # rule. The NAME LISTS here and in SURVEY.md's forward schedule are
 # the schedule of record; re-derive nothing from prose.
 #
 # PAIRING RULE (r8 VERDICT next-step #4): whenever a ROWS-ONLY query
 # takes a head slot in any rotation (r10+, r16-r20 refreshes, or any
 # rework wave), its hash-green AUDIT SIBLING goes in the SAME head.
-# In THIS head the only rows-only name is approx_distinct_events,
-# paired with approx_distinct_audit (position 50). Standing ledger
-# exception (SCALING.md pairing ledger): stratified_sample_counts
-# refreshed in r10 while stratified_sample_audit holds its hash-green
-# r9 row — pair them whenever the counts query next takes a slot:
-# per the computed r14/r15 schedule (SURVEY r14 bullet) that is r15,
-# where the counts query lands naturally and the audit (r14-rowed by
-# then) joins as that head's pairing addition.
+# THIS head holds no rows-only name. Standing ledger exception
+# (SCALING.md pairing ledger): stratified_sample_counts refreshed in
+# r10 while stratified_sample_audit holds an older hash-green row —
+# pair them whenever the counts query next takes a slot: per the
+# computed r15 schedule (SURVEY r15 bullet) the counts query lands
+# naturally in r15 and the audit (r14-rowed after THIS head) joins
+# as that head's pairing addition, closing the exception.
 _DRIVER_PRIORITY = [
-    # -- positions 1-5: new in round 13 (promoted from the round-13
+    # -- positions 1-5: new in round 14 (promoted from the round-14
     #    preview bank) ------------------------------------------------------
-    "mann_kendall_trend", "ks_exact_pairs", "kfold_assign_audit",
-    "ndcg_at10_exact", "kmeans_lloyd_2iter",
-    # -- positions 6-27: the 22 r8-rowed names with r4 history, in r4
-    #    driver order (heavy_hitters_mergeable — the r12-displaced name —
+    "sequence_pair_lift", "kcore_3peel", "benford_first_digit",
+    "basket_pair_rules", "interarrival_cv",
+    # -- position 6: the r11-verdict rework pair in its displacement
+    #    slot (proven in tests/test_round13_previews.py) --------------------
+    "rfm_quartile_scores_scaled",
+    # -- positions 7-22: the 16 r9-rowed names with r1 history, in r1
+    #    driver order (bpe_token_counts — the r13-displaced name —
     #    leads naturally) ---------------------------------------------------
-    "heavy_hitters_mergeable", "group_shuffle_split",
-    "streaming_topk_state", "quantile_summary_mergeable",
-    "random_projection_reduce", "trimmed_mean_grouped_agg",
-    "bfs_hops_user_graph", "moving_median_7", "rag_index_pipeline",
-    "skipgram_pairs", "distribution_drift_metrics",
-    "grouped_bootstrap_ci", "passjoin_edit_pairs",
-    "time_weighted_avg_user", "cumulative_unique_users",
-    "pareto_revenue_share", "rfm_segmentation", "cusum_changepoints",
-    "session_path_trigrams", "hll_sliding_7d_users",
-    "multimodal_real_decode", "doc_chunks_udtf",
-    # -- positions 28-35: the 8 r8-banked surfaces in r8 driver order -------
-    "quantile_normalize_scores", "bpe_fertility_stats",
-    "top_p_token_budget", "weighted_sample_docs", "robust_scale_mad",
-    "epoch_shuffle_ranges", "pareto_revenue_share_scaled",
-    "rfm_segmentation_scaled",
-    # -- positions 36-49: the 14 stalest r9-rowed names, all with r1
+    "bpe_token_counts", "countmin_token_freq",
+    "array_access_first_last", "exact_dedup_docs",
+    "text_quality_stats", "lang_score", "jaccard_near_dup_pairs",
+    "near_dup_components", "clean_corpus_by_source",
+    "minhash_shingle_near_dup", "fuzzy_pairs_levenshtein",
+    "doc_fingerprints", "scrub_mask_tokens",
+    "containment_subset_pairs", "cosine_topk_bruteforce",
+    "embedding_norm_stats",
+    # -- position 23: r2 history --------------------------------------------
+    "pagerank_3iter",
+    # -- position 24: r3 history --------------------------------------------
+    "skyline_pareto_orders",
+    # -- positions 25-33: the 9 r9-rowed names with r4 history, in r4
+    #    driver order -------------------------------------------------------
+    "doc_chunks_catalyst", "chunk_fixed_context",
+    "stratified_sample_audit", "semantic_dedup_signbucket",
+    "cosine_topk_arrow", "char_entropy_scores", "zorder_layout_stats",
+    "multimodal_resize_nn", "grouped_ols_trend",
+    # -- positions 34-38: the 5 r9-banked surfaces in r9 driver order -------
+    "exact_stratified_split", "source_overlap_minhash",
+    "zipf_slope_fit", "doc_novelty_ngram", "lexical_diversity_stats",
+    # -- positions 39-50: the 12 stalest r10-rowed names, all with r1
     #    history, in r1 driver order ----------------------------------------
-    "pricing_summary", "validation_filter", "case_buckets",
-    "latest_event_dedup", "latest_event_dedup_maxby",
-    "distinct_dim_with_key", "date_hierarchy_rollup", "global_kpis",
-    "approx_distinct_events", "sum_by_two_keys", "top_orders",
-    "union_priorities", "nation_set_ops", "explode_token_counts",
-    # -- position 50: the pairing-rule addition — approx_distinct_audit
-    #    certifies rows-only approx_distinct_events (position 44) in
-    #    the SAME head (see PAIRING RULE above) -----------------------------
-    "approx_distinct_audit",
-    # -- position 51: the name the pairing addition displaced, rolling to
-    #    round 14 per the standing displacement rule ------------------------
-    "bpe_token_counts",
+    "window_rank_suite", "moving_average", "date_parts",
+    "dim_date_generated", "json_extract_props",
+    "tumbling_daily_counts", "window_distribution_suite",
+    "stats_agg_suite", "string_ops_suite", "array_ops_suite",
+    "null_handling_suite", "weighted_avg_order_price",
+    # -- position 51: the name the rfm displacement pushed out, rolling
+    #    to round 15 per the standing displacement rule ---------------------
+    "value_mad_robust",
 ]
 
 

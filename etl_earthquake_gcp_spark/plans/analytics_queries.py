@@ -3439,3 +3439,355 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-14 registrations (promoted from tests/test_round14_previews.py —
+# parity pairs proven across rounds 12-13 including perturbed-testdata
+# rehearsals; this move is mechanical per the SURVEY r14 bullet)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sequence_pair_lift",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+               min(ts) AS mn, max(ts) AS mx
+        FROM events GROUP BY 1, 2, 3
+    ), n_groups AS (
+        SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n_g
+        FROM spans
+    ), type_n AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        FROM spans GROUP BY 1
+    ), pair_n AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM spans a JOIN spans b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type != b.event_type AND a.mn < b.mx
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           ta.n_t AS n_a, tb.n_t AS n_b, g.n_g,
+           round(p.n_ab * g.n_g * 1.0 / (ta.n_t * tb.n_t), 6) AS lift6
+    FROM pair_n p
+    JOIN type_n ta ON ta.event_type = p.type_a
+    JOIN type_n tb ON tb.event_type = p.type_b
+    CROSS JOIN n_groups g
+    """,
+    doc="order-sensitive event-pair lift over (user, day) groups — the "
+    "gapped generalization of funnel_3step_strict: for every ordered "
+    "type pair (a, b), in how many groups does some a strictly precede "
+    "some b, and the lift of that co-occurrence vs independence "
+    "(n_ab * n_groups / (n_a * n_b)). 'a precedes b' = min_ts(a) < "
+    "max_ts(b) within the group — an exact reformulation needing only "
+    "per-(group, type) min/max, so the pair stage runs over the "
+    "|groups x types| span reduction, never raw events; timestamp "
+    "ties are excluded by the strict < on both engines. All counts "
+    "are exact BIGINTs; lift6 is the accepted single-ratio round "
+    "(denominator n_a*n_b is a product of type marginals — not the "
+    "small-denominator boundary-hazard grid; see the r14 audit note "
+    "on interarrival_cv). Scale: one fact groupBy builds the span "
+    "frame; the pair self-join is keyed on (user_id, day) — a "
+    "co-partitioned shuffle whose per-group fan-out is bounded by "
+    "|types|^2 (a fixed event vocabulary); the marginal joins "
+    "broadcast |types|-row dims. Reference has no counterpart (its "
+    "ETL ends at BI aggregates, scripts/process_silver_to_gold.py).",
+)
+def sequence_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    spans = (
+        e.groupBy(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        # PERSIST: per-(user, day, type) span reduction — at most one
+        # row per (group, type), ~|events| / per-group-multiplicity
+        # rows at ~44 B each (3 keys + 2 timestamps), well under the
+        # fact bytes — read FOUR times: the group census, the type
+        # marginals, and both pair-join sides; session-LRU lifetime
+        .persist()
+    )
+    n_groups = spans.select("user_id", "day").distinct().agg(
+        F.count("*").cast("long").alias("n_g")
+    )
+    type_n = spans.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_t")
+    )
+    a = spans.select(
+        "user_id", "day", F.col("event_type").alias("type_a"),
+        F.col("mn").alias("mn_a"),
+    )
+    b = spans.select(
+        "user_id", "day", F.col("event_type").alias("type_b"),
+        F.col("mx").alias("mx_b"),
+    )
+    pair_n = (
+        a.join(b, ["user_id", "day"])
+        .filter(
+            (F.col("type_a") != F.col("type_b"))
+            & (F.col("mn_a") < F.col("mx_b"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    # |types|-row marginal dims — a fixed event-type vocabulary,
+    # bounded independently of data scale (the audit rule's dim class)
+    ta = type_n.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    tb = type_n.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pair_n.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        # CROSSJOIN: 1-row group-census frame fans onto the <=|types|^2
+        # pair dim — bounded independently of data scale
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_g",
+            F.round(
+                F.col("n_ab") * F.col("n_g") * 1.0
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift6"),
+        )
+    )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle_sql() -> str:
+    """Unrolled three-stage CTE twin of the Spark peel loop — pure
+    integer degree arithmetic, so each round replays exactly."""
+    stages = []
+    prev = "edges"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        stages.append(f"""
+        deg{r} AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT u AS node FROM {prev}
+                UNION ALL
+                SELECT v FROM {prev}
+            ) GROUP BY 1
+        ), surv{r} AS (
+            SELECT node FROM deg{r} WHERE d >= {_KCORE_K}
+        ), e{r} AS (
+            SELECT e.u, e.v FROM {prev} e
+            JOIN surv{r} a ON a.node = e.u
+            JOIN surv{r} b ON b.node = e.v
+        )""")
+        prev = f"e{r}"
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+             (SELECT CAST(count(*) AS BIGINT) FROM surv{r}) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges,
+             (SELECT CAST(coalesce(sum(node), 0) AS BIGINT)
+              FROM surv{r}) AS node_sum"""
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + _TRIANGLE_EDGES_SQL.strip()
+        + ","
+        + ",".join(stages)
+        + " "
+        + rows
+    )
+
+
+@register(
+    "kcore_3peel",
+    oracle=_kcore_oracle_sql(),
+    doc=f"three k-core peeling rounds (k = {_KCORE_K}) on the shared "
+    "degree-capped co-activity graph (the triangle/BFS/LPA/"
+    "Bellman-Ford substrate, _capped_user_edges): each round drops "
+    "every node with current degree < k and keeps only edges between "
+    "survivors — the classic dense-collaboration-core extraction, and "
+    "the bounded-iteration shape of the full k-core decomposition. "
+    "Output is one census row per round (surviving nodes, surviving "
+    "edges, node-id checksum) — pure integer degree arithmetic, no "
+    "rounding anywhere. Scale (operators/graph.py::kcore_peel_rounds): "
+    "each round is one vertex-keyed degree groupBy plus two "
+    "semi-join-shaped equi-joins against the persisted survivor set; "
+    "localCheckpoint truncates the per-round lineage (the "
+    "connected_components discipline) and at most two node-sized "
+    "frames are cached at any time. The oracle unrolls three CTE "
+    "stages over the same capped edge list. Reference has no "
+    "counterpart.",
+)
+def kcore_3peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore_peel_rounds
+
+    edges = _capped_user_edges(spark, sf_dir)
+    out = []
+    for r, (surv, cur) in enumerate(
+        kcore_peel_rounds(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS), start=1
+    ):
+        census = surv.agg(
+            F.lit(r).cast("long").alias("round"),
+            F.count("*").cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("node"), F.lit(0)).cast("long").alias(
+                "node_sum"
+            ),
+            # CROSSJOIN: two 1-row census aggregates combine — bounded
+        ).crossJoin(
+            cur.agg(F.count("*").cast("long").alias("n_edges"))
+        ).select("round", "n_nodes", "n_edges", "node_sum")
+        out.append(census)
+    res = out[0]
+    for c in out[1:]:
+        res = res.unionByName(c)
+    return res
+
+
+@register(
+    "rfm_quartile_scores_scaled",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), per_user AS (
+        SELECT user_id,
+               CAST(date_diff('day', max(d),
+                    (SELECT max(d) FROM p)) AS BIGINT) AS r_days,
+               CAST(count(*) AS BIGINT) AS f_cnt,
+               CAST(sum(cents) AS BIGINT) AS m_cents
+        FROM p GROUP BY user_id
+    ), ranked AS (
+        -- min-rank quartiles: ties share one score (rank(), not
+        -- row_number) — the tie-coherent scale semantics
+        SELECT *,
+               rank() OVER (ORDER BY r_days) AS kr,
+               rank() OVER (ORDER BY f_cnt DESC) AS kf,
+               rank() OVER (ORDER BY m_cents DESC) AS km,
+               count(*) OVER () AS n
+        FROM per_user
+    )
+    SELECT user_id, r_days, f_cnt, m_cents,
+           CAST(1 + (4 * (kr - 1)) // n AS BIGINT) AS r_q,
+           CAST(1 + (4 * (kf - 1)) // n AS BIGINT) AS f_q,
+           CAST(1 + (4 * (km - 1)) // n AS BIGINT) AS m_q,
+           CAST((1 + (4 * (kr - 1)) // n) * 100
+                + (1 + (4 * (kf - 1)) // n) * 10
+                + (1 + (4 * (km - 1)) // n) AS BIGINT) AS rfm_code
+    FROM ranked
+    """,
+    doc="scale-safe sibling of rfm_quartile_scores (the r11-verdict "
+    "rework, closing the last global-orderBy baseline without a "
+    "registered scale twin): the baseline ranks the user dimension "
+    "with three unpartitioned row_number windows (certified baseline); "
+    "this form computes the three quartile boundary VALUES by bucketed "
+    "histogram-rank selection (operators/calibrate.py::"
+    "desc_rank_boundaries — the rfm_segmentation_scaled machinery) and "
+    "assigns scores with broadcast column compares, under tie-COHERENT "
+    "min-rank semantics: q(x) = 1 + (4*cnt_better(x)) div n, provably "
+    "equal to 1 + #(s in 1..3 : x strictly worse than v_s) with v_s at "
+    "better-order rank ceil(s*n/4), because cnt_better(x) >= c <=> x "
+    "is strictly worse than v_c (the rfm_segmentation_scaled proof "
+    "with k = 4). Recency scores on the NEGATED day count so all three "
+    "metrics share the one descending-order selection operator. "
+    "Oracle twin uses rank() (min-rank), and ties share a score on "
+    "both engines. All outputs are exact integers — no float round "
+    "anywhere. Scale: no global sort of the user frame ever happens — "
+    "three bucketed-histogram selections (each one groupBy + a "
+    "<=n_buckets rollup) replace the three unpartitioned windows; the "
+    "assignment scan compares against three broadcast 1-row boundary "
+    "pivots. Reference has no counterpart.",
+)
+def rfm_quartile_scores_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = e.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    per_user = p.groupBy("user_id").agg(
+        F.max("d").alias("last_d"),
+        F.count("*").cast("long").alias("f_cnt"),
+        F.sum("cents").cast("long").alias("m_cents"),
+    )
+    # 1-row global-max date frame — bounded
+    gmax = per_user.agg(F.max("last_d").alias("gmax_d"))
+    # CROSSJOIN: 1-row global-max frame fans out onto the user dim
+    per_user = (
+        per_user.crossJoin(F.broadcast(gmax))
+        .select(
+            "user_id",
+            F.datediff("gmax_d", "last_d").cast("long").alias("r_days"),
+            F.col("f_cnt"),
+            F.col("m_cents"),
+        )
+        # neg_r: recency under the shared DESC selection (smaller
+        # r_days = better  <=>  larger -r_days)
+        .withColumn("neg_r", (-F.col("r_days")).cast("long"))
+        # PERSIST: |users|-row aggregate (4 BIGINTs + key, ~40 B/row) —
+        # read by the count, three histogram builds, and the
+        # assignment scan; session-LRU lifetime
+        .persist()
+    )
+    n_row = per_user.agg(F.count("*").cast("long").alias("n"))
+
+    def quartile_bounds(metric: str, prefix: str) -> DataFrame:
+        """1-row frame with the 3 better-order-rank boundary values."""
+        targets = (
+            per_user.sparkSession.range(1, 4)
+            .select(F.col("id").cast("long").alias("_tag"))
+            # CROSSJOIN: 1-row count frame onto the 3-row tag frame
+            .crossJoin(F.broadcast(n_row))
+            # c_s = ceil(s*n/4) as pure integers
+            .withColumn("cut", F.expr("(_tag * n + 3) div 4").cast("long"))
+        )
+        bnd = calibrate.desc_rank_boundaries(
+            per_user.select(metric), metric, targets, "cut", "v"
+        )
+        return bnd.agg(
+            *[
+                F.max(F.when(F.col("_tag") == s, F.col("v"))).alias(
+                    f"{prefix}{s}"
+                )
+                for s in range(1, 4)
+            ]
+        )
+
+    def q(metric: str, prefix: str):
+        c = F.lit(1)
+        for s in range(1, 4):
+            c = c + F.when(
+                F.col(metric) < F.col(f"{prefix}{s}"), 1
+            ).otherwise(0)
+        return c.cast("long")
+
+    scored = (
+        # CROSSJOIN: three 1-row quartile-boundary pivots (3 boundary
+        # columns each) — bounded
+        per_user.crossJoin(F.broadcast(quartile_bounds("neg_r", "rv")))
+        .crossJoin(F.broadcast(quartile_bounds("f_cnt", "fv")))
+        .crossJoin(F.broadcast(quartile_bounds("m_cents", "mv")))
+    )
+    return scored.select(
+        "user_id",
+        "r_days",
+        "f_cnt",
+        "m_cents",
+        q("neg_r", "rv").alias("r_q"),
+        q("f_cnt", "fv").alias("f_q"),
+        q("m_cents", "mv").alias("m_q"),
+        (q("neg_r", "rv") * 100 + q("f_cnt", "fv") * 10
+         + q("m_cents", "mv")).cast("long").alias("rfm_code"),
+    )

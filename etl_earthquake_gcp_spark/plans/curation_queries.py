@@ -19,6 +19,8 @@ multi-ranker retrieval fusion.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1819,4 +1821,92 @@ def ks_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ks_num",
         F.round(F.col("ks_num") * 1.0 / (F.col("n_a") * F.col("n_b")), 6)
         .alias("ks6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-14 registration: Benford first-digit audit (promoted from
+# tests/test_round14_previews.py — the data-quality forensic sibling of
+# chi2_token_source / length_emd_pairs in this module's audit family)
+# --------------------------------------------------------------------------
+
+# expected Benford shares log10(1 + 1/d) precomputed in Python as
+# 1e-6-unit integer LITERALS — the engines never evaluate log10, so
+# both compare against identical integers
+_BENFORD_U = [
+    round(1_000_000 * math.log10(1 + 1 / d)) for d in range(1, 10)
+]
+_BENFORD_SQL = "[" + ", ".join(str(u) for u in _BENFORD_U) + "]"
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    WITH cents AS (
+        SELECT c FROM (
+            SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+            FROM orders
+        ) WHERE c >= 1
+    ), digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents
+    ), counts AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n
+        FROM digits GROUP BY 1
+    ), total AS (
+        SELECT CAST(sum(n) AS BIGINT) AS t FROM counts
+    )
+    SELECT c.digit, c.n,
+           round(c.n * 1.0 / t.t, 6) AS share6,
+           CAST(({_BENFORD_SQL})[CAST(c.digit AS INT)] AS BIGINT)
+               AS benford_u,
+           CAST(abs((c.n * 1000000) // t.t
+                    - ({_BENFORD_SQL})[CAST(c.digit AS INT)])
+                AS BIGINT) AS dev_u
+    FROM counts c CROSS JOIN total t
+    """,
+    doc="Benford's-law first-significant-digit audit of order totals "
+    "(the classic fabricated-data forensic): the digit comes from the "
+    "EXACT integer cents value rendered as an integer string — float "
+    "formatting never touches the data path, so both engines agree on "
+    "every digit. Expected shares log10(1 + 1/d) are precomputed in "
+    "Python as 1e-6-unit integer literals and the per-digit deviation "
+    "dev_u is exact integer floor division; share6 is the accepted "
+    "single-ratio round (denominator = the corpus order count — the "
+    "generic grid, not the small-denominator hazard class). Scale: one "
+    "groupBy over orders reduces everything to the fixed 9-digit "
+    "frame; the 1-row total broadcasts. Guard: a total in (0, 0.005) "
+    "rounds to 0 cents, whose 'first digit' 0 would crash element_at "
+    "on one engine and NULL on the other — filtered symmetrically on "
+    "the INTEGER cents value before digit extraction. Reference has "
+    "no counterpart (its gold KPIs stop at avg/max magnitude, "
+    "scripts/process_silver_to_gold.py).",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # guard on the INTEGER cents value, not the raw float (see doc)
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c")
+    ).filter(F.col("c") >= 1)
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("t"))
+    benford_arr = F.array(*[F.lit(u) for u in _BENFORD_U])
+    bu = F.element_at(benford_arr, F.col("digit").cast("int"))
+    # CROSSJOIN: 1-row corpus total onto the fixed 9-digit frame —
+    # bounded independently of data scale
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("share6"),
+        bu.cast("long").alias("benford_u"),
+        F.abs(
+            F.expr("(n * 1000000) div t") - bu
+        ).cast("long").alias("dev_u"),
     )

@@ -512,3 +512,120 @@ def kfold_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-14 registration: exact market-basket pair mining (promoted from
+# tests/test_round14_previews.py — the oracle-paired exact sibling of
+# this module's FPGrowth association query)
+# --------------------------------------------------------------------------
+
+_BASKET_TOP = 50
+_BASKET_MINSUP = 2
+
+
+@register(
+    "basket_pair_rules",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), part_n AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS n_p
+        FROM items GROUP BY 1
+    ), frequent AS (
+        SELECT i.o, i.p FROM items i
+        JOIN part_n pn ON pn.p = i.p
+        WHERE pn.n_p >= {_BASKET_MINSUP}
+    ), n_orders AS (
+        SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM items
+    ), pairs AS (
+        SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS supp
+        FROM frequent a JOIN frequent b
+          ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+    )
+    SELECT p.p1, p.p2, p.supp, na.n_p AS n_p1, nb.n_p AS n_p2,
+           round(p.supp * 1.0 / na.n_p, 6) AS conf1,
+           round(p.supp * o.n * 1.0 / (na.n_p * nb.n_p), 6) AS lift6
+    FROM pairs p
+    JOIN part_n na ON na.p = p.p1
+    JOIN part_n nb ON nb.p = p.p2
+    CROSS JOIN n_orders o
+    ORDER BY p.supp DESC, p.p1, p.p2
+    LIMIT {_BASKET_TOP}
+    """,
+    doc="market-basket pair mining over lineitem — the exact, "
+    f"oracle-paired sibling of the FPGrowth query above: distinct "
+    f"(order, part) baskets, the a-priori frequent-item PREFILTER "
+    f"(parts in >= {_BASKET_MINSUP} orders — an infrequent item can "
+    "never form a frequent pair, so the quadratic pair stage only "
+    "sees filtered baskets), within-order part pairs, "
+    f"support/confidence/lift, deterministic top-{_BASKET_TOP} by "
+    "(support DESC, p1, p2). conf1/lift6 are accepted single-ratio "
+    "rounds (part marginals and their products — reaching the "
+    "non-representable half-boundary grid needs a reduced denominator "
+    "of 2^7*5^b >= 640, outside these marginals' range; see the r14 "
+    "boundary-hazard audit note on interarrival_cv). Scale: the "
+    "per-order pair explode is bounded by basket size squared — the "
+    "honest market-basket cost — and everything else is one groupBy "
+    "each; the part-marginal joins stay UNHINTED per the r7 broadcast "
+    "audit rule (part counts scale with SF — stats/AQE pick broadcast "
+    "at small SF and shuffle at scale), only the 1-row order census "
+    "is pinned. TakeOrderedAndProject handles the top-k. Reference "
+    "has no counterpart.",
+)
+def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        # PERSIST: distinct (order, part) basket frame — <= |lineitem|
+        # rows at 16 B each (two BIGINTs; a fraction of the fact
+        # bytes) — read FOUR times: the part marginals, the order
+        # census, and both pair-join sides; session-LRU lifetime
+        .persist()
+    )
+    part_n = items.groupBy("p").agg(
+        F.count("*").cast("long").alias("n_p")
+    )
+    # part marginals scale with SF: NO broadcast hint anywhere on
+    # part_n (r7 audit rule) — stats/AQE choose the strategy per scale
+    frequent = items.join(
+        part_n.filter(F.col("n_p") >= _BASKET_MINSUP), "p"
+    ).select("o", "p")
+    n_orders = items.select("o").distinct().agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = frequent.select("o", F.col("p").alias("p1"))
+    b = frequent.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("supp"))
+    )
+    na = part_n.select(F.col("p").alias("p1"), F.col("n_p").alias("n_p1"))
+    nb = part_n.select(F.col("p").alias("p2"), F.col("n_p").alias("n_p2"))
+    return (
+        pairs.join(na, "p1")
+        .join(nb, "p2")
+        # CROSSJOIN: 1-row order census onto the pair frame — bounded
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "supp",
+            "n_p1",
+            "n_p2",
+            F.round(F.col("supp") * 1.0 / F.col("n_p1"), 6).alias("conf1"),
+            F.round(
+                F.col("supp") * F.col("n") * 1.0
+                / (F.col("n_p1") * F.col("n_p2")),
+                6,
+            ).alias("lift6"),
+        )
+        .orderBy(F.desc("supp"), "p1", "p2")
+        .limit(_BASKET_TOP)
+    )

@@ -307,3 +307,101 @@ def session_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "surv6", F.round(F.exp(F.col("ls_u") / 1_000_000.0), 6)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-14 registration: per-user inter-arrival burstiness (promoted
+# from tests/test_round14_previews.py — the temporal-behavior sibling
+# of sessionization / survival in this module)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "interarrival_cv",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, epoch_ms(ts) // 1000 AS sec,
+               lag(epoch_ms(ts) // 1000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_sec
+        FROM events
+    ), gaps AS (
+        SELECT user_id, CAST(sec - prev_sec AS BIGINT) AS g
+        FROM ordered WHERE prev_sec IS NOT NULL
+    ), stats AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(g) AS BIGINT) AS s,
+               CAST(sum(g * g) AS BIGINT) AS sg2
+        FROM gaps GROUP BY 1
+    )
+    SELECT user_id, n_gaps, s AS sum_gap_s,
+           ((2 * s * 10000 + n_gaps) // (2 * n_gaps)) / 10000.0 AS mean_s,
+           round(sqrt((n_gaps * sg2 - s * s) * 1.0
+                      / (n_gaps * (n_gaps - 1)))
+                 * n_gaps / s, 6) AS cv6
+    FROM stats
+    WHERE n_gaps >= 2 AND s > 0
+    """,
+    doc="per-user inter-arrival coefficient of variation from EXACT "
+    "integer second gaps (bursty vs regular activity — CV >> 1 marks "
+    "bursts, ~1 is memoryless): the sample variance is carried as the "
+    "exact integer numerator n*sum(g^2) - S^2 over denominator "
+    "n*(n-1), so cv = sqrt(num/den) * n / S needs exactly one "
+    "IEEE-exact sqrt and two fixed-order float ops before the single "
+    "round — bit-identical across engines on identical integers. "
+    "n >= 2 gaps and S > 0 guarded symmetrically. Boundary-hazard "
+    "audit (the r13 cusum criterion): mean = S/n is a "
+    "small-denominator rational (n is a per-user gap count — an "
+    "exhaustive n < 3000 search found 243 exact 4dp half-boundary "
+    "values where the engines' float round paths diverge, reduced "
+    "denominator 2^5*5^b), so mean_s is an integer half-away 1e-4 "
+    "quantization — (2*S*10^4 + n) div (2*n), one exact /10^4.0 "
+    "display division, never a float round; cv6 keeps the single "
+    "round because the sqrt makes the true value irrational outside "
+    "degenerate perfect-square cases, which carry the large S in the "
+    "denominator. Scale: one per-user window lag + one groupBy — the "
+    "window partitions by user_id (never global), and everything "
+    "after the groupBy is |users|-row. BIGINT bound: n*sum(g^2) < "
+    "2^63 — with 30-day spans (g <= 2.6e6 s) safe to ~1000 "
+    "events/user; beyond, compute gaps in minutes or widen to "
+    "DECIMAL(38,0) on both engines. Reference has no counterpart.",
+)
+def interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        F.unix_seconds("ts").alias("sec"),
+        F.lag(F.unix_seconds("ts")).over(w).alias("prev_sec"),
+    )
+    gaps = ordered.filter(F.col("prev_sec").isNotNull()).select(
+        "user_id", (F.col("sec") - F.col("prev_sec")).cast("long").alias("g")
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sg2"),
+    )
+    return stats.filter((F.col("n_gaps") >= 2) & (F.col("s") > 0)).select(
+        "user_id",
+        "n_gaps",
+        F.col("s").alias("sum_gap_s"),
+        # integer half-away 1e-4-unit mean: S/n is a small-denominator
+        # rational (see the boundary-hazard audit note in the doc) —
+        # never float-round it; the only float op is the exact /10^4
+        (
+            F.expr("(2 * s * 10000 + n_gaps) div (2 * n_gaps)")
+            / F.lit(10000.0)
+        ).alias("mean_s"),
+        F.round(
+            F.sqrt(
+                (F.col("n_gaps") * F.col("sg2") - F.col("s") * F.col("s"))
+                * 1.0
+                / (F.col("n_gaps") * (F.col("n_gaps") - 1))
+            )
+            * F.col("n_gaps")
+            / F.col("s"),
+            6,
+        ).alias("cv6"),
+    )

@@ -79,12 +79,16 @@ def test_countmin_sketch_join_is_not_broadcast_of_facts(spark):
 
 
 def test_basket_prefilter_join_broadcasts_part_marginals(spark):
-    """The a-priori prefilter joins the dimension-sized part marginals
-    broadcast against the basket scan."""
-    from tests.test_round14_previews import basket_pair_rules
+    """The a-priori prefilter joins the part marginals broadcast
+    against the basket scan. The registered form carries NO hint on
+    the SF-scaling part frames (the r7 audit rule) — at test SF the
+    stats-based planner must still CHOOSE broadcast, and nothing may
+    degrade to a cartesian product."""
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(basket_pair_rules(spark, SF_DIR))
+    plan = _plan_of(QUERIES["basket_pair_rules"].spark_fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_hard_negative_anchor_scan_is_single_broadcast_nlj(spark):
@@ -360,9 +364,9 @@ def test_kcore_survivors_cached_lineage_truncated(spark):
     frame checkpoint must truncate the per-round lineage, so the final
     census plan reads cached/checkpointed frames instead of replaying
     the peel joins."""
-    from tests.test_round14_previews import kcore_3peel
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(kcore_3peel(spark, SF_DIR))
+    plan = _plan_of(QUERIES["kcore_3peel"].spark_fn(spark, SF_DIR))
     assert "InMemoryTableScan" in plan, plan
     assert "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan

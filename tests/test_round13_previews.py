@@ -8,11 +8,10 @@ exercise the REGISTERED pair (the exact objects the driver sees) plus
 the domain asserts, the pure-Python replays, and the constructed
 known-value cases the generic oracle-parity sweep does not check.
 
-Also here: the still-UNREGISTERED rfm_quartile_scores_scaled preview
-(r11 verdict optional next-step #7) — proven as a full parity pair so
-a later registration is a mechanical @register move when a
-displacement slot frees (standing rule; it does not break the
-232-query rotation arithmetic until then).
+Also here: the rfm_quartile_scores_scaled tests (r11 verdict optional
+next-step #7) — REGISTERED in round 14 (plans/analytics_queries.py,
+taking the r14 head's displacement slot per the standing rule); the
+tests below exercise the registered pair.
 """
 
 from __future__ import annotations
@@ -441,146 +440,16 @@ def test_kmeans_iteration_does_not_increase_inertia(spark):
     assert full["inertia_u"].sum() <= inertia0 + n_vecs * dims
 
 
-# -- rfm_quartile_scores_scaled (OPTIONAL rework candidate, r11 verdict
-#    next-step #7 — still UNREGISTERED; registration takes a displacement
-#    head slot whenever a round frees one per the standing rule) -------------
-#
-# The scale-safe sibling of the registered rfm_quartile_scores: the
-# baseline ranks the user dimension with three unpartitioned
-# row_number windows (certified baseline — the same pattern that
-# earned rfm_segmentation its scaled twin in r8). This form computes
-# the three quartile boundary values by bucketed histogram-rank
-# selection (operators/calibrate.py::desc_rank_boundaries) and assigns
-# scores with broadcast column compares, under tie-COHERENT min-rank
-# quartile semantics: q(x) = 1 + (4*cnt_better(x)) div n, provably
-# equal to 1 + #(s in 1..3 : x strictly worse than v_s) with v_s at
-# better-order rank ceil(s*n/4), because cnt_better(x) >= c <=> x is
-# strictly worse than v_c (the rfm_segmentation_scaled proof with
-# k = 4). Recency scores on the NEGATED day count so all three metrics
-# share the one descending-order selection operator.
+# -- rfm_quartile_scores_scaled (r11 verdict next-step #7 — REGISTERED
+#    in round 14, plans/analytics_queries.py, taking the r14 head's
+#    displacement slot; semantics/proof in the registered docstring) --------
 
-RFM_QUARTILE_SCALED_ORACLE = """
-    WITH p AS (
-        SELECT user_id, CAST(ts AS DATE) AS d,
-               CAST(round(value * 100, 0) AS BIGINT) AS cents
-        FROM events WHERE event_type = 'purchase'
-    ), per_user AS (
-        SELECT user_id,
-               CAST(date_diff('day', max(d),
-                    (SELECT max(d) FROM p)) AS BIGINT) AS r_days,
-               CAST(count(*) AS BIGINT) AS f_cnt,
-               CAST(sum(cents) AS BIGINT) AS m_cents
-        FROM p GROUP BY user_id
-    ), ranked AS (
-        -- min-rank quartiles: ties share one score (rank(), not
-        -- row_number) — the tie-coherent scale semantics
-        SELECT *,
-               rank() OVER (ORDER BY r_days) AS kr,
-               rank() OVER (ORDER BY f_cnt DESC) AS kf,
-               rank() OVER (ORDER BY m_cents DESC) AS km,
-               count(*) OVER () AS n
-        FROM per_user
-    )
-    SELECT user_id, r_days, f_cnt, m_cents,
-           CAST(1 + (4 * (kr - 1)) // n AS BIGINT) AS r_q,
-           CAST(1 + (4 * (kf - 1)) // n AS BIGINT) AS f_q,
-           CAST(1 + (4 * (km - 1)) // n AS BIGINT) AS m_q,
-           CAST((1 + (4 * (kr - 1)) // n) * 100
-                + (1 + (4 * (kf - 1)) // n) * 10
-                + (1 + (4 * (km - 1)) // n) AS BIGINT) AS rfm_code
-    FROM ranked
-"""
+rfm_quartile_scores_scaled = QUERIES["rfm_quartile_scores_scaled"].spark_fn
 
-
-def rfm_quartile_scores_scaled(spark, sf_dir):
-    from etl_earthquake_gcp_spark.operators import calibrate
-
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    )
-    p = e.select(
-        "user_id",
-        F.col("ts").cast("date").alias("d"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-    )
-    per_user = p.groupBy("user_id").agg(
-        F.max("d").alias("last_d"),
-        F.count("*").cast("long").alias("f_cnt"),
-        F.sum("cents").cast("long").alias("m_cents"),
-    )
-    gmax = per_user.agg(F.max("last_d").alias("gmax_d"))
-    # CROSSJOIN: 1-row global-max frame fans out onto the user dim
-    per_user = (
-        per_user.crossJoin(F.broadcast(gmax))
-        .select(
-            "user_id",
-            F.datediff("gmax_d", "last_d").cast("long").alias("r_days"),
-            F.col("f_cnt"),
-            F.col("m_cents"),
-        )
-        # neg_r: recency under the shared DESC selection (smaller
-        # r_days = better  <=>  larger -r_days)
-        .withColumn("neg_r", (-F.col("r_days")).cast("long"))
-        # PERSIST: |users|-row aggregate — read by the count, three
-        # histogram builds, and the assignment scan; session-LRU
-        .persist()
-    )
-    n_row = per_user.agg(F.count("*").cast("long").alias("n"))
-
-    def quartile_bounds(metric, prefix):
-        """1-row frame with the 3 better-order-rank boundary values."""
-        targets = (
-            per_user.sparkSession.range(1, 4)
-            .select(F.col("id").cast("long").alias("_tag"))
-            # CROSSJOIN: 1-row count frame onto the 3-row tag frame
-            .crossJoin(F.broadcast(n_row))
-            # c_s = ceil(s*n/4) as pure integers
-            .withColumn("cut", F.expr("(_tag * n + 3) div 4").cast("long"))
-        )
-        bnd = calibrate.desc_rank_boundaries(
-            per_user.select(metric), metric, targets, "cut", "v"
-        )
-        return bnd.agg(
-            *[
-                F.max(F.when(F.col("_tag") == s, F.col("v"))).alias(
-                    f"{prefix}{s}"
-                )
-                for s in range(1, 4)
-            ]
-        )
-
-    def q(metric, prefix):
-        c = F.lit(1)
-        for s in range(1, 4):
-            c = c + F.when(
-                F.col(metric) < F.col(f"{prefix}{s}"), 1
-            ).otherwise(0)
-        return c.cast("long")
-
-    scored = (
-        # CROSSJOIN: three 1-row quartile-boundary pivots (3 boundary
-        # columns each)
-        per_user.crossJoin(F.broadcast(quartile_bounds("neg_r", "rv")))
-        .crossJoin(F.broadcast(quartile_bounds("f_cnt", "fv")))
-        .crossJoin(F.broadcast(quartile_bounds("m_cents", "mv")))
-    )
-    return scored.select(
-        "user_id",
-        "r_days",
-        "f_cnt",
-        "m_cents",
-        q("neg_r", "rv").alias("r_q"),
-        q("f_cnt", "fv").alias("f_q"),
-        q("m_cents", "mv").alias("m_q"),
-        (q("neg_r", "rv") * 100 + q("f_cnt", "fv") * 10
-         + q("m_cents", "mv")).cast("long").alias("rfm_code"),
-    )
 
 
 def test_rfm_quartile_scaled_oracle_parity(spark, oracle):
-    spdf = rfm_quartile_scores_scaled(spark, SF_DIR).toPandas()
-    opdf = oracle.execute(RFM_QUARTILE_SCALED_ORACLE).df()
-    assert_frames_match(spdf, opdf, "rfm_quartile_scores_scaled")
+    spdf = _run_pair(spark, oracle, "rfm_quartile_scores_scaled")
     for c in ("r_q", "f_q", "m_q"):
         assert spdf[c].between(1, 4).all()
 

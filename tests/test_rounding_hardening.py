@@ -176,3 +176,58 @@ def test_cusum_boundary_matches_duckdb(spark, tmp_path):
     assert_frames_match(sp, du, "cusum_changepoints")
     last = sp.sort_values("day")["cusum_hi"].iloc[-1]
     assert last == 0.5774  # the boundary, rounded half-away UP on both
+
+
+def test_interarrival_mean_boundary_matches_duckdb(spark, tmp_path):
+    """The r14 boundary-hazard audit catch (pre-registration): a user
+    with 800 gaps summing to 57 s has mean exactly 57/800 = 0.07125 —
+    a 4dp half boundary with reduced denominator 2^5*5^2, NOT binary
+    representable, where the float round paths split (Spark's shortest
+    repr '0.07125' rounds up to 0.0713, DuckDB's scaled binary value
+    712.4999... rounds down to 0.0712). The registered integer
+    half-away form must read 0.0713 on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    # 801 events: 57 one-second gaps then 743 zero-second gaps
+    secs = [0]
+    for i in range(57):
+        secs.append(secs[-1] + 1)
+    secs += [secs[-1]] * 743
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(1, len(secs) + 1),
+            "ts": pd.to_datetime(secs, unit="s"),
+            "user_id": [1] * len(secs),
+            "event_type": ["click"] * len(secs),
+            "value": [1.0] * len(secs),
+            "props": ["{}"] * len(secs),
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+
+    # the hazard is real on this input: the two float paths disagree
+    con = duckdb.connect()
+    duck_float = con.execute(
+        "SELECT round((57 * 1.0 / 800)::DOUBLE, 4)"
+    ).fetchone()[0]
+    assert duck_float == 0.0712  # binary-value path rounds DOWN
+    from decimal import ROUND_HALF_UP, Decimal
+
+    spark_style = float(
+        Decimal(repr(57 / 800)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+    )
+    assert spark_style == 0.0713  # shortest-repr path rounds UP
+
+    q = QUERIES["interarrival_cv"]
+    sp = q.spark_fn(spark, str(tmp_path)).toPandas()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    du = con.execute(q.oracle).df()
+    from .conftest import assert_frames_match
+
+    assert_frames_match(sp, du, "interarrival_cv")
+    assert sp.loc[0, "mean_s"] == du.loc[0, "mean_s"] == 0.0713

@@ -2650,9 +2650,14 @@ assert 2 * _CUSUM_K == _CUSUM_K2 and 2 * _CUSUM_H == _CUSUM_H2
     f"S > {_CUSUM_H2}*sigma_u exactly — no cumulative float ever "
     "reaches a display round (the r13 stress caught the float form on "
     "a 1.18355 boundary). Bound: |S|*20000 <= days*4*max|v_u|*2e4 "
-    "~ 1e18 at 10k days x value<=1e4 — inside BIGINT; ANSI mode would "
-    "raise, not wrap, past it. Facts reduce to the daily series before "
-    "any sequential work.",
+    "= 8e18 at 10k days x value<=1e4 (v_u <= 1e10 in 1e-6 units) — "
+    "~13% under the 9.22e18 BIGINT max, so the envelope is tight: "
+    "past ~11.5k such days ANSI mode/DuckDB raise (loudly, never "
+    "wrap) and the Python fold's unbounded ints error at the Arrow "
+    "long conversion; beyond that, drop to 1e-4 value units (bound "
+    "/100) or widen the display product to DECIMAL(38,0) on both "
+    "engines. Facts reduce to the daily series before any sequential "
+    "work.",
 )
 def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -2704,7 +2709,8 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # display + alarm in BIGINT expr, textually mirroring the oracle:
     # integer half-away 4dp of the nonnegative rational S/(2*sigma_u),
     # alarm S > _CUSUM_H2*sigma_u exact (ANSI raises, not wraps, if the
-    # documented |S|*20000 bound were ever exceeded)
+    # documented |S|*20000 <= 8e18 bound — ~13% under BIGINT max, see
+    # the docstring — were ever exceeded)
     folded = seq.groupBy("event_type").applyInPandas(fold, schema)
     return folded.select(
         "event_type",

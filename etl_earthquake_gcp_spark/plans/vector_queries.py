@@ -2050,7 +2050,14 @@ def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # PERSIST: |vectors| x dims exploded unit-coordinate frame —
         # the ONE fact-sized cache (every iteration's distance join
         # and both centroid recomputes read it; re-exploding the raw
-        # table 4x costs more than the cache); session-LRU lifetime
+        # table 4x costs more than the cache); session-LRU lifetime.
+        # Byte arithmetic at the docstring's 1e9-vector framing:
+        # 1e9 vectors x 16 dims x ~24 B/row (vec_id, i, xu) ~ 384 GB —
+        # ~0.4 GB/executor across a 1000-executor cluster, comfortably
+        # in memory; at higher dims (1e9 x 768 ~ 18 TB) switch this
+        # site to StorageLevel.DISK_ONLY (MEMORY_AND_DISK already
+        # spills overflow; DISK_ONLY frees the unified-memory region
+        # for the shuffle) — the 4 sequential scans stay linear.
         .persist()
     )
 

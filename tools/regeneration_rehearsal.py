@@ -128,6 +128,23 @@ def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
             cols = []
             for i, field in enumerate(tbl.schema):
                 col = tbl.column(i)
+                if pa.types.is_floating(field.type) or (
+                    name == "embeddings" and field.name == "embedding"
+                ):
+                    # the numpy round-trips below convert NULL -> NaN
+                    # and drop list validity bitmaps; NULL vs NaN
+                    # aggregate semantics DIFFER between Spark and
+                    # DuckDB, so a silent conversion would manufacture
+                    # confusing sweep failures. All current testdata
+                    # float/list columns carry null_count 0 — fail
+                    # loudly if regeneration ever changes that, and
+                    # rebuild with a validity mask then (r13 ADVICE).
+                    if col.null_count:
+                        raise NotImplementedError(
+                            f"jitter axis: {name}.{field.name} has "
+                            f"{col.null_count} nulls — preserve them "
+                            "with mask=col.is_null() before jittering"
+                        )
                 if pa.types.is_floating(field.type):
                     v = col.combine_chunks().to_numpy(zero_copy_only=False)
                     fac = 1.0 + (rng.random(len(v)) - 0.5) * 0.2

@@ -493,6 +493,17 @@ def test_trigram_prefilter_matches_python_replay(spark):
 # statistics are permutation-invariant and bit-identical across
 # engines). One per-group window sort; quantities carried as exact
 # integers.
+#
+# Boundary-hazard audit (r13 verdict #5 — rank-SELECTED values land on
+# display-round boundaries at percent rates): the display is the
+# SELECTED price carried as exact integer cents (the house entry
+# quantization, round(p*100, 0) -> BIGINT on identical doubles) and
+# shown by one exact /100.0 — never round(selected_double, 2), which
+# splits between the engines' repr-vs-binary round paths whenever a
+# selected price carries sub-cent digits ending on a half (fine today
+# on 2dp TPC-H prices, a live hazard under any 3dp+ regeneration).
+# The total ORDER stays on the raw double (identical bits both
+# engines), so selection and display are independently engine-exact.
 
 WEIGHTED_MEDIAN_ORACLE = """
     WITH r AS (
@@ -516,7 +527,7 @@ WEIGHTED_MEDIAN_ORACLE = """
         WHERE cum >= (total + 1) // 2
     )
     SELECT flag, CAST(total AS BIGINT) AS total_qty,
-           round(price, 2) AS wmedian_price
+           CAST(round(price * 100, 0) AS BIGINT) / 100.0 AS wmedian_price
     FROM hit WHERE rn = 1
 """
 
@@ -550,7 +561,13 @@ def weighted_median_price(spark, sf_dir):
     return hit.filter(F.col("rn") == 1).select(
         "flag",
         F.col("total").cast("long").alias("total_qty"),
-        F.round("price", 2).alias("wmedian_price"),
+        # integer-cents display of the SELECTED price (see the
+        # boundary-hazard audit note above): entry quantization on
+        # identical doubles, then one exact /100.0 — never a float
+        # round of the selected value
+        (
+            F.round(F.col("price") * 100, 0).cast("long") / F.lit(100.0)
+        ).alias("wmedian_price"),
     )
 
 

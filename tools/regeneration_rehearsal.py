@@ -139,11 +139,19 @@ def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
                     # float/list columns carry null_count 0 — fail
                     # loudly if regeneration ever changes that, and
                     # rebuild with a validity mask then (r13 ADVICE).
-                    if col.null_count:
+                    # list columns: nested NULL elements don't show in
+                    # the top-level null_count — probe the child array
+                    nested = (
+                        col.combine_chunks().values.null_count
+                        if pa.types.is_list(field.type)
+                        else 0
+                    )
+                    if col.null_count or nested:
                         raise NotImplementedError(
                             f"jitter axis: {name}.{field.name} has "
-                            f"{col.null_count} nulls — preserve them "
-                            "with mask=col.is_null() before jittering"
+                            f"{col.null_count} top-level / {nested} "
+                            "nested nulls — preserve them with "
+                            "mask=...is_null() before jittering"
                         )
                 if pa.types.is_floating(field.type):
                     v = col.combine_chunks().to_numpy(zero_copy_only=False)

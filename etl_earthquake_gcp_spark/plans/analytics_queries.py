@@ -3492,10 +3492,16 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-(group, type) min/max, so the pair stage runs over the "
     "|groups x types| span reduction, never raw events; timestamp "
     "ties are excluded by the strict < on both engines. All counts "
-    "are exact BIGINTs; lift6 is the accepted single-ratio round "
-    "(denominator n_a*n_b is a product of type marginals — not the "
-    "small-denominator boundary-hazard grid; see the r14 audit note "
-    "on interarrival_cv). Scale: one fact groupBy builds the span "
+    "are exact BIGINTs; lift6 is the accepted single-ratio round: "
+    "the denominator n_a*n_b is a product of CORPUS-SCALE type "
+    "marginals (thousands of spans per type), so landing on the "
+    "2^a*5^b>=128 half-boundary grid needs every odd-prime factor "
+    "cancelled by the numerator — the same accepted class as the "
+    "registered ks6 = ks_num/(n_a*n_b) ratio, with the multi-seed "
+    "stress as the standing canary (contrast basket_pair_rules, "
+    "whose <=60-bounded marginals made the grid reachable and earned "
+    "integer hardening; see the r14 audit note on interarrival_cv). "
+    "Scale: one fact groupBy builds the span "
     "frame; the pair self-join is keyed on (user_id, day) — a "
     "co-partitioned shuffle whose per-group fan-out is bounded by "
     "|types|^2 (a fixed event vocabulary); the marginal joins "

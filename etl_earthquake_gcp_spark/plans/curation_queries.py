@@ -1857,7 +1857,7 @@ _BENFORD_SQL = "[" + ", ".join(str(u) for u in _BENFORD_U) + "]"
         SELECT CAST(sum(n) AS BIGINT) AS t FROM counts
     )
     SELECT c.digit, c.n,
-           round(c.n * 1.0 / t.t, 6) AS share6,
+           ((2 * c.n * 1000000 + t.t) // (2 * t.t)) / 1000000.0 AS share6,
            CAST(({_BENFORD_SQL})[CAST(c.digit AS INT)] AS BIGINT)
                AS benford_u,
            CAST(abs((c.n * 1000000) // t.t
@@ -1871,9 +1871,14 @@ _BENFORD_SQL = "[" + ", ".join(str(u) for u in _BENFORD_U) + "]"
     "formatting never touches the data path, so both engines agree on "
     "every digit. Expected shares log10(1 + 1/d) are precomputed in "
     "Python as 1e-6-unit integer literals and the per-digit deviation "
-    "dev_u is exact integer floor division; share6 is the accepted "
-    "single-ratio round (denominator = the corpus order count — the "
-    "generic grid, not the small-denominator hazard class). Scale: one "
+    "dev_u is exact integer floor division; share6 is an integer "
+    "half-away 1e-6-unit quantity (never a float round): the corpus "
+    "order count t is a GENERIC denominator, but under subsample "
+    "perturbation its 2-adic valuation spikes past 7 at ~1/128 rates, "
+    "putting n/t on the non-representable 6dp half-boundary grid — "
+    "the r14 boundary-hazard class (see interarrival_cv); integer "
+    "division closes it. Overflow: 2*n*1e6 < 2^63 to t ~ 4.6e12 "
+    "orders. Scale: one "
     "groupBy over orders reduces everything to the fixed 9-digit "
     "frame; the 1-row total broadcasts. Guard: a total in (0, 0.005) "
     "rounds to 0 cents, whose 'first digit' 0 would crash element_at "
@@ -1904,7 +1909,12 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(total)).select(
         "digit",
         "n",
-        F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("share6"),
+        # integer half-away 1e-6-unit share (see the boundary-hazard
+        # note in the doc): never a float round
+        (
+            F.expr("(2 * n * 1000000 + t) div (2 * t)")
+            / F.lit(1_000_000.0)
+        ).alias("share6"),
         bu.cast("long").alias("benford_u"),
         F.abs(
             F.expr("(n * 1000000) div t") - bu

@@ -545,8 +545,10 @@ _BASKET_MINSUP = 2
         GROUP BY 1, 2
     )
     SELECT p.p1, p.p2, p.supp, na.n_p AS n_p1, nb.n_p AS n_p2,
-           round(p.supp * 1.0 / na.n_p, 6) AS conf1,
-           round(p.supp * o.n * 1.0 / (na.n_p * nb.n_p), 6) AS lift6
+           ((2 * p.supp * 1000000 + na.n_p) // (2 * na.n_p))
+               / 1000000.0 AS conf1,
+           ((2 * p.supp * o.n * 1000000 + na.n_p * nb.n_p)
+               // (2 * na.n_p * nb.n_p)) / 1000000.0 AS lift6
     FROM pairs p
     JOIN part_n na ON na.p = p.p1
     JOIN part_n nb ON nb.p = p.p2
@@ -561,11 +563,18 @@ _BASKET_MINSUP = 2
     "never form a frequent pair, so the quadratic pair stage only "
     "sees filtered baskets), within-order part pairs, "
     f"support/confidence/lift, deterministic top-{_BASKET_TOP} by "
-    "(support DESC, p1, p2). conf1/lift6 are accepted single-ratio "
-    "rounds (part marginals and their products — reaching the "
-    "non-representable half-boundary grid needs a reduced denominator "
-    "of 2^7*5^b >= 640, outside these marginals' range; see the r14 "
-    "boundary-hazard audit note on interarrival_cv). Scale: the "
+    "(support DESC, p1, p2). conf1/lift6 are integer half-away "
+    "1e-6-unit quantities on both engines, never float rounds: part "
+    "marginals are SF-INVARIANT small integers (measured max ~50 at "
+    "every testdata decade — parts and lineitems both scale with SF), "
+    "so while conf1's denominator n_p1 < 128 can never form a 6dp "
+    "half boundary, lift6's PRODUCT denominator n_p1*n_p2 <= ~3600 "
+    "reaches the 2^7*5^b grid (128 = 4*32, 640 = 16*40, ...) at "
+    "material rates — the r14 boundary-hazard class (see "
+    "interarrival_cv); integer division closes it for both ratios. "
+    "Overflow: 2*supp*n_orders*1e6 < 2^63 holds to n_orders ~ 7.6e10 "
+    "(supp bounded by the ~60 marginal cap); beyond, widen the lift "
+    "numerator to DECIMAL(38,0)/HUGEINT (the EMD pattern). Scale: the "
     "per-order pair explode is bounded by basket size squared — the "
     "honest market-basket cost — and everything else is one groupBy "
     "each; the part-marginal joins stay UNHINTED per the r7 broadcast "
@@ -619,11 +628,18 @@ def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp",
             "n_p1",
             "n_p2",
-            F.round(F.col("supp") * 1.0 / F.col("n_p1"), 6).alias("conf1"),
-            F.round(
-                F.col("supp") * F.col("n") * 1.0
-                / (F.col("n_p1") * F.col("n_p2")),
-                6,
+            # integer half-away 1e-6-unit ratios (see the
+            # boundary-hazard note in the doc): never a float round
+            (
+                F.expr("(2 * supp * 1000000 + n_p1) div (2 * n_p1)")
+                / F.lit(1_000_000.0)
+            ).alias("conf1"),
+            (
+                F.expr(
+                    "(2 * supp * n * 1000000 + n_p1 * n_p2)"
+                    " div (2 * n_p1 * n_p2)"
+                )
+                / F.lit(1_000_000.0)
             ).alias("lift6"),
         )
         .orderBy(F.desc("supp"), "p1", "p2")

@@ -30,7 +30,7 @@ from etl_earthquake_gcp_spark.plans.vector_queries import (
 )
 from etl_earthquake_gcp_spark.sources.tables import load_table
 
-from .conftest import SF_DIR, assert_frames_match
+from .conftest import SF_DIR
 from .conftest import run_registered_pair as _run_pair
 
 # registered query callables (the exact objects the driver sees)

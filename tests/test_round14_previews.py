@@ -153,8 +153,9 @@ def test_benford_oracle_parity(spark, oracle):
 def test_benford_matches_python_replay(spark):
     """Full-result replay in pure Python: cents via the documented
     HALF_UP-of-shortest-repr round (Decimal(repr(x)) mirrors
-    BigDecimal.valueOf), digits from the integer string, shares via the
-    same single float round — every row must match exactly."""
+    BigDecimal.valueOf), digits from the integer string, shares via
+    the integer half-away 1e-6 formula — every row must match
+    exactly."""
     from collections import Counter
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -175,11 +176,8 @@ def test_benford_matches_python_replay(spark):
     expected = {
         d: (
             n,
-            float(
-                Decimal(repr(n * 1.0 / t)).quantize(
-                    Decimal("0.000001"), ROUND_HALF_UP
-                )
-            ),
+            # the integer half-away 1e-6-unit share, exactly
+            ((2 * n * 1_000_000 + t) // (2 * t)) / 1_000_000.0,
             _BENFORD_U[d - 1],
             abs((n * 1_000_000) // t - _BENFORD_U[d - 1]),
         )
@@ -206,10 +204,10 @@ def test_basket_oracle_parity(spark, oracle):
 def test_basket_matches_python_replay(spark):
     """Full-result replay in pure Python: distinct baskets, part
     marginals, the min-support prefilter, within-order pair Counters,
-    the two display ratios, and the (supp DESC, p1, p2) top-k —
-    independent of the Spark join pipeline and the oracle CTEs."""
+    the two integer half-away display ratios, and the (supp DESC, p1,
+    p2) top-k — independent of the Spark join pipeline and the oracle
+    CTEs."""
     from collections import Counter, defaultdict
-    from decimal import ROUND_HALF_UP, Decimal
     from itertools import combinations
 
     rows = (
@@ -232,10 +230,9 @@ def test_basket_matches_python_replay(spark):
         for p1, p2 in combinations(freq, 2):
             supp[(p1, p2)] += 1
 
-    def r6(x):
-        return float(
-            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
-        )
+    def r6(num, den):
+        # the integer half-away 1e-6-unit ratio, exactly
+        return ((2 * num * 1_000_000 + den) // (2 * den)) / 1_000_000.0
 
     ranked = sorted(supp.items(), key=lambda kv: (-kv[1], kv[0]))
     expected = [
@@ -245,8 +242,8 @@ def test_basket_matches_python_replay(spark):
             s,
             part_n[p1],
             part_n[p2],
-            r6(s * 1.0 / part_n[p1]),
-            r6(s * n_orders * 1.0 / (part_n[p1] * part_n[p2])),
+            r6(s, part_n[p1]),
+            r6(s * n_orders, part_n[p1] * part_n[p2]),
         )
         for (p1, p2), s in ranked[:_BASKET_TOP]
     ]

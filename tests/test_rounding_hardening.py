@@ -231,3 +231,58 @@ def test_interarrival_mean_boundary_matches_duckdb(spark, tmp_path):
 
     assert_frames_match(sp, du, "interarrival_cv")
     assert sp.loc[0, "mean_s"] == du.loc[0, "mean_s"] == 0.0713
+
+
+def test_basket_lift_boundary_matches_duckdb(spark, tmp_path):
+    """The r14 review-wave catch: basket marginals are small
+    SF-invariant integers, so lift6's product denominator reaches the
+    2^7*5^b half-boundary grid (640 = 16*40) at percent rates —
+    measured: 25/1600 odd numerators over 640 split between the
+    engines' float round paths. Constructed: one pair with supp = 1
+    over marginals (16, 40) in a 641-order corpus gives lift exactly
+    641/640 = 1.0015625, whose float path reads 1.001562 on DuckDB
+    (scaled 1001562.4999...) and 1.001563 on the shortest-repr path.
+    The registered integer half-away form must read 1.001563 on both
+    engines."""
+    import duckdb
+    import pandas as pd
+
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    # part 1 in orders {1, 602..616} (16), part 2 in {1..40} (40),
+    # filler part 3 covers the rest so n_orders = 641; the only
+    # co-occurrence is order 1 -> supp(1,2) = 1
+    rows = [(1, 1)] + [(o, 1) for o in range(602, 617)]
+    rows += [(o, 2) for o in range(1, 41)]
+    rows += [(o, 3) for o in range(41, 602)]
+    rows += [(o, 3) for o in range(617, 642)]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    pdf["l_linenumber"] = 1
+    pdf["l_quantity"] = 1.0
+    pdf.to_parquet(tmp_path / "lineitem.parquet")
+
+    # the hazard is real on this input: the two float paths disagree
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT round((641 * 1.0 / 640)::DOUBLE, 6)"
+    ).fetchone()[0] == 1.001562  # binary-value path rounds DOWN
+    from decimal import ROUND_HALF_UP, Decimal
+
+    assert float(
+        Decimal(repr(641 / 640)).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+    ) == 1.001563  # shortest-repr path rounds UP
+
+    q = QUERIES["basket_pair_rules"]
+    sp = q.spark_fn(spark, str(tmp_path)).toPandas()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{tmp_path}/lineitem.parquet'"
+    )
+    du = con.execute(q.oracle).df()
+    from .conftest import assert_frames_match
+
+    assert_frames_match(sp, du, "basket_pair_rules")
+    assert len(sp) == 1
+    assert sp.loc[0, "lift6"] == du.loc[0, "lift6"] == 1.001563

@@ -143,9 +143,13 @@ def quantile_normalize(
     onto the global score distribution: target global rank =
     ceil(q·N) as the pure integer ``(num + den − 1) div den``, then an
     order-statistic selection. Output adds ``rnk``, ``n_grp``, ``q6``
-    (the quantile, one int/int ratio rounded once — the measured-safe
-    class), and ``calib_score``. One grouped histogram, persisted,
-    feeds ranks, sizes, the global total AND the global histogram."""
+    (the quantile, an integer half-away 1e-6-unit display — with
+    n_grp = 2^6·5^b (320, 1600, …) EVERY odd midrank numerator lands
+    on an exact 6dp half boundary, so one structured group size would
+    mass-split the float round paths across the engines; the r14
+    registry audit), and ``calib_score``. One grouped histogram,
+    persisted, feeds ranks, sizes, the global total AND the global
+    histogram."""
     # PERSIST: |group x distinct score| histogram rows (bounded by the
     # quantized-score contract above), read by four consumers within
     # this one query; lifetime = session LRU (the returned frame is
@@ -172,7 +176,13 @@ def quantile_normalize(
                 "(n_total * (2*rnk - 1) + 2*n_grp - 1) div (2*n_grp)"
             ).cast("long"),
         )
-        .withColumn("q6", F.round(qnum * 1.0 / den, 6))
+        # integer half-away 1e-6 units, never a float round (see doc):
+        # round_half_up((2r-1)/(2n) * 1e6) = ((2r-1)*1e6 + n) div (2n)
+        .withColumn(
+            "q6",
+            F.expr("((2*rnk - 1) * 1000000 + n_grp) div (2*n_grp)")
+            / F.lit(1_000_000.0),
+        )
     )
     return value_at_rank_from_hist(
         with_target, ghist, score_col, "tr", "calib_score"

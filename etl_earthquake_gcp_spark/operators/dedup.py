@@ -1217,7 +1217,12 @@ def minhash_quality_oracle_sql(
                  FROM cand JOIN truth USING (doc_a, doc_b)) AS n_hits
         )
         SELECT n_true_pairs, n_candidates, n_hits,
-               round(n_hits * 1.0 / n_candidates, 4) AS precision,
-               round(n_hits * 1.0 / n_true_pairs, 4) AS recall
+               -- integer half-away 1e-4 units (r14 audit): pair counts
+               -- are bounded small integers that reach the 2^5*5^b
+               -- half-boundary grid (160, 800, ...) under perturbation
+               ((2 * n_hits * 10000 + n_candidates)
+                // (2 * n_candidates)) / 10000.0 AS precision,
+               ((2 * n_hits * 10000 + n_true_pairs)
+                // (2 * n_true_pairs)) / 10000.0 AS recall
         FROM counts
     """

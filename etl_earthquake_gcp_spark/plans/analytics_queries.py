@@ -1691,9 +1691,15 @@ def bfs_hops_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM s3
         )
         SELECT CAST(stage AS BIGINT) AS stage, step, n_users,
+               -- integer half-away 1e-4 units: the top-of-funnel user
+               -- count is a bounded small integer whose reduced form
+               -- reaches the 2^5*5^b half-boundary grid (160, 800, ...)
+               -- at material rates under subsample (the r14 audit)
                CASE WHEN first_value(n_users) OVER (ORDER BY stage) > 0
-                    THEN round(n_users * 1.0 / first_value(n_users) OVER (
-                             ORDER BY stage), 4)
+                    THEN ((2 * n_users * 10000
+                           + first_value(n_users) OVER (ORDER BY stage))
+                          // (2 * first_value(n_users) OVER (ORDER BY stage)))
+                         / 10000.0
                END AS rate_vs_top
         FROM counts
     """,
@@ -1750,15 +1756,22 @@ def funnel_3step_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("stage")
     # symmetric zero guard: with zero top-of-funnel users Spark's /0 is
-    # NULL but DuckDB's float /0 is NaN — both engines emit NULL via CASE
-    top = F.first("n_users").over(w)
-    return counts.select(
-        "stage",
-        "step",
-        "n_users",
-        F.when(top > 0, F.round(F.col("n_users") / top, 4)).alias(
-            "rate_vs_top"
-        ),
+    # NULL but DuckDB's float /0 is NaN — both engines emit NULL via CASE.
+    # Display is integer half-away 1e-4 units (r14 audit): the top count
+    # is a bounded small integer that reaches the 2^5*5^b half-boundary
+    # grid (160, 800, ...) at material rates under subsample
+    return (
+        counts.withColumn("top_n", F.first("n_users").over(w))
+        .select(
+            "stage",
+            "step",
+            "n_users",
+            F.when(
+                F.col("top_n") > 0,
+                F.expr("(2 * n_users * 10000 + top_n) div (2 * top_n)")
+                / F.lit(10000.0),
+            ).alias("rate_vs_top"),
+        )
     )
 
 

@@ -57,8 +57,11 @@ from .registry import register
             SELECT r.doc_id, r.source, r.score, r.src_rank, r.n_src,
                    ((SELECT n_total FROM tot) * (2 * r.src_rank - 1)
                     + 2 * r.n_src - 1) // (2 * r.n_src) AS tr,
-                   round((2 * r.src_rank - 1) * 1.0 / (2 * r.n_src), 6)
-                       AS q6
+                   -- integer half-away 1e-6 units (r14 audit): with
+                   -- n_src = 2^6*5^b every odd midrank numerator sits
+                   -- on an exact 6dp half boundary
+                   (((2 * r.src_rank - 1) * 1000000 + r.n_src)
+                    // (2 * r.n_src)) / 1000000.0 AS q6
             FROM ranked r
         )
         SELECT t.doc_id, t.source, t.score, t.src_rank, t.n_src, t.q6,
@@ -77,7 +80,11 @@ from .registry import register
     "integers, which is exactly what the driver hash certifies). The "
     "grouped histogram is built once and persisted; sizes, the global "
     "total and the global histogram are |histogram|-row re-aggregations "
-    "of it. All integer but the single rounded midrank ratio.",
+    "of it. ALL integer — q6 is an integer half-away 1e-6-unit display "
+    "(r14 audit: a group size of 2^6*5^b = 320, 1600, ... puts every "
+    "odd midrank numerator on an exact 6dp half boundary, where the "
+    "engines' float round paths split at ~50% rates — one structured "
+    "group size away from a mass failure under the old float round).",
 )
 def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(

@@ -1896,12 +1896,19 @@ def minhash_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true_pairs",
         "n_candidates",
         "n_hits",
-        F.round(F.col("n_hits") * F.lit(1.0) / F.col("n_candidates"), 4).alias(
-            "precision"
-        ),
-        F.round(F.col("n_hits") * F.lit(1.0) / F.col("n_true_pairs"), 4).alias(
-            "recall"
-        ),
+        # integer half-away 1e-4 units (r14 audit): pair counts are
+        # bounded small integers that reach the 2^5*5^b half-boundary
+        # grid (160, 800, ...) under perturbation
+        (
+            F.expr("(2 * n_hits * 10000 + n_candidates)"
+                   " div (2 * n_candidates)")
+            / F.lit(10_000.0)
+        ).alias("precision"),
+        (
+            F.expr("(2 * n_hits * 10000 + n_true_pairs)"
+                   " div (2 * n_true_pairs)")
+            / F.lit(10_000.0)
+        ).alias("recall"),
     )
 
 

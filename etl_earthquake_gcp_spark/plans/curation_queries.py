@@ -1901,12 +1901,18 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = digits.groupBy("digit").agg(
         F.count("*").cast("long").alias("n")
     )
-    total = counts.agg(F.sum("n").cast("long").alias("t"))
     benford_arr = F.array(*[F.lit(u) for u in _BENFORD_U])
     bu = F.element_at(benford_arr, F.col("digit").cast("int"))
-    # CROSSJOIN: 1-row corpus total onto the fixed 9-digit frame —
-    # bounded independently of data scale
-    return counts.crossJoin(F.broadcast(total)).select(
+    # the corpus total rides a window over the FIXED <=9-row digit
+    # frame (the epoch_shuffle_ranges bounded-window class) — a
+    # separate 1-row aggregate would re-execute the orders scan under
+    # its broadcast exchange (caught by the single-scan plan pin)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counts.withColumn(
+        "t", F.sum("n").over(w_all).cast("long")
+    ).select(
         "digit",
         "n",
         # integer half-away 1e-6-unit share (see the boundary-hazard

@@ -493,3 +493,63 @@ def test_chi2_cells_cached_top_is_take_ordered_no_sortmerge(spark):
     assert "InMemoryTableScan" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_weighted_median_windows_run_on_histogram_not_facts(spark):
+    """The r14 rework of the banked weighted_median_price: every
+    window must consume the per-(flag, price) quantity histogram
+    (post-aggregation, the quantile_normalize shape) — the plan
+    aggregates BELOW the window — and every windowspecdefinition
+    opens with the flag column (a fact-level cumulative walk in
+    |flags| partitions would be the global-orderBy baseline class the
+    rfm rework retired)."""
+    import re
+
+    from tests.test_round15_previews import weighted_median_price
+
+    plan = _plan_of(weighted_median_price(spark, SF_DIR))
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") > plan.index("HashAggregate") or (
+        # root-first printing: Window above its child aggregate
+        "HashAggregate" in plan[plan.index("Window"):]
+    ), plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(c == "flag" for c in specs), specs
+
+
+def test_sequence_pair_lift_span_cached_equijoins_only(spark):
+    """The registered sequence_pair_lift: the span reduction must be
+    persisted (the census, the marginals, and both pair sides read
+    it) and the |types|^2-per-group pair stage must stay an equi-join
+    on (user_id, day) — no cartesian product; the only nested-loop
+    node is the 1-row census fan-out."""
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    plan = _plan_of(QUERIES["sequence_pair_lift"].spark_fn(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_interarrival_window_partitions_by_user(spark):
+    """The registered interarrival_cv: the one lag window must
+    partition by user_id — an empty partitionBy would sort every
+    event in one task."""
+    import re
+
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    plan = _plan_of(QUERIES["interarrival_cv"].spark_fn(spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(c == "user_id" for c in specs), specs
+
+
+def test_benford_single_scan_one_bounded_fanout(spark):
+    """The registered benford_first_digit: one orders scan, no join
+    other than the 1-row-total broadcast fan-out onto the fixed
+    9-digit frame."""
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    plan = _plan_of(QUERIES["benford_first_digit"].spark_fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan

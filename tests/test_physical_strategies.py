@@ -428,23 +428,26 @@ def test_forced_broadcast_site_count_is_adjudicated():
     # kmeans_lloyd_2iter 2 (the k x dims centroid frame inside
     # assign(), the k-row checksum dim); see the CROSSJOIN/PERSIST
     # site comments
-    # + 10 round-14 sites, each bounded independently of data scale:
+    # + 9 round-14 sites, each bounded independently of data scale:
     # sequence_pair_lift 3 (two |types|-row marginal dims — a fixed
     # event-type vocabulary — and the 1-row group census),
-    # benford_first_digit 1 (the 1-row corpus total onto the fixed
-    # 9-digit frame), basket_pair_rules 1 (the 1-row order census;
-    # its preview's THREE part-marginal hints were REMOVED at
-    # registration per this audit's own rule — part counts scale
-    # with SF like the r7-removed customer dim, so stats/AQE pick
-    # the strategy per scale), rfm_quartile_scores_scaled 5 (the
-    # 1-row global-max date, the 1-row user count, and three 1-row
-    # quartile-boundary pivots — the rfm_segmentation_scaled class).
+    # basket_pair_rules 1 (the 1-row order census; its preview's
+    # THREE part-marginal hints were REMOVED at registration per
+    # this audit's own rule — part counts scale with SF like the
+    # r7-removed customer dim, so stats/AQE pick the strategy per
+    # scale), rfm_quartile_scores_scaled 5 (the 1-row global-max
+    # date, the 1-row user count, and three 1-row quartile-boundary
+    # pivots — the rfm_segmentation_scaled class).
+    # benford_first_digit contributes NO site: its preview's 1-row
+    # total broadcast re-executed the orders scan under the exchange
+    # (caught by the single-scan plan pin) — the total now rides a
+    # window over the fixed <=9-row digit frame instead.
     # NOTE the SURVEY r14 forward estimate said 134: it counted only
     # the rfm pair's 5 sites; the bank's own 8 preview sites were
-    # textually uncounted, and 3 of those were then removed by the
-    # audit rule — 129 + 5 (bank, post-removal) + 5 (rfm) = 139.
-    assert n == 139, (
-        f"F.broadcast site count changed ({n} != 139): adjudicate the "
+    # textually uncounted, 3 were removed by the audit rule, 1 by
+    # the single-scan rework — 129 + 4 (bank) + 5 (rfm) = 138.
+    assert n == 138, (
+        f"F.broadcast site count changed ({n} != 138): adjudicate the "
         "new/removed site per the round-7 audit rule (SCALING.md) and "
         "update this pin"
     )

@@ -488,11 +488,13 @@ def test_trigram_prefilter_matches_python_replay(spark):
 #
 # Quantity-weighted median extended price per return flag: the price at
 # the first position whose cumulative quantity reaches ceil(total/2) —
-# a pure rank SELECTION over the (price, orderkey, linenumber) total
-# order, never an interpolation (the playbook's preferred class: order
-# statistics are permutation-invariant and bit-identical across
-# engines). One per-group window sort; quantities carried as exact
-# integers.
+# a pure rank SELECTION, never an interpolation (the playbook's
+# preferred class: order statistics are permutation-invariant and
+# bit-identical across engines). The ORACLE walks the row-level
+# (price, orderkey, linenumber) total order; the Spark plan computes
+# the SAME selection from the per-(flag, price) quantity histogram —
+# see the builder docstring for the equivalence argument. Quantities
+# carried as exact integers.
 #
 # Boundary-hazard audit (r13 verdict #5 — rank-SELECTED values land on
 # display-round boundaries at percent rates): the display is the
@@ -533,30 +535,47 @@ WEIGHTED_MEDIAN_ORACLE = """
 
 
 def weighted_median_price(spark, sf_dir):
+    """Histogram-shaped plan (reworked end-of-r14, the
+    pareto_revenue_share_scaled precedent): the oracle's row-level
+    cumulative walk totally orders the FACTS in |flags| window
+    partitions — the global-orderBy baseline class the r14 rfm rework
+    retired — but the selected price only depends on the per-(flag,
+    price) quantity HISTOGRAM: within a flag the row-level cumsum and
+    the histogram cumsum cross the ceil(total/2) target inside the
+    same price group (zero-weight rows never advance either cumsum),
+    so the first histogram row with cum >= target carries the
+    identical price and the oracle string certifies the histogram
+    plan bit-for-bit. One fact groupBy, then windows over
+    |flag x distinct price| histogram rows only (the
+    quantile_normalize shape; a two-level bucketed refinement a la
+    calibrate.desc_rank_boundaries is the named next step if distinct
+    prices ever stop fitting a partition)."""
     li = load_table(spark, sf_dir, "lineitem")
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("l_returnflag")
     # floor() before the integer cast on BOTH sides: DuckDB's CAST
     # rounds doubles while Spark's truncates — floor makes the
     # quantization explicit and identical (review-caught latent hazard)
     q = F.floor("l_quantity").cast("long")
-    r = li.select(
+    hist = li.groupBy(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
-        F.sum(q).over(w_cum).alias("cum"),
-        F.sum(q).over(w_all).alias("total"),
+    ).agg(F.sum(q).alias("qty"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    r = hist.select(
+        "flag",
+        "price",
+        F.sum("qty").over(w_cum).alias("cum"),
+        F.sum("qty").over(w_all).alias("total"),
     )
     hit = r.filter(
         F.col("cum") >= F.expr("(total + 1) div 2")
     ).withColumn(
         "rn",
-        F.row_number().over(
-            Window.partitionBy("flag").orderBy("cum", "price")
-        ),
+        F.row_number().over(Window.partitionBy("flag").orderBy("price")),
     )
     return hit.filter(F.col("rn") == 1).select(
         "flag",

@@ -140,10 +140,18 @@ def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
                     # loudly if regeneration ever changes that, and
                     # rebuild with a validity mask then (r13 ADVICE).
                     # list columns: nested NULL elements don't show in
-                    # the top-level null_count — probe the child array
+                    # the top-level null_count — probe the flattened
+                    # child for ANY list-like encoding (is_list is
+                    # False for large_list / fixed_size_list, which
+                    # e.g. polars-written parquet defaults to)
+                    _t = field.type
                     nested = (
-                        col.combine_chunks().values.null_count
-                        if pa.types.is_list(field.type)
+                        col.combine_chunks().flatten().null_count
+                        if (
+                            pa.types.is_list(_t)
+                            or pa.types.is_large_list(_t)
+                            or pa.types.is_fixed_size_list(_t)
+                        )
                         else 0
                     )
                     if col.null_count or nested:

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import quantized_half_away
-from ..operators import calibrate
+from ..operators import calibrate, sampling
 from ..operators.dedup import jaccard_pairs_bitmask
 from ..sources.tables import load_table
 from .registry import register
@@ -3505,7 +3505,14 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-(group, type) min/max, so the pair stage runs over the "
     "|groups x types| span reduction, never raw events; timestamp "
     "ties are excluded by the strict < on both engines. All counts "
-    "are exact BIGINTs; lift6 is the accepted single-ratio round: "
+    "are exact BIGINTs. Overflow envelope: the lift6 numerator "
+    "n_ab * n_g is a BIGINT x BIGINT product evaluated BEFORE the "
+    "float cast on both engines; since n_ab <= n_g, n_ab*n_g < 2^63 "
+    "holds up to n_g ~ 3.0e9 (user, day) groups — far past any "
+    "testdata scale, but non-ANSI Spark would WRAP silently where "
+    "DuckDB raises, so past that widen the product to DECIMAL(38,0) "
+    "on both engines (the basket_pair_rules escape hatch). "
+    "lift6 is the accepted single-ratio round: "
     "the denominator n_a*n_b is a product of CORPUS-SCALE type "
     "marginals (thousands of spans per type), so landing on the "
     "2^a*5^b>=128 half-boundary grid needs every odd-prime factor "
@@ -3815,4 +3822,257 @@ def rfm_quartile_scores_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         q("m_cents", "mv").alias("m_q"),
         (q("neg_r", "rv") * 100 + q("f_cnt", "fv") * 10
          + q("m_cents", "mv")).cast("long").alias("rfm_code"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-15 registrations (promoted from tests/test_round15_previews.py —
+# parity pairs proven in round 6 and rehearsed on three perturbed variants
+# + the 120/120 multi-seed stress end-of-r14; this move is mechanical per
+# the SURVEY r15 bullet)
+# --------------------------------------------------------------------------
+
+_CMJ_W = 65536
+_CMJ_D = 4
+# D INDEPENDENT affine hashes (a_d*k + c_d) mod p mod W: distinct
+# multipliers AND additive constants per depth row (the minhash_coeffs
+# pattern) — a shared base hash with additive offsets would leave the
+# rows near-fully correlated and collapse min-over-depth to depth 1
+# (caught by round-6 review). Constants: the house Knuth + xxhash
+# mod-p-reduced multipliers and two classic LCG multipliers.
+_CMJ_AS = [sampling.HASH_A_RED, sampling.HASH_B_RED, 48271, 69621]
+_CMJ_CS = [11, sampling.HASH_C, 12345, 789221]
+_CMJ_AS_SQL = "[" + ", ".join(str(a) for a in _CMJ_AS) + "]"
+_CMJ_CS_SQL = "[" + ", ".join(str(c) for c in _CMJ_CS) + "]"
+
+
+def _cmj_w_col(key: F.Column, d: F.Column) -> F.Column:
+    """Depth-d count-min cell index for ``key``: row-independent affine
+    hash mod W. (key%p)*a_d + c_d < 2^62 under ANSI (both factors
+    < 2^31), matching the oracle's integer arithmetic bit-for-bit."""
+    a_d = F.element_at(
+        F.array(*[F.lit(a) for a in _CMJ_AS]), (d + 1).cast("int")
+    )
+    c_d = F.element_at(
+        F.array(*[F.lit(c) for c in _CMJ_CS]), (d + 1).cast("int")
+    )
+    return (
+        ((key.cast("long") % sampling.HASH_P) * a_d + c_d)
+        % sampling.HASH_P
+    ) % _CMJ_W
+
+
+@register(
+    "countmin_join_size",
+    oracle=f"""
+    WITH lags AS (
+        SELECT unnest(generate_series(0, {_CMJ_D - 1})) AS d
+    ), ca AS (
+        SELECT d.d,
+               (((o_orderkey % {sampling.HASH_P})
+                 * ({_CMJ_AS_SQL})[CAST(d.d + 1 AS INT)]
+                 + ({_CMJ_CS_SQL})[CAST(d.d + 1 AS INT)])
+                % {sampling.HASH_P}) % {_CMJ_W} AS w,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders CROSS JOIN lags d
+        GROUP BY 1, 2
+    ), cb AS (
+        SELECT d.d,
+               (((l_orderkey % {sampling.HASH_P})
+                 * ({_CMJ_AS_SQL})[CAST(d.d + 1 AS INT)]
+                 + ({_CMJ_CS_SQL})[CAST(d.d + 1 AS INT)])
+                % {sampling.HASH_P}) % {_CMJ_W} AS w,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem CROSS JOIN lags d
+        GROUP BY 1, 2
+    ), est AS (
+        SELECT a.d, CAST(sum(a.c * b.c) AS BIGINT) AS inner_prod
+        FROM ca a JOIN cb b ON a.d = b.d AND a.w = b.w
+        GROUP BY 1
+    ), exact AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT CAST({_CMJ_W} AS BIGINT) AS width,
+           CAST({_CMJ_D} AS BIGINT) AS depth,
+           CAST(min(e.inner_prod) AS BIGINT) AS est_min,
+           x.n AS exact_cnt,
+           min(e.inner_prod) >= x.n AS overestimate_ok,
+           ((2 * min(e.inner_prod) * 1000000 + x.n) // (2 * x.n))
+               / 1000000.0 AS ratio6
+    FROM est e CROSS JOIN exact x
+    GROUP BY x.n
+    """,
+    doc="join-cardinality estimation via count-min inner product — the "
+    f"optimizer-statistics read of the mergeable-sketch family: each "
+    f"side's join keys hash into a {_CMJ_D} x {_CMJ_W} sketch and "
+    "|orders JOIN lineitem| is estimated as min_d sum_w cA[d,w]*cB[d,w] "
+    "(Cormode & Muthukrishnan 2005), audited in the SAME row against "
+    "the exact join count with the overestimate contract asserted "
+    "(collisions only inflate). ratio6 is integer half-away 1e-6 units "
+    "on both engines (the r14 boundary-hazard criterion applied "
+    "pre-registration: never a float round of a ratio display). "
+    "Overflow envelope: 2*est_min*1e6 < 2^63 holds to est_min ~ 4.6e12 "
+    "(est_min ~ |A|*|B|/W + |A JOIN B|, ~2e6 at sf0.1); beyond, widen "
+    "to DECIMAL(38,0)/HUGEINT (the EMD pattern). Scale: each sketch is "
+    "one fact groupBy into <= D*W = 256k cells REGARDLESS of data "
+    "scale — mergeable across partitions by construction — and the "
+    "sketch-vs-sketch join is cell-keyed (bounded); the exact-count "
+    "join is the audit's cost, paid at test scale only (at 100 TB the "
+    "sketch REPLACES that join — that is its point). Reference has no "
+    "counterpart (its ETL ends at BI aggregates, "
+    "scripts/process_silver_to_gold.py).",
+)
+def countmin_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lags = spark.range(_CMJ_D).select(F.col("id").alias("d"))
+
+    def sketch(df: DataFrame, key: str) -> DataFrame:
+        # CROSSJOIN: fixed D-row depth frame fans onto the fact scan —
+        # bounded independently of data scale (D = 4)
+        return (
+            df.crossJoin(F.broadcast(lags))
+            .groupBy("d", _cmj_w_col(F.col(key), F.col("d")).alias("w"))
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    ca = sketch(o, "o_orderkey")
+    cb = sketch(li, "l_orderkey")
+    est = (
+        ca.alias("a")
+        .join(cb.alias("b"), ["d", "w"])
+        .groupBy("d")
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias(
+                "inner_prod"
+            )
+        )
+    )
+    exact = o.join(li, o["o_orderkey"] == li["l_orderkey"]).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        # CROSSJOIN: 1-row exact-count audit frame — bounded
+        est.crossJoin(F.broadcast(exact))
+        .groupBy("n")
+        .agg(F.min("inner_prod").cast("long").alias("est_min"))
+        .select(
+            F.lit(_CMJ_W).cast("long").alias("width"),
+            F.lit(_CMJ_D).cast("long").alias("depth"),
+            "est_min",
+            F.col("n").alias("exact_cnt"),
+            (F.col("est_min") >= F.col("n")).alias("overestimate_ok"),
+            # integer half-away 1e-6-unit ratio (see the boundary-
+            # hazard note in the doc): never a float round
+            (
+                F.expr("(2 * est_min * 1000000 + n) div (2 * n)")
+                / F.lit(1_000_000.0)
+            ).alias("ratio6"),
+        )
+    )
+
+
+_HCHANGE_TOP = 20
+
+
+@register(
+    "heavy_change_detect",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx
+        FROM events
+    ), mid AS (
+        SELECT mn + to_days(CAST(date_diff('day', mn, mx) // 2 AS INTEGER))
+            AS m
+        FROM bounds
+    ), halves AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) < m.m
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cnt1,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) >= m.m
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cnt2
+        FROM events CROSS JOIN mid m
+        GROUP BY 1
+    ), totals AS (
+        SELECT CAST(sum(cnt1) AS BIGINT) AS t1,
+               CAST(sum(cnt2) AS BIGINT) AS t2
+        FROM halves
+    )
+    SELECT h.user_id, h.cnt1, h.cnt2,
+           CAST(abs(h.cnt1 * t.t2 - h.cnt2 * t.t1) AS BIGINT) AS score
+    FROM halves h CROSS JOIN totals t
+    WHERE t.t1 > 0 AND t.t2 > 0
+    ORDER BY score DESC, h.user_id
+    LIMIT {_HCHANGE_TOP}
+    """,
+    doc="heavy-CHANGE detection (Cormode & Muthukrishnan's deltoids "
+    "read, beside the registered Misra-Gries heavy WEIGHT in "
+    "heavy_hitters_mergeable): the users whose activity share moved "
+    "most between the first and second half of the observed date "
+    "range. The change score is the exact cross-multiplied integer "
+    "|cnt1*T2 - cnt2*T1| — comparing cnt1/T1 vs cnt2/T2 with ZERO "
+    "floats anywhere (no ratio display at all, so the r14 boundary-"
+    f"hazard audit passes vacuously); deterministic top-{_HCHANGE_TOP} "
+    "by (score DESC, user_id). Overflow envelope: cnt*T < 2^63 needs "
+    "cnt*T < 9.2e18 — with cnt <= T this holds to T ~ 3.0e9 events "
+    "per half; beyond, widen the products to DECIMAL(38,0) (the "
+    "basket_pair_rules escape hatch). Scale: facts reduce to "
+    "per-(user, half) counts in ONE fact groupBy; the 1-row midpoint "
+    "and totals frames broadcast; TakeOrderedAndProject handles the "
+    "top-k (map-side partial top-k, never a global sort). Reference "
+    "has no counterpart (its ETL ends at BI aggregates, "
+    "scripts/process_silver_to_gold.py).",
+)
+def heavy_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    bounds = e.agg(F.min(d).alias("mn"), F.max(d).alias("mx"))
+    mid = bounds.select(
+        F.expr(
+            "date_add(mn, CAST(datediff(mx, mn) div 2 AS INT))"
+        ).alias("m")
+    )
+    halves = (
+        # CROSSJOIN: 1-row date-range midpoint fans onto the fact scan —
+        # bounded
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(d < F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt1"),
+            F.sum(F.when(d >= F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt2"),
+        )
+        # PERSIST: per-user half-count aggregate — |users| rows at
+        # ~24 B each (one key + two BIGINTs), a fraction of the fact
+        # bytes — read TWICE: the 1-row totals aggregate and the
+        # scored select (without it the fact scan + groupBy execute
+        # once per consumer — the benford r14 double-scan class);
+        # session-LRU lifetime
+        .persist()
+    )
+    totals = halves.agg(
+        F.sum("cnt1").cast("long").alias("t1"),
+        F.sum("cnt2").cast("long").alias("t2"),
+    )
+    return (
+        # CROSSJOIN: 1-row half-totals frame onto the per-user counts —
+        # bounded
+        halves.crossJoin(F.broadcast(totals))
+        .filter((F.col("t1") > 0) & (F.col("t2") > 0))
+        .select(
+            "user_id",
+            "cnt1",
+            "cnt2",
+            F.abs(
+                F.col("cnt1") * F.col("t2") - F.col("cnt2") * F.col("t1")
+            )
+            .cast("long")
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), "user_id")
+        .limit(_HCHANGE_TOP)
     )

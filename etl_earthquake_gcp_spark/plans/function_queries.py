@@ -9,7 +9,7 @@ kurtosis is excluded — its sample correction differs across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -423,4 +423,106 @@ def trimmed_mean_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return counts.join(means, "event_type").select(
         "event_type", "n_kept", "trimmed_mean"
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-15 registration (promoted from tests/test_round15_previews.py —
+# parity pair proven in round 6; display hardened to integer cents and
+# the plan reworked fact-walk -> histogram windows end-of-r14 per the
+# r13 boundary-hazard audit and the rfm global-orderBy precedent; this
+# move is mechanical per the SURVEY r15 bullet)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag AS flag,
+               l_extendedprice AS price,
+               sum(CAST(floor(l_quantity) AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               sum(CAST(floor(l_quantity) AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+               ) AS total
+        FROM lineitem
+    ), hit AS (
+        SELECT flag, price, total,
+               row_number() OVER (
+                   PARTITION BY flag ORDER BY cum, price
+               ) AS rn
+        FROM r
+        WHERE cum >= (total + 1) // 2
+    )
+    SELECT flag, CAST(total AS BIGINT) AS total_qty,
+           CAST(round(price * 100, 0) AS BIGINT) / 100.0 AS wmedian_price
+    FROM hit WHERE rn = 1
+    """,
+    doc="quantity-weighted median extended price per return flag: the "
+    "price at the first position whose cumulative quantity reaches "
+    "ceil(total/2) — a pure rank SELECTION, never an interpolation "
+    "(order statistics are permutation-invariant and bit-identical "
+    "across engines). The ORACLE walks the row-level (price, orderkey, "
+    "linenumber) total order; the Spark plan computes the SAME "
+    "selection from the per-(flag, price) quantity HISTOGRAM — within "
+    "a flag the row-level and histogram cumsums cross the target "
+    "inside the same price group (zero-weight rows never advance "
+    "either cumsum), so the first histogram row with cum >= target "
+    "carries the identical price and the oracle string certifies the "
+    "histogram plan bit-for-bit (the pareto_revenue_share_scaled "
+    "precedent). Display is the SELECTED price as exact integer CENTS "
+    "(house entry quantization on identical doubles, one exact /100.0) "
+    "— never round(selected_double, 2), which splits the engines' "
+    "repr-vs-binary round paths whenever a selected price carries "
+    "sub-cent digits ending on a half (the r13 bootstrap-CI lesson: "
+    "selection does not launder display rounding); the total ORDER "
+    "stays on the raw double. floor() before the integer quantity "
+    "cast on BOTH sides: DuckDB CAST rounds doubles, Spark truncates. "
+    "Scale: one fact groupBy builds the histogram; windows run over "
+    "|flag x distinct price| histogram rows only (the "
+    "quantile_normalize shape — never the fact-level |flags|-partition "
+    "cumulative walk the rfm rework retired); a two-level bucketed "
+    "refinement a la operators/calibrate.py::desc_rank_boundaries is "
+    "the named next step if distinct prices ever stop fitting a "
+    "partition. Reference has no counterpart (its gold layer stops at "
+    "COUNT/AVG/MAX BI aggregates, scripts/process_silver_to_gold.py).",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.floor("l_quantity").cast("long")
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(q).alias("qty"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    r = hist.select(
+        "flag",
+        "price",
+        F.sum("qty").over(w_cum).alias("cum"),
+        F.sum("qty").over(w_all).alias("total"),
+    )
+    hit = r.filter(
+        F.col("cum") >= F.expr("(total + 1) div 2")
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("flag").orderBy("price")),
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        "flag",
+        F.col("total").cast("long").alias("total_qty"),
+        # integer-cents display of the SELECTED price (see the doc):
+        # entry quantization on identical doubles, then one exact
+        # /100.0 — never a float round of the selected value
+        (
+            F.round(F.col("price") * 100, 0).cast("long") / F.lit(100.0)
+        ).alias("wmedian_price"),
     )

@@ -32,7 +32,7 @@ from ..operators.dedup import (
 )
 from ..operators.sketch import countmin_estimates, countmin_grid, countmin_oracle_sql
 from ..sources.tables import load_table
-from .registry import register
+from .registry import QUERIES, register
 
 # --------------------------------------------------------------------------
 # P1-P3 analog — explode tokens + array access (b2s.py:46-73 capability class)
@@ -2747,4 +2747,174 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hit_share"),
         )
         .filter(F.col("n_hit") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-15 registrations (promoted from tests/test_round15_previews.py —
+# parity pairs proven in round 6 and rehearsed on three perturbed variants
+# + the 120/120 multi-seed stress end-of-r14; this move is mechanical per
+# the SURVEY r15 bullet)
+# --------------------------------------------------------------------------
+
+_TRIPF_PATTERN = "merge join"
+_TRIPF_TRIGRAMS = sorted(
+    {_TRIPF_PATTERN[i : i + 3] for i in range(len(_TRIPF_PATTERN) - 2)}
+)
+_TRIPF_TRI_SQL = "[" + ", ".join(f"'{t}'" for t in _TRIPF_TRIGRAMS) + "]"
+
+
+@register(
+    "trigram_like_prefilter",
+    oracle=f"""
+    WITH postings AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(text) - 2),
+                   i -> substr(text, CAST(i AS INTEGER), 3))) AS tri
+        FROM documents WHERE len(text) >= 3
+    ), cand AS (
+        SELECT doc_id FROM postings
+        WHERE tri IN (SELECT unnest({_TRIPF_TRI_SQL}))
+        GROUP BY doc_id
+        HAVING count(*) = {len(_TRIPF_TRIGRAMS)}
+    ), truth AS (
+        SELECT doc_id FROM documents
+        WHERE contains(text, '{_TRIPF_PATTERN}')
+    )
+    SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           (SELECT count(*) FROM truth t
+            WHERE t.doc_id NOT IN (SELECT doc_id FROM cand)) = 0
+               AS lossless_ok,
+           ((2 * (SELECT count(*) FROM truth) * 1000000
+             + (SELECT count(*) FROM cand))
+            // (2 * (SELECT count(*) FROM cand)))
+               / 1000000.0 AS precision6
+    """,
+    doc="index-accelerated LIKE, audited LOSSLESS: candidates for "
+    f"LIKE '%{_TRIPF_PATTERN}%' are the docs containing ALL "
+    f"{len(_TRIPF_TRIGRAMS)} character trigrams of the pattern (a "
+    "postings-intersection count — the pg_trgm strategy), truth is the "
+    "direct substring scan. A doc containing the substring necessarily "
+    "contains every one of its trigrams, so candidates ⊇ truth ALWAYS "
+    "— the PPJoin/PassJoin lossless-prefilter contract applied to the "
+    "LIKE path; the summary row certifies the containment and the "
+    "prefilter precision. precision6 is integer half-away 1e-6 units "
+    "on both engines (the r14 boundary-hazard criterion applied "
+    "pre-registration: n_candidates is a small-but-corpus-scaling "
+    "count that reaches the 2^a*5^b >= 128 grid at material rates "
+    "under regeneration — the basket_pair_rules lesson; never a float "
+    "round). Scale: the postings build is the one-time linear index "
+    "(distinct (doc, trigram) groupBy); the per-query work is "
+    "|pattern trigrams| posting lookups + one count-threshold groupBy; "
+    "the truth scan exists only for the audit (at 100 TB the index "
+    "REPLACES the scan — that is its point). Reference has no "
+    "counterpart (its ETL has no text search; "
+    "scripts/process_silver_to_gold.py).",
+)
+def trigram_like_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.filter(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("tri"),
+        )
+        .distinct()
+    )
+    cand = (
+        postings.filter(F.col("tri").isin(_TRIPF_TRIGRAMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") == len(_TRIPF_TRIGRAMS))
+        .select("doc_id")
+        # PERSIST: candidate doc-id set — <= |matching docs| single-key
+        # rows — read TWICE: the candidate count and the containment
+        # anti-join; session-LRU lifetime
+        .persist()
+    )
+    truth = (
+        docs.filter(F.instr(F.col("text"), _TRIPF_PATTERN) > 0)
+        .select("doc_id")
+        # PERSIST: truth doc-id set — <= |matching docs| single-key
+        # rows — read TWICE: the truth count and the containment
+        # anti-join; session-LRU lifetime
+        .persist()
+    )
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    missed = truth.join(cand, "doc_id", "left_anti").agg(
+        F.count("*").alias("n_missed")
+    )
+    return (
+        # CROSSJOIN: two 1-row summary combines (counts + the missed
+        # audit) — bounded
+        n_cand.crossJoin(n_true)
+        .crossJoin(missed)
+        .select(
+            "n_candidates",
+            "n_true",
+            (F.col("n_missed") == 0).alias("lossless_ok"),
+            # integer half-away 1e-6-unit ratio (see the boundary-
+            # hazard note in the doc): never a float round
+            (
+                F.expr(
+                    "(2 * n_true * 1000000 + n_candidates)"
+                    " div (2 * n_candidates)"
+                )
+                / F.lit(1_000_000.0)
+            ).alias("precision6"),
+        )
+    )
+
+
+# the registered canonical-resolution oracle, wrapped verbatim below so
+# the banded component semantics exist exactly ONCE and a future fix to
+# the resolution query propagates
+_KEEP_CANONICAL_ORACLE = QUERIES["dedup_keep_canonical"].oracle
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+        SELECT cluster_size AS size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM ({_KEEP_CANONICAL_ORACLE})
+        GROUP BY 1
+    """,
+    doc="the dedup run's standard report: the size distribution of the "
+    "near-duplicate clusters — how many singletons, how many small "
+    "clusters, how big the worst nest is. COMPOSED on the registered "
+    "dedup_keep_canonical query (Spark side calls it; oracle wraps its "
+    "registered SQL as a subquery), so the report describes exactly "
+    "the clusters the dedup run RESOLVES and the banded component "
+    "semantics exist exactly once — a future resolution fix propagates "
+    "here. Substrate: the BANDED MinHash candidate graph (16 hashes x "
+    "4 bands, exact-Jaccard verify >= 0.8 on collided pairs only — the "
+    "sub-quadratic production substrate), NOT exact all-pairs: the "
+    "preview composed on near_dup_components, whose exact bitmask pair "
+    "scan read 3.1x on the at-registration best-of-5 decade probes "
+    "(>= 2x trigger, both axes, same-process controls) — the r14 "
+    "verdict's banded-iteration rework applied at registration; "
+    "dedup_keep_canonical's banded substrate reads ~1.9x (SCALING.md "
+    "decade table). Pure integer counts — no ratio display (the r14 "
+    "boundary-hazard audit passes vacuously). Scale: one groupBy over "
+    "the |components|-row resolution frame — the banding pass is "
+    "linear, candidates are bucket-bounded, and the iteration runs on "
+    "the sparse verified pair graph (operators/graph.py min-label "
+    "propagation, localCheckpoint-truncated lineage). Reference has no "
+    "counterpart (its ETL has no dedup; "
+    "scripts/process_bronze_to_silver.py).",
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    canon = dedup_keep_canonical(spark, sf_dir)
+    return canon.groupBy(F.col("cluster_size").alias("size")).agg(
+        F.count("*").cast("long").alias("n_clusters")
     )

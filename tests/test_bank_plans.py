@@ -71,9 +71,9 @@ def test_countmin_sketch_join_is_not_broadcast_of_facts(spark):
     """The sketch-side join runs on |D x W| frames; neither raw fact
     table may appear under a broadcast exchange (only the tiny lags
     frame and the 1-row exact count broadcast)."""
-    from tests.test_round15_previews import countmin_join_size
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(countmin_join_size(spark, SF_DIR))
+    plan = _plan_of(QUERIES["countmin_join_size"].spark_fn(spark, SF_DIR))
     # the d/w-keyed sketch join aggregates both sides before joining
     assert plan.count("HashAggregate") >= 4, plan
 
@@ -184,9 +184,9 @@ def test_weighted_sample_docs_is_take_ordered(spark):
 def test_heavy_change_topk_is_take_ordered(spark):
     """The scored top-k head must be TakeOrderedAndProject over the
     per-user aggregate, never a global sort of the score frame."""
-    from tests.test_round15_previews import heavy_change_detect
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(heavy_change_detect(spark, SF_DIR))
+    plan = _plan_of(QUERIES["heavy_change_detect"].spark_fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
@@ -206,9 +206,9 @@ def test_trigram_prefilter_no_cartesian_no_sortmerge(spark):
     """Posting lookups are hash equi-joins on the bounded pattern-
     trigram set; the only nested-loop nodes are the 1-row summary
     combines. No cartesian product, no sort-merge of the postings."""
-    from tests.test_round15_previews import trigram_like_prefilter
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(trigram_like_prefilter(spark, SF_DIR))
+    plan = _plan_of(QUERIES["trigram_like_prefilter"].spark_fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
@@ -505,14 +505,17 @@ def test_weighted_median_windows_run_on_histogram_not_facts(spark):
     rfm rework retired)."""
     import re
 
-    from tests.test_round15_previews import weighted_median_price
+    from etl_earthquake_gcp_spark.plans import QUERIES
 
-    plan = _plan_of(weighted_median_price(spark, SF_DIR))
+    plan = _plan_of(QUERIES["weighted_median_price"].spark_fn(spark, SF_DIR))
     assert "Window" in plan and "HashAggregate" in plan
-    assert plan.index("Window") > plan.index("HashAggregate") or (
-        # root-first printing: Window above its child aggregate
-        "HashAggregate" in plan[plan.index("Window"):]
-    ), plan
+    # root-first printing puts a node ABOVE its children: the histogram
+    # aggregate must sit BELOW the first window (print later), i.e. the
+    # windows consume the aggregate's output. A fact-level cumulative
+    # walk would put the window directly on the scan with any aggregate
+    # above it (or none — caught by the line above). The r15 ADVICE
+    # found the previous disjunctive form was a tautology.
+    assert plan.index("HashAggregate") > plan.index("Window"), plan
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs and all(c == "flag" for c in specs), specs
 

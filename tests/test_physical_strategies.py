@@ -446,8 +446,16 @@ def test_forced_broadcast_site_count_is_adjudicated():
     # the rfm pair's 5 sites; the bank's own 8 preview sites were
     # textually uncounted, 3 were removed by the audit rule, 1 by
     # the single-scan rework — 129 + 4 (bank) + 5 (rfm) = 138.
-    assert n == 138, (
-        f"F.broadcast site count changed ({n} != 138): adjudicate the "
+    # + 4 round-15 sites, each bounded independently of data scale:
+    # countmin_join_size 2 (the fixed D-row depth frame, the 1-row
+    # exact-count audit frame), heavy_change_detect 2 (the 1-row
+    # date-range midpoint, the 1-row half-totals frame).
+    # trigram_like_prefilter, weighted_median_price and
+    # dedup_cluster_size_histogram contribute NO sites (their 1-row
+    # summary combines are unhinted crossJoins; the postings and
+    # histogram joins stay stats-chosen). 138 + 4 = 142.
+    assert n == 142, (
+        f"F.broadcast site count changed ({n} != 142): adjudicate the "
         "new/removed site per the round-7 audit rule (SCALING.md) and "
         "update this pin"
     )

@@ -556,3 +556,25 @@ def test_benford_single_scan_one_bounded_fanout(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cluster_histogram_rides_banded_resolution_plan(spark):
+    """The r15-registered dedup_cluster_size_histogram (banded rework):
+    one parquet scan feeds the checkpointed banded-components chain
+    (the rest of the lineage is the localCheckpoint RDD scan), the
+    only window is the canonical resolution's per-component spec
+    (never a global window), and nothing degrades to a cartesian
+    product or a sort-merge join — the banded substrate is equi-join-
+    shaped end to end."""
+    import re
+
+    from etl_earthquake_gcp_spark.plans import QUERIES
+
+    plan = _plan_of(
+        QUERIES["dedup_cluster_size_histogram"].spark_fn(spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(c == "component" for c in specs), specs

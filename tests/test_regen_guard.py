@@ -60,11 +60,30 @@ def test_jitter_guard_raises_on_toplevel_null(tmp_path):
         build_variant("jitter", src, dst, seed=29)
 
 
-def test_jitter_guard_passes_clean_list(tmp_path):
+@pytest.mark.parametrize(
+    "typ",
+    [pa.list_(_F32), pa.large_list(_F32), pa.list_(_F32, 2)],
+    ids=["list", "large_list", "fixed_size_list"],
+)
+def test_jitter_rebuild_preserves_clean_encoding(tmp_path, typ):
+    """The r15 review-wave catch: the rebuild below the guard must
+    handle every encoding the guard admits — a clean fixed_size_list
+    crashed on .offsets and a clean large_list was silently
+    re-encoded as plain list. The jittered output must carry the
+    producer's encoding, the same shape, zero nulls, and actually
+    perturbed values."""
     src, dst = _write_embeddings(
-        tmp_path, pa.array([[1.0, 0.5], [0.5, 0.25]], pa.list_(_F32))
+        tmp_path, pa.array([[1.0, 0.5], [0.5, 0.25]], typ)
     )
     build_variant("jitter", src, dst, seed=29)
     out = pq.read_table(f"{dst}/embeddings.parquet")
+    col = out.column("embedding").combine_chunks()
     assert out.num_rows == 2
-    assert out.column("embedding").null_count == 0
+    assert col.type == typ
+    assert col.null_count == 0 and col.flatten().null_count == 0
+    flat = col.flatten().to_pylist()
+    assert len(flat) == 4
+    assert flat != [1.0, 0.5, 0.5, 0.25]  # jitter actually applied
+    # U(0.9, 1.1) multiplicative bound
+    for got, orig in zip(flat, [1.0, 0.5, 0.5, 0.25]):
+        assert 0.89 * orig <= got <= 1.11 * orig

@@ -36,7 +36,6 @@ value-neutral or parity-symmetric):
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_earthquake_gcp_spark.operators import sampling
@@ -227,42 +226,35 @@ def test_weighted_median_oracle_parity(spark, oracle):
     assert len(spdf) == 3  # A / N / R return flags
 
 
-def test_weighted_median_constructed(spark):
-    """Pins the selection rule: weights (1, 2, 4) over prices
-    (10, 20, 30) have total 7, ceil(7/2) = 4, first cum >= 4 is the
-    price 30 row? No: cum = 1, 3, 7 -> the 30 row. Reweight to
-    (4, 2, 1): cum = 4, 6, 7 -> the 10 row."""
+def test_weighted_median_constructed(spark, tmp_path):
+    """Pins the REGISTERED selection rule on constructed known values
+    (r15 review-wave fix: the case used to re-implement the window
+    walk inline, so it could not catch a regression in the shipped
+    histogram plan — it now writes the rows as a lineitem table and
+    drives the registered callable). Weights (1, 2, 4) over prices
+    (10, 20, 30): total 7, ceil(7/2) = 4, cum = 1, 3, 7 -> the 30
+    row. Reweight to (4, 2, 1): cum = 4, 6, 7 -> the 10 row. The
+    duplicate-price zero-advance edge rides flag 'z': prices
+    (10, 10, 20) with weights (1, 1, 0) — total 2, target 1, the
+    histogram row for price 10 (qty 2) hits first and the
+    zero-weight 20 row can never be selected."""
     df = spark.createDataFrame(
-        [("x", 10.0, 1, 1, 1), ("x", 20.0, 2, 2, 1), ("x", 30.0, 4, 3, 1),
-         ("y", 10.0, 4, 4, 1), ("y", 20.0, 2, 5, 1), ("y", 30.0, 1, 6, 1)],
-        "l_returnflag string, l_extendedprice double, l_quantity long,"
+        [("x", 10.0, 1.0, 1, 1), ("x", 20.0, 2.0, 2, 1),
+         ("x", 30.0, 4.0, 3, 1),
+         ("y", 10.0, 4.0, 4, 1), ("y", 20.0, 2.0, 5, 1),
+         ("y", 30.0, 1.0, 6, 1),
+         ("z", 10.0, 1.0, 7, 1), ("z", 10.0, 1.0, 7, 2),
+         ("z", 20.0, 0.0, 8, 1)],
+        "l_returnflag string, l_extendedprice double, l_quantity double,"
         " l_orderkey long, l_linenumber long",
     )
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("l_returnflag")
-    r = df.select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("price"),
-        F.sum("l_quantity").over(w_cum).alias("cum"),
-        F.sum("l_quantity").over(w_all).alias("total"),
-    )
-    hit = (
-        r.filter(F.col("cum") >= F.expr("(total + 1) div 2"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("flag").orderBy("cum", "price")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .collect()
-    )
-    got = {row["flag"]: row["price"] for row in hit}
-    assert got == {"x": 30.0, "y": 10.0}
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r["flag"]: (r["wmedian_price"], r["total_qty"])
+        for r in weighted_median_price(spark, sf_dir).collect()
+    }
+    assert got == {"x": (30.0, 7), "y": (10.0, 7), "z": (10.0, 2)}
 
 
 # -- dedup_cluster_size_histogram --------------------------------------------

@@ -168,16 +168,29 @@ def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
                         np.round(v * fac, 2), type=field.type
                     )
                 elif name == "embeddings" and field.name == "embedding":
+                    # rebuild per encoding, PRESERVING the producer's
+                    # list type: the guard above admits all three
+                    # null-free encodings, so the rebuild must handle
+                    # all three too (r15 review-wave catch: a clean
+                    # fixed_size_list crashed on .offsets and a clean
+                    # large_list was silently re-encoded as list)
                     lst = col.combine_chunks()
-                    flat = lst.values.to_numpy(zero_copy_only=False)
+                    flat = lst.flatten().to_numpy(zero_copy_only=False)
                     fac = 1.0 + (rng.random(len(flat)) - 0.5) * 0.2
-                    col = pa.ListArray.from_arrays(
-                        lst.offsets,
-                        pa.array(
-                            (flat * fac).astype("float32"),
-                            type=lst.values.type,
-                        ),
+                    vals = pa.array(
+                        (flat * fac).astype("float32"),
+                        type=lst.type.value_type,
                     )
+                    if pa.types.is_fixed_size_list(lst.type):
+                        col = pa.FixedSizeListArray.from_arrays(
+                            vals, lst.type.list_size
+                        )
+                    elif pa.types.is_large_list(lst.type):
+                        col = pa.LargeListArray.from_arrays(
+                            lst.offsets, vals
+                        )
+                    else:
+                        col = pa.ListArray.from_arrays(lst.offsets, vals)
                 cols.append(col)
             tbl = pa.table(dict(zip(tbl.schema.names, cols)))
         elif axis == "subsample" and name in FACTS:

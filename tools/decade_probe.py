@@ -151,7 +151,7 @@ def resolve(name: str):
 
     if name in plans.QUERIES:
         return plans.QUERIES[name].spark_fn
-    for n in range(6, 16):
+    for n in range(6, 21):
         try:
             mod = importlib.import_module(f"tests.test_round{n}_previews")
         except ImportError:

@@ -380,3 +380,235 @@ def decode_ppm_media(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "content").mapInPandas(
         decode_batches, schema=PPM_DECODED_SCHEMA
     )
+
+
+# --- PNG: the second dependency-free REAL codec (r15 verdict #4) -----------
+#
+# zlib is stdlib, so a complete non-interlaced 8-bit RGB PNG round-trip
+# needs no external library: the encoder below writes genuine PNG files
+# (signature, IHDR, one zlib-compressed IDAT, IEND, CRC-32 per chunk) and
+# the decoder is a real spec parser — chunk walker with CRC validation,
+# IHDR field checks, inflate, and scanline UN-FILTERING for all five PNG
+# filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6). This closes the
+# _real_decode_image NotImplementedError seam for the one format the
+# container can handle without pillow; the seam itself stays for
+# JPEG-class codecs that genuinely need a library.
+
+_PNG_WIDTH = 16  # pixels per scanline → 48 raster bytes + 1 filter byte
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+PNG_DECODED_SCHEMA = (
+    "doc_id long, width long, height long, bit_depth long, color_type long, "
+    "n_chunks long, pixel_checksum long, mean_r_milli long, "
+    "mean_g_milli long, mean_b_milli long"
+)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(raster: bytes, width: int = _PNG_WIDTH) -> bytes:
+    """Build a REAL non-interlaced 8-bit RGB PNG around ``raster``
+    (NUL-padded to whole ``width``-pixel rows).
+
+    Rows are deliberately filtered with a rotating filter type
+    (row % 3 → None/Sub/Up) so the decoder's un-filtering path is
+    exercised on every payload, not just the trivial filter-0 case;
+    filtering is lossless, so decoded pixels still equal the padded
+    input bytes and the SQL oracle can recompute every metric from text.
+    """
+    import struct
+    import zlib
+
+    row_bytes = 3 * width
+    height = -(-len(raster) // row_bytes) if raster else 0
+    padded = np.frombuffer(
+        raster + b"\x00" * (height * row_bytes - len(raster)), dtype=np.uint8
+    ).reshape(height, row_bytes)
+    lines = bytearray()
+    prev = np.zeros(row_bytes, dtype=np.uint8)
+    for r in range(height):
+        row = padded[r]
+        ftype = r % 3
+        if ftype == 0:  # None
+            filt = row
+        elif ftype == 1:  # Sub: raw[x] - raw[x - bpp], bpp=3
+            shifted = np.zeros_like(row)
+            shifted[3:] = row[:-3]
+            filt = (row.astype(np.int16) - shifted).astype(np.uint8)
+        else:  # Up: raw[x] - prior[x]
+            filt = (row.astype(np.int16) - prev).astype(np.uint8)
+        lines.append(ftype)
+        lines.extend(filt.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(
+    ftype: int, filt: np.ndarray, prev: np.ndarray, bpp: int = 3
+) -> np.ndarray:
+    """Reverse one scanline's PNG filter (RFC 2083 §6.6, all five types)."""
+    if ftype == 0:  # None
+        return filt.copy()
+    if ftype == 2:  # Up
+        return (filt.astype(np.int16) + prev).astype(np.uint8)
+    out = np.empty_like(filt)
+    if ftype == 1:  # Sub — sequential in x by definition
+        for x in range(filt.size):
+            left = out[x - bpp] if x >= bpp else 0
+            out[x] = (int(filt[x]) + int(left)) & 0xFF
+        return out
+    if ftype == 3:  # Average
+        for x in range(filt.size):
+            left = int(out[x - bpp]) if x >= bpp else 0
+            out[x] = (int(filt[x]) + (left + int(prev[x])) // 2) & 0xFF
+        return out
+    if ftype == 4:  # Paeth
+        for x in range(filt.size):
+            a = int(out[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[x] = (int(filt[x]) + pred) & 0xFF
+        return out
+    raise ValueError(f"PNG filter type {ftype} out of range 0-4")
+
+
+def decode_png(payload: bytes) -> dict[str, int]:
+    """REAL PNG decode — signature, CRC-checked chunk walk, IHDR
+    validation, zlib inflate, and per-scanline un-filtering. Raises
+    ``ValueError`` on malformed input (bad magic, CRC mismatch, truncated
+    chunk, wrong raster length, unsupported IHDR) — a decoder that cannot
+    reject garbage is not a decoder. Supports what the spec calls the
+    simplest profile: 8-bit, color type 2 (RGB), non-interlaced.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG (signature {payload[:8]!r})")
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = bytearray()
+    n_chunks = 0
+    ended = False
+    while pos < n:
+        if pos + 8 > n:
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > n:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        n_chunks += 1
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    if not ended:
+        raise ValueError("missing IEND")
+    width, height, depth, ctype_v, comp, filt_m, interlace = ihdr
+    if (depth, ctype_v, comp, filt_m, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported IHDR (depth={depth} color={ctype_v} comp={comp} "
+            f"filter={filt_m} interlace={interlace}); this decoder handles "
+            "8-bit non-interlaced RGB"
+        )
+    lines = zlib.decompress(bytes(idat))
+    row_bytes = 3 * width
+    if len(lines) != height * (1 + row_bytes):
+        raise ValueError(
+            f"raster length {len(lines)} != {height}x(1+{row_bytes})"
+        )
+    raw = np.frombuffer(lines, dtype=np.uint8).reshape(
+        height, 1 + row_bytes
+    ) if height else np.zeros((0, 1 + row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.uint8)
+    csums = np.zeros(3, dtype=np.int64)
+    for r in range(height):
+        prev = _png_unfilter(int(raw[r, 0]), raw[r, 1:], prev)
+        csums += prev.reshape(width, 3).sum(axis=0, dtype=np.int64)
+    n_px = width * height
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": depth,
+        "color_type": ctype_v,
+        "n_chunks": n_chunks,
+        "pixel_checksum": int(csums.sum()),
+        "mean_r_milli": int(1000 * csums[0]) // n_px if n_px else 0,
+        "mean_g_milli": int(1000 * csums[1]) // n_px if n_px else 0,
+        "mean_b_milli": int(1000 * csums[2]) // n_px if n_px else 0,
+    }
+
+
+def attach_png(docs: DataFrame) -> DataFrame:
+    """documents → REAL PNG payloads via Arrow-batched ``mapInPandas``.
+
+    Unlike ``attach_ppm`` (whose header is plain text, so it builds
+    JVM-side) a PNG needs zlib + CRC-32, so the ENCODER itself runs in the
+    Arrow batch path — same 1→1 no-shuffle shape as the decoders: the
+    payload is born in the same task that holds the text partition, and
+    never shuffles. The raster is the utf-8 text NUL-padded to whole
+    16-pixel RGB rows, so every decoded metric is SQL-recomputable.
+    """
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "content": [
+                        encode_png(t.encode("utf-8")) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode_batches, schema="doc_id long, content binary"
+    )
+
+
+def decode_png_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL PNG decode: 1→1, no shuffle, same plan shape as
+    ``decode_ppm_media`` — Scan → ArrowEvalPython → downstream."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"doc_id": doc_id} | decode_png(payload)
+                for doc_id, payload in zip(pdf["doc_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(rows, dtype="int64")
+
+    return media.select("doc_id", "content").mapInPandas(
+        decode_batches, schema=PNG_DECODED_SCHEMA
+    )

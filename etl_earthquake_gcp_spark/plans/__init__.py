@@ -19,90 +19,65 @@ from . import curation_queries  # noqa: E402,F401
 from . import calibration_queries  # noqa: E402,F401
 
 # The external correctness driver checks the first 50 queries in dict
-# order per round. Round-15 head, per the SURVEY.md forward schedule
-# (its r15 bullet is the prose twin of this list; membership and order
-# re-verified programmatically against the r1-r14 correctness ledger
-# at registration):
-# (1) the five NEW round-15 registrations promoted from the round-15
-# preview bank (count-min join-cardinality estimation, heavy-change
-# detection, the trigram LIKE prefilter, the quantity-weighted median
-# price, and the dedup cluster-size histogram — parity pairs proven in
-# round 6, rehearsed on three perturbed variants and stress-tested
-# 120/120 end-of-r14, three with pure-Python replays),
-# (2) 44 refresh slots by the standing history-age rule (computed at
-# the end of round 14): all 38 r10-last-rowed names — led naturally by
-# the r14-displaced value_mad_robust (r1 history), then the 21 with r2
-# history in r2 driver order, 3 with r3 history, 7 with r4 history in
-# r4 driver order, 1 with r5 history (streaming_dedup_audit), and the
-# 5 r10-banked surfaces in r10 driver order — then the 6 stalest
-# r11-last-rowed names, all with r1 history, in r1 driver order,
-# (3) ONE pairing-rule addition closing the head:
-# stratified_sample_audit (hash-green, r14-rowed) lands in the SAME
-# head as its rows-only sibling stratified_sample_counts (refresh
-# slot 8 of the r2-history group), CLOSING the standing pairing-ledger
-# exception. The head's OTHER rows-only name,
-# streaming_dedup_watermark, needs no addition: its audit sibling
-# streaming_dedup_audit lands naturally in this head on its own
-# staleness.
-# 5 + 44 + 1 = 50. The one name the pairing addition displaces
-# (jaccard_bigram_pairs, the least-stale of the natural 45) holds
-# position 51 and rolls to round 16 per the standing displacement
-# rule. The NAME LISTS here and in SURVEY.md's forward schedule are
-# the schedule of record; re-derive nothing from prose.
+# order per round. Round-16 head, per the SURVEY.md forward schedule
+# (its r16 bullet is the prose twin of this list; membership, order,
+# and the pairing check re-verified programmatically against the
+# post-r15 correctness ledger — latest-row histogram r11:44, r12:50,
+# r13:50, r14:49, r15:50 = 243): FULLY NATURAL — no reworks pending,
+# no pairing additions needed, no displacement. All 44 r11-last-rowed
+# names by the standing history-age rule, then the 6 stalest
+# r12-rowed names. 44 + 6 = 50.
 #
 # PAIRING RULE (r8 VERDICT next-step #4): whenever a ROWS-ONLY query
-# takes a head slot in any rotation (r16-r20 refreshes, or any rework
-# wave), its hash-green AUDIT SIBLING goes in the SAME head. THIS head
-# satisfies it twice (see above) and leaves NO open ledger exception.
+# takes a head slot in any rotation, its hash-green AUDIT SIBLING
+# goes in the SAME head. All six rows-only names in this head
+# (approx_value_percentiles, ann_ivf_topk, ann_lsh_bucketed,
+# pq_adc_topk, ivf_pq_topk, ml_predictions) have their audit siblings
+# (approx_percentile_audit, ann_recall_audit, ml_accuracy_audit)
+# landing NATURALLY in the same head on their own staleness — zero
+# additions, nothing displaced. ANN recall floors re-probed at sf0.01
+# before this registration (SCALING.md round-16 notes): slacks 4.0 /
+# 4.2 / 5.0 flips, exact control 1.0 — floors unchanged.
 _DRIVER_PRIORITY = [
-    # -- positions 1-5: new in round 15 (promoted from the round-15
-    #    preview bank) ------------------------------------------------------
-    "countmin_join_size", "heavy_change_detect",
-    "trigram_like_prefilter", "weighted_median_price",
-    "dedup_cluster_size_histogram",
-    # -- position 6: the r14-displaced name, leading the r10-rowed
-    #    refreshes naturally (r1 history) ------------------------------------
-    "value_mad_robust",
-    # -- positions 7-27: the 21 r10-rowed names with r2 history, in r2
-    #    driver order -------------------------------------------------------
-    "range_frame_running_sum", "semi_anti_join_customers",
-    "sql_entry_correlated_subquery", "unpivot_order_counts",
-    "gap_fill_user_daily", "value_histogram",
-    "bloom_prefilter_semi_join", "stratified_sample_counts",
-    "grouping_sets_order_stats", "conversion_funnel",
-    "cohort_retention", "value_outliers_zscore",
-    "inverted_index_postings", "profile_events_columns",
-    "scd2_user_value_intervals", "event_type_bigrams",
-    "equidepth_histogram", "snapshot_reconciliation",
-    "deterministic_hash_sample", "rolling_7d_active_users",
-    "streaming_dedup_watermark",
-    # -- positions 28-30: the 3 r10-rowed names with r3 history -------------
-    "bigram_lm_loglik", "hll_mergeable_rollup", "source_kl_divergence",
-    # -- positions 31-37: the 7 r10-rowed names with r4 history, in r4
-    #    driver order -------------------------------------------------------
-    "decontaminate_by_embedding", "interpolate_linear_gaps",
-    "holt_linear_state", "funnel_3step_strict",
-    "incremental_rollup_merge", "seasonal_decompose_dow",
-    "ml_lag_features",
-    # -- position 38: the 1 r10-rowed name with r5 history (the audit
-    #    sibling certifying streaming_dedup_watermark in this head) ---------
-    "streaming_dedup_audit",
-    # -- positions 39-43: the 5 r10-banked surfaces in r10 driver order -----
-    "shared_span_islands", "label_centroid_shift",
-    "label_propagation_3iter", "bellman_ford_3relax",
-    "greedy_assign_topmatch",
-    # -- positions 44-49: the 6 stalest r11-rowed names, all with r1
-    #    history, in r1 driver order ----------------------------------------
-    "flagship_events_by_region", "regex_extract",
-    "minhash_lsh_near_dup", "simhash_near_pairs", "tf_idf_scores",
-    "token_pmi",
-    # -- position 50: the pairing-rule addition certifying rows-only
-    #    stratified_sample_counts (position 14) in the SAME head —
-    #    closes the standing pairing-ledger exception ------------------------
-    "stratified_sample_audit",
-    # -- position 51: the name the pairing addition displaced, rolling
-    #    to round 16 per the standing displacement rule ----------------------
+    # -- position 1: the r15-displaced name, leading naturally
+    #    (r1 history) --------------------------------------------------------
     "jaccard_bigram_pairs",
+    # -- positions 2-26: the 25 r11-rowed names with r2 history, in r2
+    #    driver order --------------------------------------------------------
+    "cube_order_counts", "pivot_status_by_priority",
+    "range_join_value_buckets", "date_part_join_weekday",
+    "event_value_percentiles", "salted_join_user_nation",
+    "join_broadcast_hint", "join_sortmerge_hint",
+    "approx_value_percentiles", "sales_share_by_region",
+    "ewma_user_values", "hll_distinct_users",
+    "streaming_tumbling_counts", "streaming_sliding_counts",
+    "streaming_stream_stream_join", "streaming_static_enrich",
+    "streaming_upsert_merge", "asof_purchase_prior_click",
+    "asof_cogroup_pandas", "asof_nearest_click",
+    "sessionize_events", "session_window_agg",
+    "streaming_sessionize_state", "ann_ivf_topk", "ann_lsh_bucketed",
+    # -- positions 27-31: the 5 r11-rowed names with r3 history, in r3
+    #    driver order --------------------------------------------------------
+    "ml_predictions", "pq_adc_topk", "boilerplate_ngrams",
+    "weighted_sample_ares", "ivf_pq_topk",
+    # -- positions 32-34: the 3 r11-rowed names with r4 history (the
+    #    audit siblings certifying this head's six rows-only names) ----------
+    "ann_recall_audit", "approx_percentile_audit", "ml_accuracy_audit",
+    # -- positions 35-37: the 3 r11-rowed names with r6 history --------------
+    "temperature_mix_weights", "epoch_shuffle_order",
+    "embedding_int8_quantize",
+    # -- positions 38-44: the 7 r11-banked surfaces in r11 driver order ------
+    "rfm_quartile_scores", "source_datacard_pipeline",
+    "hll_intersection_audit", "length_emd_pairs",
+    "vocab_coverage_curve", "bigram_entropy_stats",
+    "session_survival_curve",
+    # -- positions 45-50: the 6 stalest r12-rowed names: 3 with r2
+    #    history in r2 driver order, then 3 with r3 history ------------------
+    "embedding_cosine_near_dup", "cosine_topk_pandas",
+    "embedding_centroids_by_label", "ml_class_balance",
+    "multimodal_meta_stats", "multimodal_decode_features",
+    # -- position 51: leads round 17's natural refresh set -------------------
+    "multimodal_frame_sample",
 ]
 
 

@@ -243,3 +243,70 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_ppm(load_table(spark, sf_dir, "documents"))
     return decode_ppm_media(media)
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                   CAST(ceil(octet_length(encode(text)) / 48.0) AS BIGINT)
+                       AS h
+            FROM documents
+        ), chars AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ''), 1) AS i,
+                   ascii(unnest(string_split(text, ''))) AS v
+            FROM documents
+        ), sums AS (
+            SELECT doc_id,
+                   CAST(sum(v) AS BIGINT) AS checksum,
+                   CAST(coalesce(sum(v) FILTER (WHERE (i - 1) % 3 = 0), 0)
+                        AS BIGINT) AS s_r,
+                   CAST(coalesce(sum(v) FILTER (WHERE (i - 1) % 3 = 1), 0)
+                        AS BIGINT) AS s_g,
+                   CAST(coalesce(sum(v) FILTER (WHERE (i - 1) % 3 = 2), 0)
+                        AS BIGINT) AS s_b
+            FROM chars GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(16 AS BIGINT) AS width,
+               d.h AS height,
+               CAST(8 AS BIGINT) AS bit_depth,
+               CAST(2 AS BIGINT) AS color_type,
+               CAST(3 AS BIGINT) AS n_chunks,
+               coalesce(s.checksum, 0) AS pixel_checksum,
+               CASE WHEN d.h = 0 THEN 0
+                    ELSE (1000 * coalesce(s.s_r, 0)) // (d.h * 16) END
+                   AS mean_r_milli,
+               CASE WHEN d.h = 0 THEN 0
+                    ELSE (1000 * coalesce(s.s_g, 0)) // (d.h * 16) END
+                   AS mean_g_milli,
+               CASE WHEN d.h = 0 THEN 0
+                    ELSE (1000 * coalesce(s.s_b, 0)) // (d.h * 16) END
+                   AS mean_b_milli
+        FROM dims d LEFT JOIN sums s USING (doc_id)
+    """,
+    doc="REAL PNG decode, end to end (r15 verdict #4, closing the codec "
+    "seam the one way this container allows — zlib is stdlib): attach_png "
+    "builds genuine non-interlaced 8-bit RGB PNG files in the Arrow batch "
+    "path (signature, IHDR, zlib IDAT, IEND, CRC-32 per chunk; rows "
+    "filtered with a rotating None/Sub/Up type so un-filtering is "
+    "exercised on every payload), and decode_png_media parses them back "
+    "with a real spec decoder — CRC-checked chunk walk, IHDR validation, "
+    "inflate, all five RFC 2083 filter reversals, ValueError on garbage. "
+    "The compressed size is deliberately NOT an output column (zlib "
+    "output is not SQL-recomputable); everything emitted — dims, header "
+    "fields, chunk count, per-channel milli-means over the NUL-padded "
+    "raster — the oracle recomputes from the ASCII text, so a pass "
+    "certifies encoder, parser, filter round-trip, and the Arrow "
+    "exchange together. Same 1-to-1 no-shuffle mapInPandas shape as the "
+    "PPM twin; unsupported-profile PNGs (16-bit, paletted, interlaced) "
+    "still raise through _real_decode_image's documented pillow seam.",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import attach_png, decode_png_media
+
+    media = attach_png(load_table(spark, sf_dir, "documents"))
+    return decode_png_media(media)

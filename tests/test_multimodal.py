@@ -189,3 +189,155 @@ def test_ppm_decode_introduces_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG codec path (r15 verdict #4: the codec seam closed with stdlib
+# zlib — encoder + full five-filter decoder, no external library)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_png_roundtrip_minimal():
+    from etl_earthquake_gcp_spark.multimodal import decode_png, encode_png
+
+    out = decode_png(encode_png(b"abcdefgh"))
+    assert (out["width"], out["height"]) == (16, 1)
+    assert (out["bit_depth"], out["color_type"], out["n_chunks"]) == (8, 2, 3)
+    assert out["pixel_checksum"] == sum(b"abcdefgh")
+    # padded raster: 16 pixels, channel sums over every 3rd byte
+    padded = b"abcdefgh" + b"\x00" * 40
+    for ch, key in enumerate(["mean_r_milli", "mean_g_milli", "mean_b_milli"]):
+        assert out[key] == (1000 * sum(padded[ch::3])) // 16
+
+
+def test_decode_png_empty_and_multirow():
+    from etl_earthquake_gcp_spark.multimodal import decode_png, encode_png
+
+    empty = decode_png(encode_png(b""))
+    assert empty["height"] == 0 and empty["pixel_checksum"] == 0
+    # 100 bytes -> 3 rows; rotating filters None/Sub/Up all exercised
+    out = decode_png(encode_png(b"x" * 100))
+    assert out["height"] == 3
+    assert out["pixel_checksum"] == 100 * ord("x")
+
+
+def test_decode_png_unfilters_all_five_types():
+    """Hand-encode rows with every RFC 2083 filter type (including Average
+    and Paeth, which attach_png's encoder never emits) and check the
+    decoder recovers the exact raster statistics."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_earthquake_gcp_spark.multimodal import decode_png
+    from etl_earthquake_gcp_spark.multimodal.media import _PNG_SIG, _png_chunk
+
+    rng = np.random.default_rng(7)
+    width, rb = 16, 48
+    raster = rng.integers(0, 256, size=rb * 5, dtype=np.uint8)
+    rows = raster.reshape(5, rb)
+    lines = bytearray()
+    prev = np.zeros(rb, dtype=np.uint8)
+    for r in range(5):
+        row, ft = rows[r], r  # filter types 0..4, one per row
+        out = np.empty_like(row)
+        for x in range(rb):
+            a = int(row[x - 3]) if x >= 3 else 0
+            b = int(prev[x])
+            c = int(prev[x - 3]) if x >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[x] = (int(row[x]) - pred) & 0xFF
+        lines.append(ft)
+        lines.extend(out.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, 5, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out["pixel_checksum"] == int(raster.sum(dtype=np.int64))
+
+
+def _corrupt_crc(png: bytes) -> bytes:
+    buf = bytearray(png)
+    buf[20] ^= 0xFF  # a byte inside IHDR data
+    return bytes(buf)
+
+
+def test_decode_png_rejects_malformed():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from etl_earthquake_gcp_spark.multimodal import decode_png, encode_png
+    from etl_earthquake_gcp_spark.multimodal.media import _PNG_SIG, _png_chunk
+
+    good = encode_png(b"hello world!" * 10)
+    # 16-bit / paletted / interlaced IHDRs are out of profile
+    bad_ihdr = struct.pack(">IIBBBBB", 16, 1, 16, 2, 0, 0, 0)
+    unsupported = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", bad_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b""))
+        + _png_chunk(b"IEND", b"")
+    )
+    for payload in [
+        b"",
+        b"NOPE" + b"\x00" * 30,  # bad signature
+        good[:-6],  # truncated (IEND cut)
+        _corrupt_crc(good),  # CRC mismatch
+        unsupported,  # out-of-profile IHDR
+        _PNG_SIG + _png_chunk(b"IEND", b""),  # missing IHDR
+    ]:
+        with _pytest.raises(ValueError):
+            decode_png(payload)
+
+
+def test_png_roundtrip_spark(spark):
+    from etl_earthquake_gcp_spark.multimodal import (
+        attach_png,
+        decode_png,
+        decode_png_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "x" * 100)], "doc_id long, text string"
+    )
+    media = attach_png(docs)
+    for r in media.collect():  # the payload really is a parseable PNG file
+        assert bytes(r.content)[:8] == b"\x89PNG\r\n\x1a\n"
+        assert decode_png(bytes(r.content))["width"] == 16
+    out = {r.doc_id: r for r in decode_png_media(media).collect()}
+    assert out[1].height == 1
+    assert out[1].pixel_checksum == sum(b"abcdefgh")
+    assert out[2].height == 3
+    assert out[2].pixel_checksum == 100 * ord("x")
+
+
+def test_png_pipeline_introduces_no_shuffle(spark):
+    from etl_earthquake_gcp_spark.multimodal import attach_png, decode_png_media
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    plan = (
+        decode_png_media(attach_png(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

@@ -2862,13 +2862,19 @@ def trigram_like_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true",
             (F.col("n_missed") == 0).alias("lossless_ok"),
             # integer half-away 1e-6-unit ratio (see the boundary-
-            # hazard note in the doc): never a float round
-            (
+            # hazard note in the doc): never a float round. Guarded at
+            # n_candidates = 0 (r15 ADVICE): DuckDB's x // 0 is NULL
+            # while Spark-4 ANSI div throws DIVIDE_BY_ZERO — the when()
+            # emits the oracle's existing NULL instead of an engine-
+            # asymmetric crash on a degenerate regenerated corpus;
+            # identical output wherever the query previously succeeded
+            F.when(
+                F.col("n_candidates") > 0,
                 F.expr(
                     "(2 * n_true * 1000000 + n_candidates)"
                     " div (2 * n_candidates)"
                 )
-                / F.lit(1_000_000.0)
+                / F.lit(1_000_000.0),
             ).alias("precision6"),
         )
     )

@@ -58,6 +58,15 @@ AUDIT_SIBLING = {
 
 HEAD_SLOTS = 50
 
+# Reworked-since-last-row names: a changed spark_fn/oracle takes a
+# priority slot in the NEXT head per the standing displacement rule
+# (r7 precedent; SURVEY r16-r20 bullet). Clear each entry once its
+# post-rework row lands. Current entries:
+#   trigram_like_prefilter — r16 guard: precision6 NULL (not ANSI
+#   DIVIDE_BY_ZERO) at n_candidates = 0, aligning Spark with the
+#   oracle's existing degenerate behavior (r15 ADVICE).
+REWORKS = ["trigram_like_prefilter"]
+
 
 def load_ledger() -> dict[str, list[tuple[int, int]]]:
     """name -> [(round, position-in-that-round's-head), ...] ascending."""
@@ -90,14 +99,26 @@ def compute_head(
     history: dict[str, list[tuple[int, int]]],
     registry_order: list[str],
     rows_only: set[str],
+    include_pending: bool = True,
 ) -> tuple[list[str], list[str]]:
-    """Return (head, displaced). `displaced` holds positions 51+."""
-    new = [n for n in registry_order if n not in history]
+    """Return (head, displaced). `displaced` holds positions 51+.
+
+    ``include_pending=False`` reconstructs a head as it was at ITS
+    registration time — NEW names and REWORKS that arrived later join
+    the next head, so verification of the registered head excludes
+    them.
+    """
+    new = [n for n in registry_order if n not in history] if include_pending else []
+    reworks = (
+        [n for n in REWORKS if n in history and n not in new]
+        if include_pending
+        else []
+    )
     ranked = sorted(
-        (n for n in registry_order if n in history),
+        (n for n in registry_order if n in history and n not in reworks),
         key=lambda n: staleness_key(n, history),
     )
-    natural = (new + ranked)[:HEAD_SLOTS]
+    natural = (new + reworks + ranked)[:HEAD_SLOTS]
     displaced: list[str] = []
     # pairing closure: audits take the tail slot, displacing least-stale
     while True:
@@ -154,13 +175,20 @@ def main() -> int:
     else:
         target = last_round + 1
 
-    head, displaced = compute_head(history, registry_order, rows_only)
+    head, displaced = compute_head(
+        history,
+        registry_order,
+        rows_only,
+        include_pending="--verify-current" not in sys.argv,
+    )
     print(f"\ncomputed r{target} head ({len(head)} slots):")
     for i, n in enumerate(head, 1):
         rows = history.get(n)
         tag = (f"latest r{rows[-1][0]}, history r{rows[0][0]}"
                if rows else "NEW")
         flags = []
+        if n in REWORKS and rows:
+            flags.append("rework")
         if n in rows_only:
             flags.append(f"rows-only -> {AUDIT_SIBLING[n]}")
         if n in AUDIT_SIBLING.values():

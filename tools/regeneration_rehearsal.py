@@ -72,6 +72,7 @@ AXES = (
 def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     if axis not in AXES:
@@ -185,12 +186,23 @@ def build_variant(axis: str, src: str, dst: str, seed: int) -> None:
                         col = pa.FixedSizeListArray.from_arrays(
                             vals, lst.type.list_size
                         )
-                    elif pa.types.is_large_list(lst.type):
-                        col = pa.LargeListArray.from_arrays(
-                            lst.offsets, vals
-                        )
                     else:
-                        col = pa.ListArray.from_arrays(lst.offsets, vals)
+                        # REBASE offsets before pairing with flatten()'s
+                        # values (r15 ADVICE): flatten() is rebased to 0,
+                        # but a SLICED array's offsets buffer starts at
+                        # offsets[0] != 0 — from_arrays would index past
+                        # the values. combine_chunks() on parquet reads
+                        # yields offset 0 today; the subtract is a no-op
+                        # there and correctness elsewhere.
+                        offsets = pc.subtract(
+                            lst.offsets, lst.offsets[0]
+                        ).cast(lst.offsets.type)
+                        if pa.types.is_large_list(lst.type):
+                            col = pa.LargeListArray.from_arrays(
+                                offsets, vals
+                            )
+                        else:
+                            col = pa.ListArray.from_arrays(offsets, vals)
                 cols.append(col)
             tbl = pa.table(dict(zip(tbl.schema.names, cols)))
         elif axis == "subsample" and name in FACTS:

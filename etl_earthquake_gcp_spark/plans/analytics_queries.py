@@ -4076,3 +4076,240 @@ def heavy_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "user_id")
         .limit(_HCHANGE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution — time-decay revenue split over prior touches
+# --------------------------------------------------------------------------
+
+# 7-day lookback window, in microseconds (events.ts is micro-precision).
+_ATTR_WINDOW_US = 7 * 86_400_000_000
+# One calendar day in microseconds — the decay step.
+_ATTR_DAY_US = 86_400_000_000.0
+
+
+@register(
+    "attribution_time_decay",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts, epoch_us(ts) AS pus,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_type AS touch_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ), j AS (
+        SELECT p.pid, p.pts, p.value, t.touch_type,
+               power(2.0, -floor((p.pus - t.tus) / {_ATTR_DAY_US})) AS w
+        FROM p JOIN t ON p.user_id = t.user_id
+         AND t.tus < p.pus AND p.pus - t.tus <= {_ATTR_WINDOW_US}
+    ), s AS (
+        SELECT pid, pts, value, touch_type,
+               w, sum(w) OVER (PARTITION BY pid) AS sw
+        FROM j
+    )
+    SELECT touch_type, CAST(date_trunc('week', pts) AS DATE) AS week,
+           CAST(count(*) AS BIGINT) AS n_attributions,
+           round(sum(value * w / sw), 2) + 0.0 AS attributed_value
+    FROM s GROUP BY 1, 2
+    """,
+    doc="multi-touch revenue attribution with exponential time decay "
+    "(half-life one day): every purchase's value is split across ALL of "
+    "the user's click/view touches in the preceding 7-day window, "
+    "weighted 2^-floor(days_elapsed) and normalized per purchase — the "
+    "marketing-analytics generalization of the single-touch "
+    "asof_purchase_prior_click (which keeps only the latest touch). "
+    "Determinism by construction: timestamp deltas are exact BIGINT "
+    "microseconds (unix_micros ≡ epoch_us); floor of an exact-integer/"
+    "constant division is IEEE-identical cross-engine; the weights are "
+    "exact powers of two (2^0..2^-7), so the per-purchase window sum is "
+    "EXACT in binary regardless of combine order, and value*w/sw is a "
+    "correctly-rounded op chain on identical inputs. Only the final "
+    "cross-purchase sum is order-sensitive — collapsed by round(,2) per "
+    "the house rule. Scale: the touch↔purchase join is an equi-join on "
+    "user_id (hash-partitioned, never all-pairs); per-key fanout is the "
+    "user's touches × purchases inside a 7-day band — bounded by "
+    "activity, the same envelope as sessionization; the per-purchase "
+    "normalizer is a window over that bounded group, and the final "
+    "rollup is a tiny (touch_type, week) grid. Reference has no "
+    "counterpart (its ETL ends at BI aggregates, "
+    "scripts/process_silver_to_gold.py).",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.unix_micros("ts").alias("pus"),
+        "value",
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.unix_micros("ts").alias("tus"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("tus") < F.col("pus"))
+        & (F.col("pus") - F.col("tus") <= F.lit(_ATTR_WINDOW_US)),
+    ).select(
+        "pid",
+        "pts",
+        "value",
+        "touch_type",
+        F.pow(
+            F.lit(2.0),
+            -F.floor((F.col("pus") - F.col("tus")) / F.lit(_ATTR_DAY_US)),
+        ).alias("w"),
+    )
+    sw = F.sum("w").over(Window.partitionBy("pid"))
+    s = j.select("pts", "value", "touch_type", "w", sw.alias("sw"))
+    return s.groupBy(
+        "touch_type",
+        F.date_trunc("week", "pts").cast("date").alias("week"),
+    ).agg(
+        F.count("*").alias("n_attributions"),
+        (
+            F.round(F.sum(F.col("value") * F.col("w") / F.col("sw")), 2)
+            + F.lit(0.0)
+        ).alias("attributed_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage — blocked, literal weights
+# --------------------------------------------------------------------------
+
+# Published-constant m/u probabilities per comparator, folded OFFLINE into
+# log2 agreement/disagreement weights and embedded as the SAME decimal
+# literals in both engines' expressions — neither engine ever evaluates a
+# log, so the score arithmetic is a fixed left-to-right sum of identical
+# doubles (exact cross-engine determinism, no rounding hazard before the
+# display round):
+#   mktsegment  m=0.90 u=0.20 -> agree log2(4.5)      dis log2(0.125)=-3
+#   bal bucket  m=0.85 u=0.05 -> agree log2(17)       dis log2(0.15/0.95)
+#   name tail-2 m=0.95 u=0.01 -> agree log2(95)       dis log2(0.05/0.99)
+_FS_W = {
+    "seg": (2.169925, -3.0),
+    "bal": (4.087463, -2.662965),
+    "name": (6.569856, -4.307429),
+}
+_FS_THRESHOLD = 6.0
+_FS_TOP = 50
+
+
+@register(
+    "fs_linkage_scores",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey AS k, c_nationkey AS blk,
+               c_mktsegment AS seg,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+               right(c_name, 2) AS name2
+        FROM customer
+    ), pairs AS (
+        SELECT a.blk, a.k AS a_key, b.k AS b_key,
+               CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg,
+               CASE WHEN a.bal_bucket = b.bal_bucket THEN 1 ELSE 0
+                    END AS g_bal,
+               CASE WHEN a.name2 = b.name2 THEN 1 ELSE 0 END AS g_name
+        FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k
+    ), scored AS (
+        SELECT CAST(blk AS BIGINT) AS block_key, a_key, b_key,
+               concat(CAST(g_seg AS VARCHAR), CAST(g_bal AS VARCHAR),
+                      CAST(g_name AS VARCHAR)) AS pattern,
+               (CASE WHEN g_seg = 1 THEN {_FS_W["seg"][0]}
+                     ELSE {_FS_W["seg"][1]} END
+                + CASE WHEN g_bal = 1 THEN {_FS_W["bal"][0]}
+                       ELSE {_FS_W["bal"][1]} END
+                + CASE WHEN g_name = 1 THEN {_FS_W["name"][0]}
+                       ELSE {_FS_W["name"][1]} END) AS score
+        FROM pairs
+    )
+    SELECT block_key, a_key, b_key, pattern,
+           round(score, 4) + 0.0 AS score4,
+           score >= {_FS_THRESHOLD} AS is_match
+    FROM scored
+    ORDER BY score4 DESC, a_key, b_key
+    LIMIT {_FS_TOP}
+    """,
+    doc="Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter "
+    "1969; the Splink/dedupe.io model) over the customer roster: "
+    "candidate pairs are generated ONLY within a c_nationkey block, each "
+    "pair gets a 3-bit agreement pattern over (mktsegment, acctbal "
+    "kilo-bucket, name tail-2-digits) comparators, and the match score "
+    "is the sum of per-comparator log2(m/u) agreement / "
+    "log2((1-m)/(1-u)) disagreement weights — classified against a "
+    "fixed review threshold and reported as the deterministic top-"
+    f"{_FS_TOP} by (score DESC, a_key, b_key). The m/u constants are "
+    "folded offline into decimal literals shared by both engines (no "
+    "engine-side log), so the score is a fixed-order sum of identical "
+    "doubles; the only order-sensitive step is the display round(,4) "
+    "(+0.0 because disagreement-heavy scores are negative). Scale: "
+    "blocking bounds the quadratic — candidates are "
+    "sum_over_blocks(n_b^2)/2, never corpus^2; the self-join is an "
+    "equi-join on the block key (hash-partitioned); oversized blocks "
+    "take a secondary blocking key exactly like the banded dedup "
+    "family (operators/dedup.py); TakeOrderedAndProject serves the "
+    "top-k without a global sort. Complements fuzzy_pairs_levenshtein "
+    "(edit-distance candidates) with the probabilistic scoring + "
+    "classification stage. Reference has no counterpart.",
+)
+def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_bucket"),
+        F.expr("right(c_name, 2)").alias("name2"),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.k") < F.col("b.k")),
+    ).select(
+        F.col("a.blk").alias("blk"),
+        F.col("a.k").alias("a_key"),
+        F.col("b.k").alias("b_key"),
+        (F.col("a.seg") == F.col("b.seg")).cast("int").alias("g_seg"),
+        (F.col("a.bal_bucket") == F.col("b.bal_bucket"))
+        .cast("int")
+        .alias("g_bal"),
+        (F.col("a.name2") == F.col("b.name2")).cast("int").alias("g_name"),
+    )
+
+    def _term(flag: str, key: str):
+        wa, wd = _FS_W[key]
+        return F.when(F.col(flag) == 1, F.lit(wa)).otherwise(F.lit(wd))
+
+    score = _term("g_seg", "seg") + _term("g_bal", "bal") + _term(
+        "g_name", "name"
+    )
+    scored = pairs.select(
+        F.col("blk").cast("long").alias("block_key"),
+        "a_key",
+        "b_key",
+        F.concat(
+            F.col("g_seg").cast("string"),
+            F.col("g_bal").cast("string"),
+            F.col("g_name").cast("string"),
+        ).alias("pattern"),
+        score.alias("score"),
+    )
+    return (
+        scored.select(
+            "block_key",
+            "a_key",
+            "b_key",
+            "pattern",
+            (F.round("score", 4) + F.lit(0.0)).alias("score4"),
+            (F.col("score") >= F.lit(_FS_THRESHOLD)).alias("is_match"),
+        )
+        .orderBy(F.desc("score4"), "a_key", "b_key")
+        .limit(_FS_TOP)
+    )

@@ -1589,3 +1589,101 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.round("s", 2) == F.round("fs", 2))
         ).alias("matches_full_recompute"),
     )
+
+
+# --------------------------------------------------------------------------
+# Join-skew diagnosis — the profiling twin of salted_join_user_nation
+# --------------------------------------------------------------------------
+
+_SKEW_TOP = 20
+
+
+@register(
+    "join_skew_diagnosis",
+    oracle=f"""
+    WITH l AS (
+        SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt_left
+        FROM events GROUP BY 1
+    ), r AS (
+        SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt_right
+        FROM orders GROUP BY 1
+    ), d AS (
+        SELECT l.key, l.cnt_left, r.cnt_right,
+               l.cnt_left * r.cnt_right AS est_rows
+        FROM l JOIN r ON l.key = r.key
+    ), tot AS (
+        SELECT CAST(sum(est_rows) AS BIGINT) AS total_est,
+               CAST(sum(cnt_left) AS BIGINT) AS total_left,
+               CAST(count(*) AS BIGINT) AS nkeys
+        FROM d
+    )
+    SELECT d.key, d.cnt_left, d.cnt_right,
+           CAST(d.est_rows AS BIGINT) AS est_rows,
+           CAST((d.est_rows * 1000 * t.nkeys) // t.total_est AS BIGINT)
+               AS amp_x1000,
+           CAST((d.cnt_left * t.nkeys + t.total_left - 1) // t.total_left
+                AS BIGINT) AS salt_n
+    FROM d CROSS JOIN tot t
+    ORDER BY est_rows DESC, d.key
+    LIMIT {_SKEW_TOP}
+    """,
+    doc="join-skew diagnosis for events⋈orders on user_id=o_custkey — the "
+    "pre-flight profiling step whose OUTPUT feeds the registered "
+    "mitigation (salted_join_user_nation / operators/skew.py): per join "
+    "key, both sides' row counts, the exact join output this key will "
+    "produce (cnt_left*cnt_right — the quantity AQE's skew-join splits "
+    "on), its amplification vs the average key in exact integer "
+    "per-mille (est*1000*nkeys // total_est; no float ratio anywhere, "
+    "so the r14 boundary-hazard audit passes vacuously), and the "
+    "recommended salting fan-out ceil(cnt_left/avg_left) computed as "
+    "pure-BIGINT ceiling division (cnt*nkeys + total - 1) // total. "
+    f"Deterministic top-{_SKEW_TOP} hot keys by (est_rows DESC, key). "
+    "Overflow envelope: est_rows*1000*nkeys < 2^63 holds to ~9.2e15 "
+    "key-pair products — beyond, widen to DECIMAL(38,0) (the "
+    "basket_pair_rules escape hatch). Scale: both inputs reduce to "
+    "per-key count tables in ONE groupBy each (map-side partial "
+    "aggregation), the diagnosis join is key-count-sized (not "
+    "fact-sized), the totals frame is 1 row broadcast back, and the "
+    "top-k is TakeOrderedAndProject — the whole profile costs two "
+    "fact scans regardless of corpus size. Reference has no "
+    "counterpart (its joins are dimension lookups, "
+    "scripts/process_silver_to_gold.py:101).",
+)
+def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    left = e.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("cnt_left")
+    )
+    right = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("cnt_right")
+    )
+    d = left.join(right, "key").select(
+        "key",
+        "cnt_left",
+        "cnt_right",
+        (F.col("cnt_left") * F.col("cnt_right")).alias("est_rows"),
+    )
+    tot = d.agg(
+        F.sum("est_rows").cast("long").alias("total_est"),
+        F.sum("cnt_left").cast("long").alias("total_left"),
+        F.count("*").alias("nkeys"),
+    )
+    return (
+        # CROSSJOIN: 1-row totals frame onto the key-count table — bounded
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt_left",
+            "cnt_right",
+            F.col("est_rows").cast("long").alias("est_rows"),
+            F.expr("div(est_rows * 1000 * nkeys, total_est)")
+            .cast("long")
+            .alias("amp_x1000"),
+            F.expr("div(cnt_left * nkeys + total_left - 1, total_left)")
+            .cast("long")
+            .alias("salt_n"),
+        )
+        .orderBy(F.desc("est_rows"), "key")
+        .limit(_SKEW_TOP)
+    )

@@ -454,8 +454,15 @@ def test_forced_broadcast_site_count_is_adjudicated():
     # dedup_cluster_size_histogram contribute NO sites (their 1-row
     # summary combines are unhinted crossJoins; the postings and
     # histogram joins stay stats-chosen). 138 + 4 = 142.
-    assert n == 142, (
-        f"F.broadcast site count changed ({n} != 142): adjudicate the "
+    # + 1 round-16 site: join_skew_diagnosis's 1-row totals frame
+    # (total_est/total_left/nkeys — the heavy_change_detect 1-row
+    # census class; CROSSJOIN-annotated at the site). The bank's
+    # other two queries contribute NO sites: attribution's
+    # touch↔purchase join and fs_linkage's blocked self-join both
+    # scale with data and stay stats/AQE-chosen per the audit rule.
+    # 142 + 1 = 143.
+    assert n == 143, (
+        f"F.broadcast site count changed ({n} != 143): adjudicate the "
         "new/removed site per the round-7 audit rule (SCALING.md) and "
         "update this pin"
     )

@@ -198,6 +198,27 @@ def main() -> int:
     for j, n in enumerate(displaced, len(head) + 1):
         print(f"  {j:2d}. {n}  [displaced -> r{target + 1}]")
 
+    if "--emit-python" in sys.argv:
+        # ready-to-paste _DRIVER_PRIORITY head block for the next
+        # registration commit — removes the prose->code transcription
+        # step (the schedule of record stays the registered list; this
+        # output is its mechanical source)
+        print("\n_DRIVER_PRIORITY head block (paste into "
+              "plans/__init__.py):")
+        print("_DRIVER_PRIORITY = [")
+        for n in head:
+            rows = history.get(n)
+            if not rows:
+                note = "NEW this round"
+            elif n in REWORKS:
+                note = f"rework (latest r{rows[-1][0]})"
+            else:
+                note = f"latest r{rows[-1][0]}, history r{rows[0][0]}"
+            print(f'    "{n}",  # {note}')
+        print("    # -- positions 51+: the standing registry order "
+              "(driver reads 50) --")
+        print("]")
+
     if "--verify-current" in sys.argv:
         from etl_earthquake_gcp_spark.plans import _DRIVER_PRIORITY
 

@@ -330,3 +330,82 @@ def test_join_skew_plan_topk_and_broadcast_totals(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# -- cross-cutting semantic invariants ---------------------------------------
+
+
+def test_attribution_conserves_purchase_value(spark):
+    """Conservation law: per-purchase shares sum to 1, so total
+    attributed value must equal the total value of purchases that HAVE
+    at least one in-window touch (to display-rounding tolerance: one
+    round(,2) per output cell). A weights/normalizer bug (double count,
+    leaked cross-user touch, window off-by-one) breaks this joint
+    property; recomputing shares from the same definition would not."""
+    e = load_table(spark, SF_DIR, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("pus"),
+        "value",
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.unix_micros("ts").alias("tus"),
+    )
+    attributable = (
+        p.join(
+            t,
+            (F.col("p_user") == F.col("t_user"))
+            & (F.col("tus") < F.col("pus"))
+            & (F.col("pus") - F.col("tus") <= F.lit(_ATTR_WINDOW_US)),
+            "left_semi",
+        )
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    out = attribution_time_decay(spark, SF_DIR).toPandas()
+    assert abs(out["attributed_value"].sum() - attributable) <= 0.005 * len(
+        out
+    ) + 1e-6
+
+
+def test_join_skew_est_rows_is_exact_cardinality(spark):
+    """Grounding: for an equi-join, sum(cnt_left*cnt_right) over keys
+    IS the exact join output size — assert the diagnosis total against
+    the actually-executed join count (not against the same per-key
+    arithmetic)."""
+    e = load_table(spark, SF_DIR, "events").select(
+        F.col("user_id").alias("key")
+    )
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    actual = e.join(o, "key").count()
+    left = load_table(spark, SF_DIR, "events").groupBy(
+        F.col("user_id").alias("key")
+    ).count().withColumnRenamed("count", "cl")
+    right = load_table(spark, SF_DIR, "orders").groupBy(
+        F.col("o_custkey").alias("key")
+    ).count().withColumnRenamed("count", "cr")
+    total_est = (
+        left.join(right, "key")
+        .agg(F.sum(F.col("cl") * F.col("cr")))
+        .collect()[0][0]
+    )
+    assert total_est == actual
+    # and the registered query's per-key rows are a subset of that sum
+    spdf = join_skew_diagnosis(spark, SF_DIR).toPandas()
+    assert spdf["est_rows"].sum() <= total_est
+
+
+def test_fs_linkage_match_flag_consistent_with_display(spark):
+    """The classification flag is computed on the RAW score; the static
+    boundary enumeration (SCALING round-16 notes) shows no score within
+    0.07 of the 6.0 threshold, so the flag must equal the same
+    comparison on the displayed score4 — a drift here would mean the
+    display round moved a score across the threshold."""
+    spdf = fs_linkage_scores(spark, SF_DIR).toPandas()
+    assert (
+        (spdf["score4"] >= _FS_THRESHOLD) == spdf["is_match"]
+    ).all()

@@ -220,11 +220,24 @@ def jaccard_pairs_bitmask(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     # while distinct masks stay small; the scale path is MinHash
     # banding), not by one of the fixed-size classes — deliberate, see
     # SCALING.md round-7 broadcast audit
+    # r16 perf: spread the streamed NLJ side across the shuffle-partition
+    # count. AQE coalesces the KB-scale groups aggregate to ONE post-shuffle
+    # partition (its bytes sit under minPartitionSize), which serialized the
+    # entire |masks|² popcount pass into a single task (measured 1.7 s of a
+    # 5.3 s pagerank run at sf0.1). An explicit round-robin repartition pins
+    # the quadratic work at one task per configured shuffle partition — the
+    # same knob that sizes every other exchange, so it scales with the
+    # cluster rather than the local box (guide §2.5: parallelize the
+    # quadratic stage, don't let a byte-based coalesce serialize CPU work).
+    n_parts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     qual = (
         # CROSSJOIN: inequality broadcast-NLJ over the grouped-mask frame,
         # bounded by |distinct 64-bit masks| (the documented r7-audit baseline
         # exception; SCALING.md)
-        ga.join(F.broadcast(gb), F.col("ga.mask") <= F.col("gb.mask"))
+        ga.repartition(n_parts)
+        .join(F.broadcast(gb), F.col("ga.mask") <= F.col("gb.mask"))
         .filter(jac >= threshold)
         .select(
             F.col("ga.mask").alias("ma"),

@@ -378,7 +378,11 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PERSIST: edge list in its reused hash layout (see note above);
     # read by deg + every iteration; session-LRU lifetime
     edges = edges.repartition("src").persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # PERSIST: out-degree table (one row per distinct src — node-sized),
+    # read by the edges_deg build AND by both in-loop joins of every
+    # iteration (r16: the deg-keyed loop below); without it each reference
+    # re-aggregated the cached edge list. Session-LRU lifetime.
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     # shuffle_hash on the vertex-sized deg side: skips sorting the edge
     # side while building the edges_deg cache (same rationale as the
     # per-iteration rank join below).
@@ -387,8 +391,22 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = edges.join(deg.hint("shuffle_hash"), "src").persist()
 
     vertices = d.select(F.col("doc_id").alias("id"))
-    ranks = vertices.withColumn("rank", F.lit(1.0 / n_docs))
-    for _ in range(3):
+    # r16 perf: iterate over the SRC set (deg), not the full vertex table.
+    # Only vertices with outdegree ever feed the next contrib join (it is
+    # an inner join on src), so the in-loop rank table can live on deg —
+    # which inherits the cached edges' hash(src) layout — and contrib's
+    # groupBy(dst) output is hash(dst)-partitioned with the same partition
+    # count. Every in-loop join is therefore co-partitioned end to end:
+    # the ONLY per-iteration exchange left is contrib's own partial-agg
+    # shuffle (was three: ranks→hash(src), the agg, vertices→hash(id) —
+    # guide §2.4, operations keyed the same way share one exchange).
+    # Vertices outside the src set (isolated docs and pure sinks) never
+    # influence any contrib, so attaching them ONCE after the last
+    # iteration — same left join + teleport formula as before — yields
+    # bit-identical ranks for every vertex.
+    src_ranks = deg.select("src").withColumn("rank", F.lit(1.0 / n_docs))
+    contrib = None
+    for it in range(3):
         # shuffle_hash (NOT broadcast) on the node-sized rank side: a hash
         # join streams the edge partitions without the per-iteration SORT a
         # sort-merge join would pay on the edge-sized side (at 5.9M edges
@@ -396,12 +414,14 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash-partition's worth of ranks — |V|/numPartitions, sized by
         # shuffle-partition count at scale, never a whole-table broadcast.
         contrib = (
-            edges_deg.join(
-                ranks.hint("shuffle_hash"), edges_deg.src == ranks.id
+            edges_deg.alias("e")
+            .join(
+                src_ranks.alias("r").hint("shuffle_hash"),
+                F.col("e.src") == F.col("r.src"),
             )
             .select(
-                F.col("dst"),
-                (F.col("rank") / F.col("outdeg")).alias("contrib"),
+                F.col("e.dst").alias("dst"),
+                (F.col("r.rank") / F.col("e.outdeg")).alias("contrib"),
             )
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_sum"))
@@ -413,15 +433,25 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plan to an RDD at CALL time, which costs more wall-clock than it
         # saves at this depth. Data-dependent iteration counts (graph.py)
         # DO truncate per round.
-        ranks = vertices.join(
-            contrib.hint("shuffle_hash"), vertices.id == contrib.dst, "left"
-        ).select(
-            "id",
-            (
-                F.lit(0.15 / n_docs)
-                + F.lit(_DAMPING) * F.coalesce("in_sum", F.lit(0.0))
-            ).alias("rank"),
-        )
+        if it < 2:
+            src_ranks = deg.join(
+                contrib.hint("shuffle_hash"), deg.src == contrib.dst, "left"
+            ).select(
+                "src",
+                (
+                    F.lit(0.15 / n_docs)
+                    + F.lit(_DAMPING) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+    ranks = vertices.join(
+        contrib.hint("shuffle_hash"), vertices.id == contrib.dst, "left"
+    ).select(
+        "id",
+        (
+            F.lit(0.15 / n_docs)
+            + F.lit(_DAMPING) * F.coalesce("in_sum", F.lit(0.0))
+        ).alias("rank"),
+    )
     return ranks.select(
         F.col("id").alias("doc_id"), F.round("rank", 6).alias("pagerank")
     )

@@ -886,9 +886,16 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # PERSIST: the distinct (doc_id, token) cell table, read by FOUR
+    # consumers below (corpus count, marginal df, the semi-join input and
+    # both self-join sides) whose differing projections defeat exchange
+    # reuse — without it the explode+distinct ran once per consumer
+    # (r16 measurement: 4 separate tokenize stages in the warm profile).
+    # Bounded by distinct cells (≤ corpus token volume) like the posting
+    # tables the open-vocab minhash path persists; session-LRU lifetime.
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).distinct()
+    ).distinct().persist()
     n = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
     dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
     recurring = dfreq.filter(F.col("df") >= 2).select("token")
@@ -2222,6 +2229,18 @@ def segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_rows = docs.select(
         "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
     )
+    # r16 perf: pin the seg exchange at the configured shuffle-partition
+    # count. The window's own exchange carries few BYTES here (segment
+    # strings compress hard), so AQE's size-based coalesce folded it to a
+    # single post-shuffle partition and ONE task ran the whole collect_set
+    # window + md5 reassembly CPU (measured 860 ms of a 2.1 s run at
+    # sf0.1). An explicit repartition(N, seg) is user-specified, so AQE
+    # leaves it alone; the window reuses the same hash layout (plan still
+    # has exactly two exchanges — pinned in tests), and N follows
+    # spark.sql.shuffle.partitions, the cluster-sized knob (guide §2.5:
+    # don't let a byte-based coalesce serialize CPU-bound work).
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    seg_rows = seg_rows.repartition(n_parts, "seg")
     # reach as a window over seg (docs-per-seg is small) rather than a
     # groupBy+self-join: the tokenize/slice subtree is evaluated ONCE and
     # the plan is exactly two exchanges (seg, then doc_id)

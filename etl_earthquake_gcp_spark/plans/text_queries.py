@@ -874,35 +874,54 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word-association statistic under embedding/collocation pipelines: "
     "document-level co-occurrence counts vs marginal document "
     "frequencies. The co-occurrence self-join runs on doc_id (each doc "
-    "contributes its token-pair cross product map-side); marginals and "
-    "the corpus count broadcast back onto the vocabulary² result. "
-    "Hapax tokens (df < 2) are semi-join-pruned BEFORE the quadratic "
-    "self-join: a df=1 token cannot co-occur in two documents, so its "
-    "pairs are pure fan-out cost — on long-tailed corpora (most of a "
-    "100 TB crawl's vocabulary is hapax) this bounds the per-doc pair "
-    "cross product to the recurring vocabulary. Marginals (df, n_docs) "
-    "stay corpus-wide, so surviving pairs' PMI values are unchanged.",
+    "contributes its token-pair cross product map-side). Hapax tokens "
+    "(df < 2) are pruned BEFORE the quadratic self-join via an inner "
+    "join with the df>=2 vocabulary slice: a df=1 token cannot co-occur "
+    "in two documents, so its pairs are pure fan-out cost — on "
+    "long-tailed corpora (most of a 100 TB crawl's vocabulary is hapax) "
+    "this bounds the per-doc pair cross product to the recurring "
+    "vocabulary. That join also ATTACHES each cell's marginal df, so "
+    "the pair aggregation projects df_a/df_b as constants (min over a "
+    "token-constant column) instead of re-joining two vocabulary-sized "
+    "marginal tables; the corpus doc-count comes from the raw documents "
+    "scan (every non-NULL text tokenizes to >=1 cell). Marginals stay "
+    "corpus-wide, so surviving pairs' PMI values are unchanged.",
     bench=True,
 )
 def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # PERSIST: the distinct (doc_id, token) cell table, read by FOUR
-    # consumers below (corpus count, marginal df, the semi-join input and
-    # both self-join sides) whose differing projections defeat exchange
-    # reuse — without it the explode+distinct ran once per consumer
-    # (r16 measurement: 4 separate tokenize stages in the warm profile).
-    # Bounded by distinct cells (≤ corpus token volume) like the posting
-    # tables the open-vocab minhash path persists; session-LRU lifetime.
+    # r17 restructure (replacing the r16 persist, which regressed the
+    # driver bench 28%): cut the tokenize-subtree CONSUMER count instead
+    # of caching it. Three moves, all value-preserving:
+    #   1. n_docs comes from the raw documents scan, not the cell table:
+    #      split() of any non-NULL text yields >= 1 element (split("") is
+    #      [""]), and both engines drop NULL-text rows at unnest/explode,
+    #      so count_distinct(doc_id) over tok == count_distinct(doc_id)
+    #      over documents WHERE text IS NOT NULL — no tokenize needed.
+    #   2. the hapax semi-join is an inner join against the df>=2 slice of
+    #      dfreq (token is its groupBy key, hence unique: inner == semi),
+    #      which lets each surviving cell CARRY its marginal df ...
+    #   3. ... so the two vocabulary-sized marginal joins (da/db) fold
+    #      into the pair aggregation as min(df) — df is constant per
+    #      token, min() is just the projection of that constant.
+    # Tokenize subtree evaluations drop 4 -> 2 (dfreq build + join probe;
+    # the self-join's second side reuses the first's exchange) and two
+    # whole shuffle joins disappear, with no persist anywhere.
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).distinct().persist()
-    n = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
-    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
-    recurring = dfreq.filter(F.col("df") >= 2).select("token")
-    # left-semi on the recurring vocabulary; AQE broadcasts it when small,
-    # shuffles when the vocabulary itself is big — both correct shapes
-    tok = tok.join(recurring, "token", "left_semi")
-    a, b = tok.alias("a"), tok.alias("b")
+    ).distinct()
+    n = d.filter(F.col("text").isNotNull()).agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    # unhinted: the recurring vocabulary grows with the corpus — AQE
+    # broadcasts it when small, shuffles both token-keyed sides when not
+    recurring = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    tok_f = tok.join(recurring, "token")
+    a, b = tok_f.alias("a"), tok_f.alias("b")
     co = (
         a.join(
             b,
@@ -912,18 +931,15 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.token").alias("tok_a"), F.col("b.token").alias("tok_b")
         )
-        .agg(F.count("*").alias("n_co"))
+        .agg(
+            F.count("*").alias("n_co"),
+            F.min("a.df").alias("df_a"),
+            F.min("b.df").alias("df_b"),
+        )
     )
-    da = dfreq.select(F.col("token").alias("tok_a"), F.col("df").alias("df_a"))
-    db = dfreq.select(F.col("token").alias("tok_b"), F.col("df").alias("df_b"))
     return (
-        # unhinted like the recurring semi-join above: the marginal tables
-        # are vocabulary-sized, which grows with the corpus — AQE picks
-        # broadcast only when they are actually small
-        co.join(da, "tok_a")
-        .join(db, "tok_b")
         # CROSSJOIN: 1-row corpus-total frame
-        .crossJoin(F.broadcast(n))
+        co.crossJoin(F.broadcast(n))
         .select(
             "tok_a",
             "tok_b",
@@ -2229,18 +2245,14 @@ def segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_rows = docs.select(
         "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
     )
-    # r16 perf: pin the seg exchange at the configured shuffle-partition
-    # count. The window's own exchange carries few BYTES here (segment
-    # strings compress hard), so AQE's size-based coalesce folded it to a
-    # single post-shuffle partition and ONE task ran the whole collect_set
-    # window + md5 reassembly CPU (measured 860 ms of a 2.1 s run at
-    # sf0.1). An explicit repartition(N, seg) is user-specified, so AQE
-    # leaves it alone; the window reuses the same hash layout (plan still
-    # has exactly two exchanges — pinned in tests), and N follows
-    # spark.sql.shuffle.partitions, the cluster-sized knob (guide §2.5:
-    # don't let a byte-based coalesce serialize CPU-bound work).
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    seg_rows = seg_rows.repartition(n_parts, "seg")
+    # r17: the r16 explicit repartition(N, "seg") here is REVERTED. It was
+    # added to stop AQE's byte-based coalesce from serializing the seg
+    # window, but the driver bench regressed 22% (r14 0.905 s -> r16
+    # 1.363 s; this round's clean-window read showed 3.3 s) — at sf0.1 the
+    # full-width N-task exchange costs far more than the coalesced window
+    # stage, and at 100 TB the seg exchange carries real bytes so AQE
+    # never coalesces it to 1 in the first place (its advisory size is the
+    # scale-adaptive knob, guide §2.2). Partitioning stays AQE-derived.
     # reach as a window over seg (docs-per-seg is small) rather than a
     # groupBy+self-join: the tokenize/slice subtree is evaluated ONCE and
     # the plan is exactly two exchanges (seg, then doc_id)

@@ -26,17 +26,45 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 
 def _rv_struct_type(
-    right: DataFrame, right_value_cols: Sequence[str], with_rt: bool
+    right: DataFrame,
+    right_value_cols: Sequence[str],
+    with_rt: bool,
+    time_col: str | None = None,
 ) -> StructType:
     """The __rv struct's DataType, assembled LOCALLY from the right frame's
     (single-fetch) schema. The previous ``right.select(rv_struct).schema``
     ran a full analysis pass over a throwaway plan per asof call — pure
     driver latency (r16 measurement: plan-construction time rivalled
-    execution time for the benched asof queries at sf0.1)."""
-    fields = dict(zip(right.schema.names, right.schema.fields))
-    rt = [StructField("__rt", LongType(), True)] if with_rt else []
+    execution time for the benched asof queries at sf0.1).
+
+    Matches the analyzer-derived type it replaced exactly (r17, advisor
+    item): names resolve case-insensitively (Spark's default resolver),
+    the emitted field carries the RESOLVED source name and the source
+    field's nullability (so both union branches' struct types agree
+    field-for-field), and __rt's nullability follows the time column's,
+    mirroring ``F.col(time_col).cast("long")``."""
+    exact = {f.name: f for f in right.schema.fields}
+    lower = {}
+    for f in right.schema.fields:
+        lower.setdefault(f.name.lower(), f)
+
+    def resolve(name: str) -> StructField:
+        f = exact.get(name) or lower.get(name.lower())
+        if f is None:
+            raise KeyError(f"column {name!r} not found in right frame")
+        return f
+
+    rt = (
+        [StructField("__rt", LongType(), resolve(time_col).nullable)]
+        if with_rt
+        else []
+    )
     return StructType(
-        rt + [StructField(c, fields[c].dataType, True) for c in right_value_cols]
+        rt
+        + [
+            StructField(f.name, f.dataType, f.nullable)
+            for f in (resolve(c) for c in right_value_cols)
+        ]
     )
 
 
@@ -142,7 +170,7 @@ def asof_nearest_join(
         F.lit(None).cast("long").alias("__tie"),
         *[F.col(c) for c in left_cols],
         F.lit(None)
-        .cast(_rv_struct_type(right, right_value_cols, with_rt=True))
+        .cast(_rv_struct_type(right, right_value_cols, with_rt=True, time_col=time_col))
         .alias("__rv"),
     )
     r_tagged = right.select(

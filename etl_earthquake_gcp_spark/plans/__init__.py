@@ -19,65 +19,75 @@ from . import curation_queries  # noqa: E402,F401
 from . import calibration_queries  # noqa: E402,F401
 
 # The external correctness driver checks the first 50 queries in dict
-# order per round. Round-16 head, per the SURVEY.md forward schedule
-# (its r16 bullet is the prose twin of this list; membership, order,
-# and the pairing check re-verified programmatically against the
-# post-r15 correctness ledger — latest-row histogram r11:44, r12:50,
-# r13:50, r14:49, r15:50 = 243): FULLY NATURAL — no reworks pending,
-# no pairing additions needed, no displacement. All 44 r11-last-rowed
-# names by the standing history-age rule, then the 6 stalest
-# r12-rowed names. 44 + 6 = 50.
+# order per round. Round-17 head, computed mechanically by
+# tools/ledger_check.py from the post-r16 correctness ledger
+# (latest-row histogram r12:44, r13:50, r14:49, r15:50, r16:50 = 243;
+# --emit-python output registered verbatim, --verify-current exit 0 at
+# registration): the four r16-era NEW registrations (zero driver
+# history) lead in registry order per the bank-promotion precedent,
+# then trigram_like_prefilter's pending post-rework row (r7
+# displacement rule; REWORKS entry clears once this lands), then the
+# 45 stalest natural names — multimodal_frame_sample leads the natural
+# refresh set exactly as the r16 list's position-51 comment scheduled.
 #
 # PAIRING RULE (r8 VERDICT next-step #4): whenever a ROWS-ONLY query
-# takes a head slot in any rotation, its hash-green AUDIT SIBLING
-# goes in the SAME head. All six rows-only names in this head
-# (approx_value_percentiles, ann_ivf_topk, ann_lsh_bucketed,
-# pq_adc_topk, ivf_pq_topk, ml_predictions) have their audit siblings
-# (approx_percentile_audit, ann_recall_audit, ml_accuracy_audit)
-# landing NATURALLY in the same head on their own staleness — zero
-# additions, nothing displaced. ANN recall floors re-probed at sf0.01
-# before this registration (SCALING.md round-16 notes): slacks 4.0 /
-# 4.2 / 5.0 flips, exact control 1.0 — floors unchanged.
+# takes a head slot in any rotation, its hash-green AUDIT SIBLING goes
+# in the SAME head. One rows-only name rides this head
+# (equidepth_histogram_approx); its sibling equidepth_approx_audit
+# lands NATURALLY on its own staleness — zero additions, nothing
+# displaced.
 _DRIVER_PRIORITY = [
-    # -- position 1: the r15-displaced name, leading naturally
-    #    (r1 history) --------------------------------------------------------
-    "jaccard_bigram_pairs",
-    # -- positions 2-26: the 25 r11-rowed names with r2 history, in r2
-    #    driver order --------------------------------------------------------
-    "cube_order_counts", "pivot_status_by_priority",
-    "range_join_value_buckets", "date_part_join_weekday",
-    "event_value_percentiles", "salted_join_user_nation",
-    "join_broadcast_hint", "join_sortmerge_hint",
-    "approx_value_percentiles", "sales_share_by_region",
-    "ewma_user_values", "hll_distinct_users",
-    "streaming_tumbling_counts", "streaming_sliding_counts",
-    "streaming_stream_stream_join", "streaming_static_enrich",
-    "streaming_upsert_merge", "asof_purchase_prior_click",
-    "asof_cogroup_pandas", "asof_nearest_click",
-    "sessionize_events", "session_window_agg",
-    "streaming_sessionize_state", "ann_ivf_topk", "ann_lsh_bucketed",
-    # -- positions 27-31: the 5 r11-rowed names with r3 history, in r3
-    #    driver order --------------------------------------------------------
-    "ml_predictions", "pq_adc_topk", "boilerplate_ngrams",
-    "weighted_sample_ares", "ivf_pq_topk",
-    # -- positions 32-34: the 3 r11-rowed names with r4 history (the
-    #    audit siblings certifying this head's six rows-only names) ----------
-    "ann_recall_audit", "approx_percentile_audit", "ml_accuracy_audit",
-    # -- positions 35-37: the 3 r11-rowed names with r6 history --------------
-    "temperature_mix_weights", "epoch_shuffle_order",
-    "embedding_int8_quantize",
-    # -- positions 38-44: the 7 r11-banked surfaces in r11 driver order ------
-    "rfm_quartile_scores", "source_datacard_pipeline",
-    "hll_intersection_audit", "length_emd_pairs",
-    "vocab_coverage_curve", "bigram_entropy_stats",
-    "session_survival_curve",
-    # -- positions 45-50: the 6 stalest r12-rowed names: 3 with r2
-    #    history in r2 driver order, then 3 with r3 history ------------------
-    "embedding_cosine_near_dup", "cosine_topk_pandas",
-    "embedding_centroids_by_label", "ml_class_balance",
-    "multimodal_meta_stats", "multimodal_decode_features",
-    # -- position 51: leads round 17's natural refresh set -------------------
-    "multimodal_frame_sample",
+    "join_skew_diagnosis",  # NEW this round
+    "attribution_time_decay",  # NEW this round
+    "fs_linkage_scores",  # NEW this round
+    "multimodal_png_decode",  # NEW this round
+    "trigram_like_prefilter",  # rework (latest r15)
+    "multimodal_frame_sample",  # latest r12, history r3
+    "minhash_grouped_mask_near_dup",  # latest r12, history r3
+    "equidepth_histogram_approx",  # latest r12, history r3
+    "bucketed_join_orders_customer",  # latest r12, history r3
+    "minhash_open_vocab_near_dup",  # latest r12, history r3
+    "pack_sequences_by_budget",  # latest r12, history r3
+    "decontaminate_ngram_overlap",  # latest r12, history r3
+    "quality_filter_verdicts",  # latest r12, history r3
+    "variant_extract_props",  # latest r12, history r3
+    "recursive_event_chains",  # latest r12, history r3
+    "unigram_logprob_scores",  # latest r12, history r3
+    "source_mixing_weights",  # latest r12, history r3
+    "select_top_quality_within_budget",  # latest r12, history r3
+    "dedup_keep_canonical",  # latest r12, history r3
+    "top_bigram_share",  # latest r12, history r3
+    "dup_ngram_ratio",  # latest r12, history r3
+    "cross_source_exact_dups",  # latest r12, history r3
+    "resample_ohlc_5min",  # latest r12, history r3
+    "triangle_count_user_graph",  # latest r12, history r3
+    "map_ops_suite",  # latest r12, history r3
+    "join_shufflehash_hint",  # latest r12, history r3
+    "bm25_scores",  # latest r12, history r3
+    "minhash_candidate_quality",  # latest r12, history r3
+    "sql_entry_lateral_topk",  # latest r12, history r3
+    "merge_overlapping_intervals",  # latest r12, history r3
+    "streaming_ewma_state",  # latest r12, history r3
+    "fpgrowth_brand_itemsets",  # latest r12, history r3
+    "segment_dedup_rewrite",  # latest r12, history r4
+    "mmr_diversified_topk",  # latest r12, history r4
+    "equidepth_approx_audit",  # latest r12, history r4
+    "incremental_dedup_probe",  # latest r12, history r4
+    "ppjoin_prefix_pairs",  # latest r12, history r4
+    "corpus_curation_pipeline",  # latest r12, history r4
+    "hard_negative_mining",  # latest r12, history r7
+    "cluster_quota_sample",  # latest r12, history r7
+    "bpe_merge_induction",  # latest r12, history r7
+    "dsir_importance_weights",  # latest r12, history r7
+    "winnowing_match_pairs",  # latest r12, history r7
+    "rrf_fusion_topk",  # latest r12, history r7
+    "roc_auc_exact",  # latest r12, history r12
+    "gini_concentration",  # latest r12, history r12
+    "ngram_decontaminate",  # latest r12, history r12
+    "acf_daily_counts",  # latest r12, history r12
+    "chi2_token_source",  # latest r12, history r12
+    "pricing_summary",  # latest r13, history r1
+    # -- positions 51+: the standing registry order (driver reads 50) --
 ]
 
 

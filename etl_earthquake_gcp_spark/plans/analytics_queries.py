@@ -429,10 +429,16 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NOTE on lineage: iteration k's plan nests the earlier iterations'
         # joins. For the fixed 3 rounds here that tree is bounded and the
         # per-round frames are node-sized, so nesting is cheaper than
-        # truncation — df.localCheckpoint (even eager=False) compiles the
-        # plan to an RDD at CALL time, which costs more wall-clock than it
-        # saves at this depth. Data-dependent iteration counts (graph.py)
-        # DO truncate per round.
+        # truncation. r17 re-A/B'd localCheckpoint(eager=True) on
+        # src_ranks per the r16 verdict: it won a warm same-session
+        # alternating A/B (3.4-3.8 s vs 4.1-4.8 s, values bit-identical)
+        # but REGRESSED full-bench conditions (fresh best-of-3 with
+        # clearCache per rep: 2.91 s nested vs 4.67 s checkpointed) — the
+        # eager per-iteration jobs pay their scheduling + materialization
+        # every rep while the single nested plan amortizes everything
+        # into one job. Kept nested. Data-dependent iteration counts
+        # (graph.py) DO truncate per round, where unbounded lineage is
+        # the bigger hazard.
         if it < 2:
             src_ranks = deg.join(
                 contrib.hint("shuffle_hash"), deg.src == contrib.dst, "left"

@@ -799,27 +799,74 @@ def _adc_refine(spark, scored, qrows, emb):
     )
 
 
+def _train_blocks_distributed(spark, X, dpb: int, k: int, seed: int):
+    """Train the ``_PQ_BLOCKS`` per-subspace Lloyd codebooks in ONE Arrow
+    stage — 8 parallel tasks instead of a serial driver loop (guide §4:
+    the subspaces are embarrassingly parallel, and the driver should not
+    run data work inside the timed region; r16 measured the serial loop
+    at 0.3-1.1 s depending on BLAS-pool contention with the JVM).
+
+    Determinism: each block trains under its OWN seeded generator
+    ``default_rng([seed, block])`` — a pure function of (seed, block), so
+    the result is independent of task scheduling/order. (The previous
+    serial form threaded one shared rng through the blocks, so block b's
+    init depended on blocks 0..b-1; per-block seeding changes the
+    codebooks, which is allowed for these rows-only/recall-floored
+    queries — recall re-pinned in tests/test_pq.py and the driver's
+    ann_recall_audit.) The ≤10k×64 sample ships once as a broadcast, and
+    ``spark.range(..., numPartitions=_PQ_BLOCKS)`` gives exactly one
+    block per task with NO shuffle (hash-repartitioning 8 ids into 8
+    partitions would collide, guide §2.5).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_blocks = _PQ_BLOCKS
+    bX = spark.sparkContext.broadcast(X)
+
+    def train(batches):
+        X_ = bX.value
+        for pdf in batches:
+            for blk in pdf["block"]:
+                b = int(blk)
+                C = _lloyd(
+                    X_[:, b * dpb : (b + 1) * dpb],
+                    k,
+                    np.random.default_rng([seed, b]),
+                )
+                yield pd.DataFrame({"block": [b], "cb": [C.ravel()]})
+
+    rows = (
+        spark.range(0, n_blocks, 1, n_blocks)
+        .toDF("block")
+        .mapInPandas(train, schema="block long, cb array<double>")
+        # COLLECT: n_blocks × (k·dpb) codebook doubles — fixed-size
+        # quantizer state (8×256×8 ≈ 16k values), never corpus-sized
+        .collect()
+    )
+    books = np.empty((n_blocks, k, dpb))
+    for r in rows:
+        books[int(r["block"])] = np.asarray(r["cb"]).reshape(k, dpb)
+    bX.destroy()
+    return books
+
+
 def _pq_codebooks(emb, seed: int = 42):
-    """Train the per-block codebooks on a bounded driver-side sample.
+    """Train the per-block codebooks on a bounded sample.
 
     The FAISS-standard split: codebooks are trained on a SAMPLE (here
     ≤10k unit vectors via deterministic hash order — at 100 TB you never
     k-means the full corpus for a quantizer), then encoding runs
     distributed. Seeded numpy Lloyd iterations, k=min(256, sample) per
-    8-dim block.
+    8-dim block, trained as one 8-task Arrow stage
+    (:func:`_train_blocks_distributed`).
     Returns (blocks, k, dim_per_block) codebook array.
     """
-    import numpy as np
-
     U = _pq_unit_sample(emb)
     n, dim = U.shape
     dpb = dim // _PQ_BLOCKS
     k = min(_PQ_K, n)  # tiny corpora can't support 256 centroids
-    books = np.empty((_PQ_BLOCKS, k, dpb))
-    rng = np.random.default_rng(seed)
-    for b in range(_PQ_BLOCKS):
-        books[b] = _lloyd(U[:, b * dpb : (b + 1) * dpb], k, rng)
-    return books
+    return _train_blocks_distributed(emb.sparkSession, U, dpb, k, seed)
 
 
 @register(
@@ -965,9 +1012,11 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = U - coarse[cells_of_sample]
     dpb = dim // _PQ_BLOCKS
     k_pq = min(_PQ_K, n)
-    books = np.empty((_PQ_BLOCKS, k_pq, dpb))
-    for b in range(_PQ_BLOCKS):
-        books[b] = _lloyd(resid[:, b * dpb : (b + 1) * dpb], k_pq, rng)
+    # r17: residual codebooks train as one 8-task Arrow stage with
+    # per-block seeded RNGs (see _train_blocks_distributed); the coarse
+    # quantizer above stays driver-side — one k=16 Lloyd is cheaper than
+    # a Spark job.
+    books = _train_blocks_distributed(spark, resid, dpb, k_pq, 42)
 
     # ---- encode distributed: cell id + residual codes --------------------
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

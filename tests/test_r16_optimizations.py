@@ -44,7 +44,10 @@ def test_pagerank_single_vertex_attach(spark):
     Before the change the plan re-exchanged the vertex table once per
     iteration (4 hashpartitioning(id…) exchanges); now exactly one."""
     plan = _plan(spark, "pagerank_3iter")
-    id_exchanges = re.findall(r"hashpartitioning\(id#\d+L", plan)
+    # no trailing type suffix in the pattern: a doc_id type change (or a
+    # plan-format change dropping the L) must not silently match nothing
+    id_exchanges = re.findall(r"hashpartitioning\(id#\d+", plan)
+    assert id_exchanges, "no vertex-id exchange found at all — plan changed shape?"
     assert len(set(id_exchanges)) == 1, sorted(set(id_exchanges))
 
 
@@ -66,14 +69,14 @@ def test_asof_rv_struct_type_matches_analyzer(spark):
         F.col("value").alias("click_value"),
     )
     cols = ["click_id", "click_value"]
-    # backward-join variant (no __rt field)
+    # backward-join variant (no __rt field) — FULL field compare
+    # (name, type, nullability), r17 advisor item: nullability drift was
+    # unguarded when only (name, dataType) were compared
     analyzed = right.select(
         F.struct(*[F.col(c) for c in cols])
     ).schema[0].dataType
     local = _rv_struct_type(right, cols, with_rt=False)
-    assert [ (f.name, f.dataType) for f in analyzed.fields ] == [
-        (f.name, f.dataType) for f in local.fields
-    ]
+    assert list(analyzed.fields) == list(local.fields)
     # nearest-join variant (leading __rt long)
     analyzed_rt = right.select(
         F.struct(
@@ -81,10 +84,13 @@ def test_asof_rv_struct_type_matches_analyzer(spark):
             *[F.col(c) for c in cols],
         )
     ).schema[0].dataType
-    local_rt = _rv_struct_type(right, cols, with_rt=True)
-    assert [(f.name, f.dataType) for f in analyzed_rt.fields] == [
-        (f.name, f.dataType) for f in local_rt.fields
-    ]
+    local_rt = _rv_struct_type(right, cols, with_rt=True, time_col="t_ms")
+    assert list(analyzed_rt.fields) == list(local_rt.fields)
+    # case-insensitive resolution matches the analyzer's resolver: a
+    # differently-cased caller must resolve (not KeyError) and emit the
+    # SOURCE field name so both union branches' struct types agree
+    local_ci = _rv_struct_type(right, ["CLICK_ID", "Click_Value"], with_rt=False)
+    assert list(local_ci.fields) == list(local.fields)
 
 
 @pytest.mark.parametrize("seed", [3, 42, 1234])

@@ -175,11 +175,20 @@ def main() -> int:
     else:
         target = last_round + 1
 
+    # r17: --verify-current now verifies against the SAME computation the
+    # registration used (pending NEW/REWORK names included). The previous
+    # pending-excluded reconstruction could never verify a head that
+    # legitimately carries new-registration or rework slots — exactly the
+    # r17 head — so the mode verified only all-natural rotations. A head
+    # registered in a PRIOR round is still expected to mismatch once its
+    # round's correctness rows land (the tool always targets the upcoming
+    # round); run the check AT registration time, which is when its exit
+    # code is the gate.
     head, displaced = compute_head(
         history,
         registry_order,
         rows_only,
-        include_pending="--verify-current" not in sys.argv,
+        include_pending=True,
     )
     print(f"\ncomputed r{target} head ({len(head)} slots):")
     for i, n in enumerate(head, 1):

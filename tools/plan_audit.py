@@ -71,8 +71,17 @@ def main() -> int:
             "py_map": plan.count("MapInPandas") + plan.count("MapInArrow"),
             "scans": plan.count("Scan parquet"),
             "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
-            "window1p": plan.count("windowspecdefinition()")
-            + len(re.findall(r"Window \[[^\]]*\](?!.*partitionBy)", "")),
+            # single-partition windows: a windowspecdefinition with no
+            # partition keys opens directly with the ordering spec — the
+            # whole input collapses onto one task (r17: the previous
+            # pattern was dead code — it matched a literal
+            # "windowspecdefinition()" that never occurs, and ran the
+            # second regex against "" instead of plan)
+            "window1p": len(
+                re.findall(
+                    r"windowspecdefinition\((?:[^(),]+ (?:ASC|DESC))", plan
+                )
+            ),
         }
         print(json.dumps(rec), flush=True)
         flags = []

@@ -22,6 +22,9 @@ All operators are pure DataFrame compositions — no Python UDFs.
 
 from __future__ import annotations
 
+import math
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1002,21 +1005,49 @@ def minhash_band_pairs_open(
     )
     inter = F.size(F.array_intersect(F.col("tids_a"), F.col("tids_b")))
     jac = inter * F.lit(1.0) / (F.col("n_a") + F.col("n_b") - inter)
-    # r17: size-ratio gate AHEAD of the intersect in the same conjunction.
-    # jac = |A∩B|/|A∪B| <= min(n_a,n_b)/max(n_a,n_b), so any pair failing
-    # min/max >= threshold cannot pass jac >= threshold — the conjunct is
-    # sound (result set unchanged) and codegen short-circuits it, skipping
-    # the per-row hash-set intersect for the ~44% of sf0.1 candidates with
-    # incompatible set sizes (guide §3.2 class: drop definitely-non-
-    # matching rows before the expensive step).
+    # r17: two-stage verify predicate, both stages PROVABLY equal to the
+    # naive `jac >= threshold` double comparison on every input:
+    #
+    # (1) size-ratio gate FIRST in the conjunction (guide §3.2 class):
+    #     jac <= min/max, so min/max below the accept boundary rules a
+    #     pair out before the per-row hash-set intersect ever runs (~44%
+    #     of sf0.1 candidates). The gate compares against threshold-1e-9,
+    #     NOT threshold: the double-accept region of `jac >= t` extends
+    #     half an ulp BELOW t (e.g. sets of 4 and 5 sharing 4 have exact
+    #     jac 4/5 < double(0.8), yet 4/5 rounds to double(0.8) and
+    #     PASSES), while `min*1.0 >= t*max` can reject exactly there
+    #     (4.0 < 0.8*5 in doubles) — the 1e-9 slack dwarfs every rounding
+    #     term (>= 1e-9*max vs ulp-scale errors), so no boundary pair is
+    #     ever gated out; false passes just fall through to (2).
+    #
+    # (2) the exact-jaccard test references the intersect ONCE instead of
+    #     twice (the old jac >= t join condition evaluated
+    #     size(array_intersect(...)) in both numerator and denominator —
+    #     no common-subexpression elimination inside a single join
+    #     condition; measured 2x the verify cost). `double(i/u) >= t` is
+    #     EXACTLY `i/u >= mid` where mid = (t + nextafter(t, 0))/2 is the
+    #     rounding boundary (division is correctly rounded; an exact tie
+    #     i/u == mid needs u divisible by 2^53 — unreachable), so the
+    #     integer cross-multiplication below is an identity, not an
+    #     approximation (brute-verified for every set-size sum <= 2e6).
+    #     DECIMAL(38,0) products: mid's numerator is ~2^53 and set sizes
+    #     are doc-bounded, so BIGINT would overflow past ~1e3-token
+    #     docs; decimal stays exact to 38 digits.
+    mid = (Fraction(threshold) + Fraction(math.nextafter(threshold, 0.0))) / 2
+    inter_dec = inter.cast("decimal(20,0)")
+    sum_dec = (F.col("n_a") + F.col("n_b")).cast("decimal(20,0)")
+    jac_ok = (
+        F.lit(mid.denominator + mid.numerator).cast("decimal(20,0)") * inter_dec
+        >= F.lit(mid.numerator).cast("decimal(20,0)") * sum_dec
+    )
     ratio_ok = (
         F.least("n_a", "n_b") * F.lit(1.0)
-        >= F.lit(threshold) * F.greatest("n_a", "n_b")
+        >= F.lit(threshold - 1e-9) * F.greatest("n_a", "n_b")
     )
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .filter(ratio_ok & (jac >= threshold))
+        .filter(ratio_ok & jac_ok)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
